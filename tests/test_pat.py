@@ -1,0 +1,126 @@
+import gzip
+
+import numpy as np
+
+from tests.synth import random_frags
+from wgbs_tools_tpu.formats.pat import (
+    CODE_C,
+    CODE_DOT,
+    CODE_T,
+    frags_to_bytes,
+    index_pat,
+    pack_codes,
+    parse_pat_bytes,
+    read_pat,
+    unpack_codes,
+    write_pat,
+)
+
+SAMPLE = (
+    b"chr1\t46\tCT\t1\n"
+    b"chr1\t47\tCC..TC\t1\n"
+    b"chr1\t47\tT\t13\n"
+    b"chr2\t2300000\tC\t4\n"
+)
+
+
+def test_parse_sample():
+    f = parse_pat_bytes(SAMPLE)
+    assert f.nr_frags == 4
+    assert f.start.tolist() == [46, 47, 47, 2300000]
+    assert f.count.tolist() == [1, 1, 13, 4]
+    assert f.length.tolist() == [2, 6, 1, 1]
+    assert f.chrom_names == ["chr1", "chr2"]
+    assert f.codes[0, :2].tolist() == [CODE_C, CODE_T]
+    assert f.codes[1, :6].tolist() == [CODE_C, CODE_C, CODE_DOT, CODE_DOT, CODE_T, CODE_C]
+    # padding beyond length is DOT
+    assert (f.codes[2, 1:] == CODE_DOT).all()
+
+
+def test_serialize_roundtrip():
+    f = parse_pat_bytes(SAMPLE)
+    assert frags_to_bytes(f) == SAMPLE
+
+
+def test_extras_preserved():
+    data = b"chr1\t10\tCCT\t2\trd1\tfoo\n"
+    f = parse_pat_bytes(data)
+    assert f.extras[0] == b"rd1\tfoo"
+    assert frags_to_bytes(f) == data
+
+
+def test_pack_unpack_roundtrip(rng):
+    f = random_frags(rng, 500, 10000, max_len=19)
+    packed = pack_codes(f.codes)
+    assert packed.shape[1] == (f.codes.shape[1] + 3) // 4
+    un = unpack_codes(packed, f.codes.shape[1])
+    assert (un == f.codes).all()
+
+
+def test_sort_collapse(rng):
+    data = (
+        b"chr1\t50\tCT\t2\n"
+        b"chr1\t10\tC\t1\n"
+        b"chr1\t50\tCT\t5\n"
+        b"chr1\t50\tCC\t1\n"
+    )
+    f = parse_pat_bytes(data).sort().collapse()
+    assert frags_to_bytes(f) == (
+        b"chr1\t10\tC\t1\nchr1\t50\tCC\t1\nchr1\t50\tCT\t7\n"
+    )
+
+
+def test_sort_order_matches_shell_sort():
+    # sort -k2,2n -k3,3: numeric start then pattern C-locale lexicographic;
+    # '.' (0x2e) sorts before 'C' < 'H' < 'T'
+    data = b"chr1\t5\tT\t1\nchr1\t5\t.C\t1\nchr1\t5\tCT\t1\nchr1\t5\tC\t1\n"
+    f = parse_pat_bytes(data).sort()
+    pats = [
+        frags_to_bytes(f.take([i])).split(b"\t")[2] for i in range(f.nr_frags)
+    ]
+    assert pats == [b".C", b"C", b"CT", b"T"]
+
+
+def test_write_read_roundtrip(tmp_path, rng):
+    f = random_frags(rng, 2000, 50000, max_len=15)
+    path = str(tmp_path / "x.pat.gz")
+    write_pat(f, path)
+    # gzip-compatible
+    assert gzip.open(path, "rb").read() == frags_to_bytes(f)
+    g = read_pat(path)
+    assert (g.start == f.start).all()
+    assert (g.count == f.count).all()
+    assert (g.codes[:, : g.max_len] == f.codes[:, : g.max_len]).all()
+
+
+def test_region_read_indexed(tmp_path, rng):
+    f = random_frags(rng, 5000, 100000, max_len=12)
+    path = str(tmp_path / "r.pat.gz")
+    write_pat(f, path, stride=256)
+    window = (40000, 40500)
+    got = read_pat(path, region_sites=window)
+    expect = f.slice_sites(*window)
+    assert got.nr_frags == expect.nr_frags
+    assert (got.start == expect.start).all()
+    assert (got.count == expect.count).all()
+
+
+def test_index_pat_rebuild(tmp_path, rng):
+    f = random_frags(rng, 3000, 60000, max_len=10)
+    path = str(tmp_path / "i.pat.gz")
+    write_pat(f, path, index=False)
+    index_pat(path, stride=128)
+    window = (1000, 2000)
+    got = read_pat(path, region_sites=window)
+    expect = f.slice_sites(*window)
+    assert got.nr_frags == expect.nr_frags
+
+
+def test_slice_sites_semantics():
+    data = b"chr1\t10\tCCCCC\t1\nchr1\t20\tTT\t1\n"
+    f = parse_pat_bytes(data)
+    # read 10-14 overlaps window starting at 14
+    assert f.slice_sites(14, 30).nr_frags == 2
+    assert f.slice_sites(15, 30).nr_frags == 1
+    assert f.slice_sites(1, 10).nr_frags == 0
+    assert f.slice_sites(1, 11).nr_frags == 1

@@ -1,0 +1,355 @@
+"""pat fragment batches — struct-of-arrays over the CpG-index axis.
+
+The pat format (ref: docs/pat_format.md) is a bgzipped TSV sorted by CpG index:
+``chrom  startCpG  pattern  count [extras...]`` with pattern alphabet
+C (methylated), T (unmethylated), H (5hmC), '.' (unknown)
+(ref: src/pipeline_wgbs/patter_utils.h:64-67).
+
+Instead of streaming text through C++ filters, fragments are materialized as a
+`PatFrags` struct-of-arrays: int32 global start sites, int32 lengths/counts,
+and methylation calls as a dense (F, Lmax) uint8 code matrix (T=0, C=1, H=2,
+unknown=3) which bit-packs 4 calls/byte for HBM residency. All device kernels
+(pileup, homog, sampling, masking) operate on these arrays.
+"""
+
+import gzip
+import os.path as op
+from dataclasses import dataclass, field, replace
+from typing import Optional
+
+import numpy as np
+
+from ..utils import IllegalArgumentError
+from .bgzf import BgzfReader, BgzfWriter, is_gzip
+
+# 2-bit call codes
+CODE_T, CODE_C, CODE_H, CODE_DOT = 0, 1, 2, 3
+
+_ENCODE_LUT = np.full(256, 255, dtype=np.uint8)
+_ENCODE_LUT[ord("T")] = CODE_T
+_ENCODE_LUT[ord("C")] = CODE_C
+_ENCODE_LUT[ord("H")] = CODE_H
+_ENCODE_LUT[ord(".")] = CODE_DOT
+_ENCODE_LUT[0] = CODE_DOT  # padding in fixed-width byte matrices
+
+_DECODE_LUT = np.frombuffer(b"TCH.", dtype=np.uint8)
+
+# Default index sampling stride (records per index entry)
+INDEX_STRIDE = 4096
+PAT_INDEX_SUFFIX = ".cdx"
+
+
+@dataclass
+class PatFrags:
+    """A batch of pat fragments (host-side numpy SoA)."""
+
+    start: np.ndarray        # int32 [F], 1-based global CpG index
+    length: np.ndarray       # int32 [F]
+    count: np.ndarray        # int32 [F]
+    codes: np.ndarray        # uint8 [F, Lmax], values in {0,1,2,3}; cols >= length are 3
+    chrom_id: np.ndarray     # int16 [F] index into chrom_names
+    chrom_names: list        # chromosome name per chrom_id
+    extras: Optional[np.ndarray] = None  # object[F] raw extra-column bytes or None
+
+    @property
+    def nr_frags(self) -> int:
+        return int(self.start.shape[0])
+
+    @property
+    def max_len(self) -> int:
+        return int(self.codes.shape[1])
+
+    def __len__(self):
+        return self.nr_frags
+
+    # ------------------------------------------------------------------
+
+    def take(self, idx) -> "PatFrags":
+        return PatFrags(
+            self.start[idx],
+            self.length[idx],
+            self.count[idx],
+            self.codes[idx],
+            self.chrom_id[idx],
+            self.chrom_names,
+            None if self.extras is None else self.extras[idx],
+        )
+
+    def sort(self) -> "PatFrags":
+        """pat order: by startCpG, then pattern bytes (C locale `sort -k2,2n -k3,3`,
+        ref: docs/pat_format.md:43)."""
+        pat_bytes = self.pattern_bytes()
+        keys = [pat_bytes, self.start]
+        if self.extras is not None:
+            keys.insert(0, self.extras.astype("S"))
+        order = np.lexsort(keys)
+        return self.take(order)
+
+    def pattern_bytes(self) -> np.ndarray:
+        """Fixed-width bytes (|S Lmax) of the visible pattern strings."""
+        chars = _DECODE_LUT[self.codes]
+        cols = np.arange(self.max_len)
+        chars[cols[None, :] >= self.length[:, None]] = 0
+        return chars.view(f"S{max(self.max_len, 1)}").ravel()
+
+    def collapse(self) -> "PatFrags":
+        """Merge adjacent identical (chrom,start,pattern[,extras]) rows summing
+        counts (ref: src/collapse_pat.pl). Assumes sorted order."""
+        if self.nr_frags == 0:
+            return self
+        pat_bytes = self.pattern_bytes()
+        same = (self.start[1:] == self.start[:-1]) & (pat_bytes[1:] == pat_bytes[:-1])
+        if self.extras is not None:
+            same &= self.extras[1:] == self.extras[:-1]
+        # group ids for runs of identical rows
+        gid = np.concatenate([[0], np.cumsum(~same)])
+        n_groups = int(gid[-1]) + 1
+        counts = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(counts, gid, self.count)
+        first = np.concatenate([[0], np.nonzero(~same)[0] + 1])
+        out = self.take(first)
+        out.count = counts.astype(np.int32)
+        return out
+
+    # ------------------------------------------------------------------
+
+    def packed(self) -> np.ndarray:
+        """Bit-pack codes to 2 bits/call, 4 calls/byte -> uint8 [F, ceil(L/4)]."""
+        return pack_codes(self.codes)
+
+    def slice_sites(self, start, end, min_overlap=1) -> "PatFrags":
+        """Fragments overlapping the 1-based [start, end) site window.
+
+        Assumes sorted by start. The candidate window uses the batch's max
+        length bound (the analogue of the reference's MAX_PAT_LEN-padded tabix
+        pulls, ref: cview.py:34-38) then filters exactly by length.
+        """
+        lo = np.searchsorted(self.start, start - self.max_len + 1, side="left")
+        hi = np.searchsorted(self.start, end, side="left")
+        sel = self.take(slice(int(lo), int(hi)))
+        keep = sel.start + sel.length >= start + min_overlap
+        if not keep.all():
+            sel = sel.take(keep)
+        return sel
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    F, L = codes.shape
+    Lp = (L + 3) // 4 * 4
+    if Lp != L:
+        codes = np.pad(codes, ((0, 0), (0, Lp - L)), constant_values=CODE_DOT)
+    c = codes.reshape(F, Lp // 4, 4).astype(np.uint8)
+    return c[:, :, 0] | (c[:, :, 1] << 2) | (c[:, :, 2] << 4) | (c[:, :, 3] << 6)
+
+
+def unpack_codes(packed: np.ndarray, max_len=None) -> np.ndarray:
+    F, P = packed.shape
+    out = np.empty((F, P * 4), dtype=np.uint8)
+    for j in range(4):
+        out[:, j::4] = (packed >> (2 * j)) & 3
+    return out[:, :max_len] if max_len is not None else out
+
+
+# ---------------------------------------------------------------------------
+# Text parsing / serialization
+# ---------------------------------------------------------------------------
+
+
+def parse_pat_bytes(data: bytes, keep_extras=True) -> PatFrags:
+    """Parse raw pat text into a PatFrags batch (vectorized numpy)."""
+    if not data:
+        return empty_frags()
+    lines = data.splitlines()
+    n = len(lines)
+    chroms = [None] * n
+    starts = np.empty(n, dtype=np.int64)
+    counts = np.empty(n, dtype=np.int64)
+    pats = [None] * n
+    extras = [None] * n
+    has_extras = False
+    for i, line in enumerate(lines):
+        tokens = line.split(b"\t")
+        if len(tokens) < 4:
+            raise IllegalArgumentError(f"Invalid pat line (too few columns): {line!r}")
+        chroms[i] = tokens[0]
+        starts[i] = int(tokens[1])
+        pats[i] = tokens[2]
+        counts[i] = int(tokens[3])
+        if len(tokens) > 4:
+            extras[i] = b"\t".join(tokens[4:])
+            has_extras = True
+    return _assemble(chroms, starts, pats, counts,
+                     extras if (keep_extras and has_extras) else None)
+
+
+def _assemble(chroms, starts, pats, counts, extras):
+    n = len(chroms)
+    chrom_names = []
+    chrom_lookup = {}
+    chrom_id = np.empty(n, dtype=np.int16)
+    for i, c in enumerate(chroms):
+        c = c.decode() if isinstance(c, bytes) else c
+        if c not in chrom_lookup:
+            chrom_lookup[c] = len(chrom_names)
+            chrom_names.append(c)
+        chrom_id[i] = chrom_lookup[c]
+
+    max_len = max((len(p) for p in pats), default=0)
+    pat_mat = np.array(pats, dtype=f"S{max(max_len, 1)}").view(np.uint8)
+    pat_mat = pat_mat.reshape(n, -1)
+    codes = _ENCODE_LUT[pat_mat]
+    if (codes == 255).any():
+        bad = np.unique(pat_mat[codes == 255])
+        raise IllegalArgumentError(
+            f"Invalid pattern characters: {bytes(bad.tolist())!r}"
+        )
+    lengths = np.array([len(p) for p in pats], dtype=np.int32)
+
+    return PatFrags(
+        starts.astype(np.int32),
+        lengths,
+        counts.astype(np.int32),
+        codes,
+        chrom_id,
+        chrom_names,
+        None if extras is None else np.array(extras, dtype=object),
+    )
+
+
+def frags_to_bytes(frags: PatFrags) -> bytes:
+    """Serialize a PatFrags batch to pat text."""
+    if frags.nr_frags == 0:
+        return b""
+    chars = _DECODE_LUT[frags.codes]
+    out = bytearray()
+    names = [c.encode() for c in frags.chrom_names]
+    lengths = frags.length.tolist()
+    starts = frags.start.tolist()
+    counts = frags.count.tolist()
+    cids = frags.chrom_id.tolist()
+    extras = frags.extras
+    for i in range(frags.nr_frags):
+        out += names[cids[i]]
+        out += b"\t%d\t" % starts[i]
+        out += chars[i, : lengths[i]].tobytes()
+        out += b"\t%d" % counts[i]
+        if extras is not None and extras[i] is not None:
+            out += b"\t" + extras[i]
+        out += b"\n"
+    return bytes(out)
+
+
+def empty_frags(max_len=1) -> PatFrags:
+    return PatFrags(
+        np.empty(0, dtype=np.int32),
+        np.empty(0, dtype=np.int32),
+        np.empty(0, dtype=np.int32),
+        np.empty((0, max_len), dtype=np.uint8),
+        np.empty(0, dtype=np.int16),
+        [],
+        None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# File IO (+ region random access via the .cdx sidecar index)
+# ---------------------------------------------------------------------------
+
+
+def read_pat(path, region_sites=None, genome=None, keep_extras=True) -> PatFrags:
+    """Read a pat[.gz] file, optionally restricted to a 1-based [s, e) site
+    window (random access through the .cdx index when present)."""
+    if region_sites is not None and path.endswith(".gz"):
+        idx = load_pat_index(path)
+        if idx is not None:
+            return _read_region_indexed(path, idx, region_sites, keep_extras)
+    opener = gzip.open if is_gzip(path) else open
+    with opener(path, "rb") as f:
+        frags = parse_pat_bytes(f.read(), keep_extras=keep_extras)
+    if region_sites is not None:
+        frags = frags.slice_sites(*region_sites)
+    return frags
+
+
+def _read_region_indexed(path, idx, region_sites, keep_extras):
+    s, e = region_sites
+    samples_sites, samples_voff, max_len = idx
+    # first sample whose site could still have overlapping reads
+    i = np.searchsorted(samples_sites, s - max_len + 1, side="right") - 1
+    i = max(int(i), 0)
+    reader = BgzfReader(path)
+    reader.seek_virtual(int(samples_voff[i]))
+    chunks = []
+    while True:
+        line = reader.readline()
+        if not line:
+            break
+        start = int(line.split(b"\t", 3)[1])
+        if start >= e:
+            break
+        chunks.append(line)
+    reader.close()
+    frags = parse_pat_bytes(b"".join(chunks), keep_extras=keep_extras)
+    return frags.slice_sites(s, e)
+
+
+def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE):
+    """Write fragments as a BGZF pat.gz (+ .cdx random-access sidecar)."""
+    samples_sites, samples_voff = [], []
+    with BgzfWriter(path, level=level) as w:
+        starts = frags.start.tolist()
+        text_rows = frags_to_bytes(frags).splitlines(keepends=True)
+        for i, row in enumerate(text_rows):
+            if index and i % stride == 0:
+                w.flush_block()
+                samples_sites.append(starts[i])
+                samples_voff.append(w.virtual_offset)
+            w.write(row)
+    if index:
+        max_len = int(frags.length.max()) if frags.nr_frags else 1
+        np.savez(
+            path + PAT_INDEX_SUFFIX,
+            sites=np.asarray(samples_sites, dtype=np.int64),
+            voffsets=np.asarray(samples_voff, dtype=np.int64),
+            max_len=np.int64(max_len),
+        )
+    return path
+
+
+def load_pat_index(path):
+    idx_path = path + PAT_INDEX_SUFFIX
+    if not op.isfile(idx_path):
+        return None
+    z = np.load(idx_path)
+    return z["sites"], z["voffsets"], int(z["max_len"])
+
+
+def index_pat(path, stride=INDEX_STRIDE):
+    """Build the .cdx sidecar for an existing BGZF pat.gz (ref cmd: index)."""
+    if not is_gzip(path):
+        raise IllegalArgumentError(f"pat index requires a bgzipped file: {path}")
+    reader = BgzfReader(path)
+    sites, voffs = [], []
+    max_len = 1
+    i = 0
+    while True:
+        voff = reader.virtual_offset
+        line = reader.readline()
+        if not line:
+            break
+        tokens = line.split(b"\t", 3)
+        if len(tokens) < 3:
+            continue
+        if i % stride == 0:
+            sites.append(int(tokens[1]))
+            voffs.append(voff)
+        max_len = max(max_len, len(tokens[2]))
+        i += 1
+    reader.close()
+    np.savez(
+        path + PAT_INDEX_SUFFIX,
+        sites=np.asarray(sites, dtype=np.int64),
+        voffsets=np.asarray(voffs, dtype=np.int64),
+        max_len=np.int64(max_len),
+    )
+    return path + PAT_INDEX_SUFFIX
