@@ -1,0 +1,123 @@
+import os.path as op
+
+import numpy as np
+import pytest
+
+from tests.oracle import oracle, run_oracle
+from tests.synth import random_beta
+from wgbs_tools_tpu.formats.beta import save_beta
+from wgbs_tools_tpu.models.segment import (
+    SegmentConfig,
+    segment_borders,
+    segment_ranges,
+    segment_sites_window,
+)
+
+
+def make_blocky_beta(rng, n, n_blocks=40, max_cov=30):
+    """Beta data with genuine methylation change-points."""
+    borders = np.sort(rng.choice(np.arange(1, n), size=n_blocks, replace=False))
+    levels = rng.random(n_blocks + 1)
+    per_site_p = np.repeat(levels, np.diff(np.concatenate([[0], borders, [n]])))
+    cov = rng.integers(1, max_cov, size=n).astype(np.int64)
+    meth = rng.binomial(cov, per_site_p).astype(np.int64)
+    return np.stack([meth, cov], axis=1)
+
+
+def ref_segment(beta_paths, loci, start0, n, max_cpg, max_bp, ps):
+    """Run the reference segmentor oracle. start0 is the 0-based start site."""
+    stdin = ("\n".join(str(x) for x in loci) + "\n").encode()
+    args = list(beta_paths) + [
+        "-s", start0, "-n", n, "-max_cpg", max_cpg, "-max_bp", max_bp, "-ps", ps,
+    ]
+    out = run_oracle("segmentor", args, stdin)
+    return np.array(out.split(), dtype=np.int64)
+
+
+@pytest.fixture(scope="module")
+def beta_fixture(tmp_path_factory):
+    rng = np.random.default_rng(42)
+    n = 3000
+    root = tmp_path_factory.mktemp("betas")
+    paths = []
+    datas = []
+    for i in range(3):
+        data = make_blocky_beta(rng, n)
+        p = str(root / f"s{i}.beta")
+        save_beta(p, data)
+        paths.append(p)
+        datas.append(data)
+    # synthetic loci: strictly increasing, CpG-ish spacing
+    loci = np.cumsum(rng.integers(2, 120, size=n)) + 100
+    return paths, np.stack(datas), loci
+
+
+# note: max_bp=0 is excluded — the reference's load_dists skips reading when
+# max_bp==0 and the DP then compares uninitialized memory
+# (segmentor.cpp:36-48,114); the CLI always passes max_bp (segment.py:51).
+@pytest.mark.parametrize("K,max_cpg,max_bp,ps", [
+    (1, 1000, 10**9, 15.0),
+    (3, 1000, 10**9, 15.0),
+    (3, 50, 10**9, 1.0),
+    (3, 1000, 2000, 15.0),
+    (2, 200, 500, 0.01),
+])
+def test_exact_matches_reference(beta_fixture, K, max_cpg, max_bp, ps):
+    paths, datas, loci = beta_fixture
+    n = datas.shape[1]
+    expect = ref_segment(paths[:K], loci, 0, n, max_cpg, max_bp, ps)
+    got = segment_borders(
+        datas[:K], loci, max_cpg=max_cpg, max_bp=max_bp, pseudo_count=ps,
+        mode="exact",
+    )
+    assert got.tolist() == expect.tolist()
+
+
+def test_exact_matches_reference_offset_window(beta_fixture):
+    paths, datas, loci = beta_fixture
+    s0, n = 500, 1200
+    expect = ref_segment(paths, loci[s0 : s0 + n], s0, n, 300, 1500, 15.0)
+    got = segment_borders(
+        datas[:, s0 : s0 + n], loci[s0 : s0 + n], max_cpg=300, max_bp=1500,
+        pseudo_count=15.0, mode="exact",
+    )
+    assert got.tolist() == expect.tolist()
+
+
+def test_fast_mode_close_to_exact(beta_fixture):
+    _, datas, loci = beta_fixture
+    exact = segment_borders(datas, loci, 300, 2000, 15.0, mode="exact")
+    fast = segment_borders(datas, loci, 300, 2000, 15.0, mode="fast")
+    # float32 cost may flip marginal decisions; demand near-identical borders
+    inter = np.intersect1d(exact, fast)
+    assert len(inter) >= 0.95 * len(exact)
+
+
+def test_single_site_window():
+    got = segment_borders(np.zeros((1, 1, 2), dtype=int), np.array([10]), 10, 0, 1.0)
+    assert got.tolist() == [0, 1]
+
+
+def test_segment_ranges_with_stitching(beta_fixture, mini_genome):
+    """Chunked+stitched result equals one-shot segmentation (small chunk size
+    forces the stitching path)."""
+    paths, datas, loci = beta_fixture
+    n = datas.shape[1]
+
+    class FakeIndex:
+        pass
+
+    fake = FakeIndex()
+    # loci for 1-based sites 1..n
+    fake.loci = loci.astype(np.int32)
+    cfg = SegmentConfig(max_cpg=200, max_bp=2000, pseudo_count=15.0,
+                        chunk_size=700, mode="exact")
+    starts, ends = segment_ranges(paths, [(1, n + 1)], fake, cfg)
+    assert starts[0] == 1 and ends[-1] == n + 1
+    assert (starts[1:] == ends[:-1]).all()
+
+    whole = segment_sites_window(paths, (1, n + 1), fake, cfg.max_cpg,
+                                 cfg.max_bp, cfg.pseudo_count, mode="exact")
+    # stitching is a heuristic: demand strong agreement with the one-shot DP
+    inter = np.intersect1d(np.concatenate([starts, ends]), whole)
+    assert len(inter) >= 0.9 * len(whole)

@@ -1,0 +1,359 @@
+"""Change-point segmentation of beta files into homogeneously-methylated blocks.
+
+The reference implements this as a single-core C++ DP over 60k-site chunks
+(ref: src/segment_betas/segmentor.cpp:60-159) orchestrated by a Python Pool
+with overlap-patch stitching (ref: src/python/segment.py). The DP:
+
+    M[i+1] = max_{k in [i+1-max_cpg, i]} M[k] + cost(k, i)
+    cost(k, i) = sum_d  nm*log2(p) + (nt-nm)*log2(1-p),
+                 p = (nm + pc) / (nt + 2*pc)  over sites k..i of dataset d
+    blocks longer than max_bp basepairs get cost -inf
+
+Key numeric facts (ref: segmentor.cpp:76-137): nmeth/ntotal accumulate in
+float32 — but they are integer-valued and < 2^24, so float32 accumulation is
+exact and equals a difference of int prefix sums. log2 runs in float64, the
+per-dataset log-likelihood is rounded to float32 twice, and the dataset sum /
+DP maximization run in float64 with first-argmax tie-breaking.
+
+Two implementations:
+- `segment_borders(..., mode="exact")`: numpy emulation of the reference's
+  exact rounding chain — byte-identical block borders.
+- `segment_borders(..., mode="fast")`: float32 JAX path for TPU — the cost
+  tensor is embarrassingly parallel (computed from prefix sums for all
+  (end, width) pairs at once) and the sequential part is a lax.scan over
+  sites with a max_cpg-wide vector max per step.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..formats.beta import load_beta
+from ..utils import IllegalArgumentError
+
+DEF_CHUNK = 60000  # ref: segment.py:21
+NEG_INF = np.float64(-np.inf)
+
+
+# ---------------------------------------------------------------------------
+# Exact-parity cost + DP (numpy, float32/float64 rounding chain emulation)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_sums(data):
+    """data: (K, n, 2) int -> meth/total prefix sums (K, n+1) int64."""
+    data = np.asarray(data, dtype=np.int64)
+    ps = np.zeros((data.shape[0], data.shape[1] + 1, 2), dtype=np.int64)
+    np.cumsum(data, axis=1, out=ps[:, 1:])
+    return ps[:, :, 0], ps[:, :, 1]
+
+
+def _cost_block_exact(pm, pt, loci, i_lo, i_hi, W, max_bp, pc):
+    """Exact cost rows C[i, w] = cost of block [i-w .. i] for i in [i_lo,i_hi).
+
+    Emulates segmentor.cpp:103-137's float chain; returns float64 (B, W).
+    """
+    K = pm.shape[0]
+    I = np.arange(i_lo, i_hi, dtype=np.int64)[:, None]  # (B, 1)
+    Wv = np.arange(W, dtype=np.int64)[None, :]  # (1, W)
+    Kk = I - Wv  # block start index (B, W)
+    valid = Kk >= 0
+    Kc = np.where(valid, Kk, 0)
+
+    pc32 = np.float32(pc)
+    ll_sum = np.zeros(Kc.shape, dtype=np.float64)
+    for d in range(K):  # sequential dataset accumulation (matches C loop order)
+        nm32 = (pm[d][I + 1] - pm[d][Kc]).astype(np.float32)
+        nt32 = (pt[d][I + 1] - pt[d][Kc]).astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p32 = (nm32 + pc32) / (nt32 + np.float32(2) * pc32)
+            p64 = p32.astype(np.float64)
+            ll_k = np.zeros(Kc.shape, dtype=np.float32)
+            t1 = np.where(p32 > 0, nm32.astype(np.float64) * np.log2(p64), 0.0)
+            ll_k = (ll_k.astype(np.float64) + t1).astype(np.float32)
+            t2 = np.where(
+                p32 < 1,
+                (nt32 - nm32).astype(np.float64) * np.log2(1.0 - p64),
+                0.0,
+            )
+            ll_k = (ll_k.astype(np.float64) + t2).astype(np.float32)
+        ll_k = np.where(nt32 == 0, np.float32(0), ll_k)  # skipped datasets
+        ll_sum += ll_k.astype(np.float64)
+
+    row = np.where(ll_sum == 0.0, 0.0, ll_sum)
+    if max_bp:
+        dist = loci[np.minimum(I, loci.shape[0] - 1)] - loci[Kc]
+        row = np.where(dist > max_bp, NEG_INF, row)
+    row = np.where(valid, row, NEG_INF)
+    return row
+
+
+def _dp_exact(C):
+    """Sequential DP over exact cost rows. C: (n, W) float64.
+
+    Returns traceback array T (n+1,) int64 (T[0] unused).
+    """
+    n, W = C.shape
+    M = np.zeros(n + 1, dtype=np.float64)
+    T = np.full(n + 1, -1, dtype=np.int64)
+    for i in range(n):
+        k0 = max(0, i + 1 - W)
+        # candidates ordered by ascending k; cand[j] = M[k0+j] + C[i, i-(k0+j)]
+        w_hi = i - k0  # width for k = k0
+        cand = M[k0 : i + 1] + C[i, w_hi::-1]
+        am = int(np.argmax(cand))  # first max, matching the strict '>' scan
+        best = cand[am]
+        if np.isneginf(best):
+            # C init: best stays -inf and best_ind stays -1
+            M[i + 1] = NEG_INF
+            T[i + 1] = -1
+        else:
+            M[i + 1] = best
+            T[i + 1] = k0 + am
+    return T
+
+
+def _traceback(T, n):
+    """ref: segmentor.cpp:50-58 — borders ascending, endpoints included."""
+    borders = [n]
+    i = n
+    while i > 0:
+        i = max(0, int(T[i]))
+        borders.append(i)
+    return np.array(borders[::-1], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Fast float32 JAX path (TPU)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("W", "max_bp"))
+def _cost_fast_jax(pm, pt, loci, W, max_bp, pc):
+    """Cost tensor Crev[i, j] (f32) with j = W-1-w (ascending-k order).
+
+    pm/pt: int32 (K, n+1) prefix sums; loci: int32 (n,).
+    """
+    n = loci.shape[0]
+    I = jnp.arange(n, dtype=jnp.int32)[:, None]
+    Wv = (W - 1) - jnp.arange(W, dtype=jnp.int32)[None, :]  # w descending
+    Kk = I - Wv
+    valid = Kk >= 0
+    Kc = jnp.where(valid, Kk, 0)
+
+    nm = (pm[:, I + 1] - pm[:, Kc]).astype(jnp.float32)
+    nt = (pt[:, I + 1] - pt[:, Kc]).astype(jnp.float32)
+    pc = jnp.float32(pc)
+    p = (nm + pc) / (nt + 2 * pc)
+    ll = nm * _safe_log2(p) + (nt - nm) * _safe_log2(1.0 - p)
+    ll = jnp.where(nt == 0, 0.0, ll)
+    row = ll.sum(axis=0)
+
+    if max_bp:
+        dist = loci[jnp.minimum(I, n - 1)] - loci[Kc]
+        row = jnp.where(dist > max_bp, -jnp.inf, row)
+    return jnp.where(valid, row, -jnp.inf)
+
+
+def _safe_log2(x):
+    return jnp.where(x > 0, jnp.log2(jnp.maximum(x, 1e-38)), 0.0)
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _dp_fast_jax(Crev, W):
+    """lax.scan DP. Crev: (n, W) f32 in ascending-k order. Returns T (n+1,)."""
+    n = Crev.shape[0]
+    Mpad = jnp.full(n + W + 1, -jnp.inf, dtype=jnp.float32)
+    Mpad = Mpad.at[W].set(0.0)
+
+    def step(Mpad, xs):
+        i, crow = xs
+        window = jax.lax.dynamic_slice(Mpad, (i + 1,), (W,))  # M[k] ascending k
+        cand = window + crow
+        am = jnp.argmax(cand)  # first max = smallest k
+        best = cand[am]
+        Mpad = jax.lax.dynamic_update_slice(Mpad, best[None], (W + i + 1,))
+        k = i - (W - 1) + am.astype(jnp.int32)
+        return Mpad, k
+
+    _, ks = jax.lax.scan(step, Mpad, (jnp.arange(n, dtype=jnp.int32), Crev))
+    return jnp.concatenate([jnp.zeros(1, dtype=jnp.int32), ks])
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
+                    mode="exact", cost_block=4096):
+    """Segment one window of K beta datasets.
+
+    data: (K, n, 2) int counts for sites [s, s+n).
+    loci: int (n,) basepair positions of those sites (for max_bp).
+    Returns 0-based relative border array (ascending, includes 0 and n).
+    """
+    data = np.asarray(data)
+    K, n, _ = data.shape
+    if n == 1:
+        return np.array([0, 1], dtype=np.int64)
+    W = int(min(max_cpg, n))
+    loci = np.asarray(loci, dtype=np.int64)
+    if loci.shape[0] != n:
+        raise IllegalArgumentError(
+            f"nr_sites != number of loci: {n} != {loci.shape[0]}"
+        )
+    pm, pt = _prefix_sums(data)
+
+    if mode == "exact":
+        C = np.empty((n, W), dtype=np.float64)
+        for lo in range(0, n, cost_block):
+            hi = min(lo + cost_block, n)
+            C[lo:hi] = _cost_block_exact(pm, pt, loci, lo, hi, W, max_bp,
+                                         pseudo_count)
+        T = _dp_exact(C)
+    elif mode == "fast":
+        Crev = _cost_fast_jax(
+            jnp.asarray(pm, dtype=jnp.int32),
+            jnp.asarray(pt, dtype=jnp.int32),
+            jnp.asarray(loci, dtype=jnp.int32),
+            W,
+            int(max_bp) if max_bp else 0,
+            float(pseudo_count),
+        )
+        T = np.asarray(_dp_fast_jax(Crev, W)).astype(np.int64)
+    else:
+        raise IllegalArgumentError(f"unknown segment mode: {mode}")
+    return _traceback(T, n)
+
+
+def segment_sites_window(beta_paths, sites, index, max_cpg=1000, max_bp=2000,
+                         pseudo_count=15.0, mode="exact"):
+    """Segment 1-based [start, end) sites of beta files.
+
+    Returns absolute 1-based border sites (ref: segment.py:41-55 adds +start).
+    """
+    start, end = sites
+    if end - start == 1:
+        return np.array([start, end], dtype=np.int64)
+    data = np.stack([load_beta(b, sites=(start, end)) for b in beta_paths])
+    for d, b in zip(data, beta_paths):
+        if (d[:, 0] > d[:, 1]).any():
+            raise IllegalArgumentError(f"invalid beta data in {b}")
+    loci = index.loci[start - 1 : end - 1]
+    rel = segment_borders(data, loci, max_cpg, max_bp, pseudo_count, mode=mode)
+    return rel + start
+
+
+# ---------------------------------------------------------------------------
+# Chunked orchestration + overlap-patch stitching (ref: segment.py:84-252)
+# ---------------------------------------------------------------------------
+
+
+class SegmentConfig:
+    def __init__(self, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
+                 chunk_size=DEF_CHUNK, min_cpg=1, mode="exact"):
+        self.max_bp = max_bp
+        self.max_cpg = min(max_cpg, max_bp // 2) if max_bp else max_cpg
+        assert self.max_cpg > 1
+        self.pseudo_count = pseudo_count
+        self.chunk_size = chunk_size
+        self.min_cpg = min_cpg
+        self.mode = mode
+
+
+def break_to_chunks(ranges, step):
+    """[(s, e)] -> (tags, chunk_sites) keeping ranges separated
+    (ref: segment.py:126-135)."""
+    tags, chunks = [], []
+    for start, end in ranges:
+        bords = list(range(start, end, step)) + [end]
+        for s, e in zip(bords[:-1], bords[1:]):
+            tags.append((start, end))
+            chunks.append((s, e))
+    return tags, chunks
+
+
+def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
+    """Segment a list of site ranges; returns (startCpG, endCpG) block arrays."""
+    tags, chunks = break_to_chunks(ranges, cfg.chunk_size)
+    seg = lambda sites: segment_sites_window(
+        beta_paths, sites, index, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count,
+        cfg.mode,
+    )
+    results = [seg(c) for c in chunks]
+
+    all_starts, all_ends = [], []
+    for tag in dict.fromkeys(tags):  # preserve order, unique
+        group = [results[i] for i in range(len(results)) if tags[i] == tag]
+        merged = _merge_border_list(group, seg)
+        all_starts.append(merged[:-1])
+        all_ends.append(merged[1:])
+    starts = np.concatenate(all_starts) if all_starts else np.empty(0, np.int64)
+    ends = np.concatenate(all_ends) if all_ends else np.empty(0, np.int64)
+    order = np.argsort(starts, kind="stable")
+    starts, ends = starts[order], ends[order]
+    keep = ends - starts > cfg.min_cpg - 1
+    return starts[keep], ends[keep]
+
+
+def _merge_border_list(blist, seg_fn):
+    """Pairwise-reduce stitching rounds (ref: segment.py:157-165)."""
+    while len(blist) > 1:
+        nxt = [
+            _stitch_2(blist[i - 1], blist[i], seg_fn)
+            for i in range(1, len(blist), 2)
+        ]
+        if len(blist) % 2:
+            nxt.append(blist[-1])
+        blist = nxt
+    return blist[0]
+
+
+def _stitch_2(b1, b2, seg_fn):
+    """Re-segment an overlap patch until its borders agree with both sides
+    (ref: segment.py:199-252)."""
+    if b1[-1] != b2[0]:
+        raise IllegalArgumentError("Patch stitching failed: non-adjacent chunks")
+    n1 = int(b1[-1] - b1[0])
+    n2 = int(b2[-1] - b2[0])
+    p1 = min(50, n1)
+    p2 = min(50, n2)
+    while p1 <= n1 and p2 <= n2:
+        start = int(b1[-1]) - p1
+        end = int(b1[-1]) + p2
+        patch = seg_fn((start, end))
+        if _overlaps(b1, patch) and _overlaps(patch, b2):
+            return _merge2(_merge2(b1, patch), b2)
+        if not _overlaps(b1, patch):
+            p1 = _grow(p1, n1)
+        if not _overlaps(patch, b2):
+            p2 = _grow(p2, n2)
+    raise IllegalArgumentError(
+        "Patch stitching failed. Try increasing chunk size (--chunk_size)"
+    )
+
+
+def _dups_mask(b1, b2):
+    cat = np.concatenate([b1, b2])
+    _, inv, counts = np.unique(cat, return_inverse=True, return_counts=True)
+    return counts[inv] > 1
+
+
+def _overlaps(b1, b2):
+    return bool(_dups_mask(b1, b2).sum())
+
+
+def _merge2(b1, b2):
+    dups = _dups_mask(b1, b2)
+    nr_from_b1 = int(np.argmax(dups))
+    skip_from_b2 = int(np.searchsorted(b2, b1[nr_from_b1]))
+    return np.concatenate([b1[: nr_from_b1 + 1], b2[skip_from_b2 + 1 :]])
+
+
+def _grow(pre, maxval):
+    if pre == maxval:
+        return maxval + 1
+    return int(min(pre * 2, maxval))
