@@ -1,0 +1,416 @@
+"""beta-centric commands: beta_to_blocks, beta_to_table, beta2bed, beta_cov,
+beta_stats, bed2beta, lbeta2beta, beta_to_450k, compare_betas, beta2bw.
+
+ref: src/python/beta_to_blocks.py, beta_to_table.py, beta2bed.py, beta_cov.py,
+beta_stats.py, bed2beta.py, lbeta2beta.py, beta_to_450k.py, compare_betas.py,
+beta2bw.py.
+"""
+
+import argparse
+import gzip
+import os.path as op
+import sys
+
+import numpy as np
+
+from ..formats.beta import beta2vec, load_beta, trim_to_uint
+from ..formats.blocks import is_block_file_nice, load_blocks
+from ..genome.refdir import Genome
+from ..genome.region import GenomicRegion
+from ..ops.reduceat import reduce_data_to_blocks
+from ..utils import (
+    IllegalArgumentError,
+    delete_or_skip,
+    pretty_name,
+    splitextgz,
+    validate_file_list,
+    validate_single_file,
+)
+from ..utils.log import logger
+from .main import add_gr_args
+
+
+# ------------------------------------------------------------ beta_to_blocks
+
+
+def reduce_beta_to_blocks(beta_path, blocks):
+    """One beta -> (B, 2) int block sums (ref: beta_to_blocks.py:101-126)."""
+    starts = blocks["startCpG"]
+    ends = blocks["endCpG"]
+    nice, _ = (is_block_file_nice(blocks) if (starts >= 0).all()
+               else (False, "NA"))
+    if nice and starts.shape[0]:
+        lo, hi = int(starts.min()), int(ends.max())
+        data = load_beta(beta_path, sites=(lo, hi))
+        return reduce_data_to_blocks(data, starts, ends, base=lo)
+    data = load_beta(beta_path)
+    return reduce_data_to_blocks(data, starts, ends, base=1)
+
+
+def main_beta_to_blocks(argv):
+    p = argparse.ArgumentParser(
+        prog="beta_to_blocks",
+        description="Collapse beta files to block binary files")
+    p.add_argument("input_files", nargs="+")
+    p.add_argument("-b", "--blocks_file", required=True)
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-l", "--lbeta", action="store_true")
+    p.add_argument("--bedGraph", action="store_true")
+    p.add_argument("-f", "--force", action="store_true")
+    args = p.parse_args(argv)
+    validate_file_list(args.input_files)
+    blocks = load_blocks(args.blocks_file)
+    for beta in args.input_files:
+        name = op.splitext(op.basename(beta))[0]
+        suff = ".lbeta" if args.lbeta else ".bin"
+        prefix = op.join(args.out_dir, name)
+        if not delete_or_skip(prefix + suff, args.force):
+            continue
+        reduced = reduce_beta_to_blocks(beta, blocks)
+        trim_to_uint(reduced, args.lbeta).tofile(prefix + suff)
+        logger.info("beta_to_blocks: %s", prefix + suff)
+        if args.bedGraph:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = reduced[:, 0] / reduced[:, 1]
+            with open(prefix + ".bedGraph", "w") as f:
+                for i in range(reduced.shape[0]):
+                    v = "-1" if np.isnan(vals[i]) else f"{vals[i]:.2f}"
+                    f.write(
+                        f"{blocks['chr'][i]}\t{blocks['start'][i]}\t"
+                        f"{blocks['end'][i]}\t{v}\t{reduced[i, 1]}\n"
+                    )
+    return 0
+
+
+# ------------------------------------------------------------ beta_to_table
+
+
+def build_beta_table(blocks, beta_paths, groups=None, min_cov=4):
+    """blocks x samples mean-methylation matrix (ref: beta_to_table.py:72-106).
+
+    groups: optional {group_name: [beta basenames]}; group columns average
+    member columns (NaN-aware).
+    """
+    names = [pretty_name(b) for b in beta_paths]
+    cols = {}
+    for b, name in zip(beta_paths, names):
+        reduced = reduce_beta_to_blocks(b, blocks)
+        cols[name] = beta2vec(reduced, min_cov=min_cov)
+    if groups:
+        out = {}
+        for gname, members in groups.items():
+            mat = np.stack([cols[m] for m in members])
+            with np.errstate(invalid="ignore"):
+                out[gname] = np.nanmean(mat, axis=0)
+        return out
+    return cols
+
+
+def load_groups_file(path):
+    """groups csv: columns name,group (ref: dmb.py:24-38)."""
+    import csv
+
+    groups = {}
+    with open(path) as f:
+        reader = csv.DictReader(f)
+        if "name" not in reader.fieldnames or "group" not in reader.fieldnames:
+            raise IllegalArgumentError("groups file must have name,group columns")
+        for row in reader:
+            groups.setdefault(row["group"], []).append(row["name"])
+    return groups
+
+
+def main_beta_to_table(argv):
+    p = argparse.ArgumentParser(
+        prog="beta_to_table",
+        description="blocks x samples methylation table")
+    p.add_argument("blocks_file")
+    p.add_argument("--betas", nargs="+")
+    p.add_argument("-g", "--groups_file", default=None)
+    p.add_argument("-c", "--min_cov", type=int, default=4)
+    p.add_argument("-o", "--output", default=None)
+    args = p.parse_args(argv)
+    blocks = load_blocks(args.blocks_file)
+    groups = None
+    if args.groups_file:
+        groups = load_groups_file(args.groups_file)
+        name2path = {pretty_name(b): b for b in args.betas}
+        for gname, members in groups.items():
+            missing = [m for m in members if m not in name2path]
+            if missing:
+                raise IllegalArgumentError(f"group {gname}: missing betas {missing}")
+    table = build_beta_table(blocks, args.betas, groups=groups,
+                             min_cov=args.min_cov)
+    out = open(args.output, "w") if args.output else sys.stdout
+    hdr = ["chr", "start", "end", "startCpG", "endCpG"] + list(table.keys())
+    out.write("\t".join(hdr) + "\n")
+    B = blocks["startCpG"].shape[0]
+    colvals = list(table.values())
+    for i in range(B):
+        row = [
+            str(blocks["chr"][i]), str(blocks["start"][i]),
+            str(blocks["end"][i]), str(blocks["startCpG"][i]),
+            str(blocks["endCpG"][i]),
+        ]
+        for v in colvals:
+            row.append("NA" if np.isnan(v[i]) else f"{v[i]:.3f}")
+        out.write("\t".join(row) + "\n")
+    if args.output:
+        out.close()
+    return 0
+
+
+# ------------------------------------------------------------ beta2bed / bw
+
+
+def main_beta2bed(argv):
+    p = argparse.ArgumentParser(prog="beta2bed",
+                                description="beta -> bedGraph text")
+    p.add_argument("beta_path")
+    p.add_argument("-c", "--min_cov", type=int, default=1)
+    p.add_argument("--mean", action="store_true",
+                   help="print mean methylation instead of meth/cov pair")
+    p.add_argument("-o", "--out_path", default=None)
+    add_gr_args(p)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    idx = g.index
+    s, e = (1, idx.nr_sites + 1) if gr.is_whole() else gr.sites
+    data = load_beta(args.beta_path, sites=(s, e))
+    loci = idx.loci[s - 1 : e - 1]
+    cids = idx.site2chrom_id(np.arange(s, e))
+    out = open(args.out_path, "w") if args.out_path else sys.stdout
+    names = idx.chrom_names
+    for i in range(e - s):
+        cov = int(data[i, 1])
+        if cov < args.min_cov:
+            continue
+        loc = int(loci[i])
+        if args.mean:
+            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t"
+                      f"{data[i, 0] / cov:.3f}\n")
+        else:
+            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t"
+                      f"{data[i, 0]}\t{cov}\n")
+    if args.out_path:
+        out.close()
+    return 0
+
+
+def main_beta2bw(argv):
+    from ..utils import eprint
+
+    eprint("[wt beta2bw] bigWig output requires the external "
+           "bedGraphToBigWig tool; emitting bedGraph instead (beta2bed).")
+    return main_beta2bed(argv)
+
+
+# ------------------------------------------------------------ cov / stats
+
+
+def beta_cov_value(beta_path, genome, region=None, sites=None, blocks=None):
+    """Mean coverage (ref: beta_cov.py:62-69)."""
+    if blocks is not None:
+        reduced = reduce_beta_to_blocks(beta_path, blocks)
+        nr_sites = (blocks["endCpG"] - blocks["startCpG"]).clip(0).sum()
+        return float(reduced[:, 1].sum() / max(nr_sites, 1))
+    gr = GenomicRegion(region=region, sites=sites, genome=genome)
+    if gr.is_whole():
+        data = load_beta(beta_path)
+    else:
+        data = load_beta(beta_path, sites=gr.sites)
+    return float(np.mean(data[:, 1]))
+
+
+def main_beta_cov(argv):
+    p = argparse.ArgumentParser(prog="beta_cov",
+                                description="Mean coverage of beta files")
+    p.add_argument("betas", nargs="+")
+    p.add_argument("-L", "--bed_file", default=None)
+    add_gr_args(p)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    blocks = load_blocks(args.bed_file) if args.bed_file else None
+    for beta in args.betas:
+        cov = beta_cov_value(beta, g, region=args.region, sites=args.sites,
+                             blocks=blocks)
+        print(f"{pretty_name(beta)}\t{cov:.2f}")
+    return 0
+
+
+def main_beta_stats(argv):
+    p = argparse.ArgumentParser(prog="beta_stats",
+                                description="Summary stats per beta file")
+    p.add_argument("betas", nargs="+")
+    p.add_argument("-c", "--min_cov", type=int, default=1)
+    add_gr_args(p)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    print("name\tmean_meth\tcovered_sites\ttotal_sites\tmean_depth")
+    for beta in args.betas:
+        data = (load_beta(beta) if gr.is_whole()
+                else load_beta(beta, sites=gr.sites))
+        vec = beta2vec(data, min_cov=args.min_cov)
+        covered = int((data[:, 1] >= args.min_cov).sum())
+        mean_meth = float(np.nanmean(vec)) if covered else float("nan")
+        print(f"{pretty_name(beta)}\t{mean_meth:.4f}\t{covered}\t"
+              f"{data.shape[0]}\t{np.mean(data[:, 1]):.2f}")
+    return 0
+
+
+# ------------------------------------------------------------ conversions
+
+
+def main_bed2beta(argv):
+    p = argparse.ArgumentParser(
+        prog="bed2beta",
+        description="bed (chr start end #meth #total) -> beta")
+    p.add_argument("bed_paths", nargs="+")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--add_one", action="store_true",
+                   help="add 1 to start column to match CpG dictionary loci")
+    p.add_argument("-o", "--outdir", default=".")
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    validate_file_list(args.bed_paths)
+    g = Genome(args.genome)
+    idx = g.index
+    for bed in args.bed_paths:
+        outpath = op.join(args.outdir, splitextgz(op.basename(bed))[0] + ".beta")
+        if not delete_or_skip(outpath, args.force):
+            continue
+        counts = np.zeros((idx.nr_sites, 2), dtype=np.int64)
+        opener = gzip.open if bed.endswith(".gz") else open
+        seen = set()
+        with opener(bed, "rb") as f:
+            for line in f:
+                tokens = line.rstrip(b"\n").split(b"\t")
+                if len(tokens) < 5 or not tokens[1].isdigit():
+                    continue
+                chrom = tokens[0].decode()
+                if chrom not in idx._chrom_lookup:
+                    continue
+                start = int(tokens[1]) + (1 if args.add_one else 0)
+                key = (chrom, start)
+                if key in seen:
+                    continue
+                seen.add(key)
+                site = idx.locus2site(chrom, start)
+                lo, hi = idx.chrom_site_bounds(chrom)
+                if site < hi and int(idx.loci[site - 1]) == start:
+                    counts[site - 1, 0] = int(tokens[3])
+                    counts[site - 1, 1] = int(tokens[4])
+        trim_to_uint(counts).tofile(outpath)
+        logger.info("bed2beta: %s", outpath)
+    return 0
+
+
+def main_lbeta2beta(argv):
+    p = argparse.ArgumentParser(prog="lbeta2beta", description="uint16 -> uint8")
+    p.add_argument("lbetas", nargs="+")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-o", "--out_dir", default=".")
+    args = p.parse_args(argv)
+    for lb in args.lbetas:
+        validate_single_file(lb, ".lbeta")
+        out = op.join(args.out_dir, op.basename(lb)[: -len(".lbeta")] + ".beta")
+        if not delete_or_skip(out, args.force):
+            continue
+        data = load_beta(lb).astype(np.int64)
+        trim_to_uint(data, lbeta=False).tofile(out)
+    return 0
+
+
+def main_beta_to_450k(argv):
+    p = argparse.ArgumentParser(
+        prog="beta_to_450k",
+        description="beta -> Illumina 450K/EPIC array-style csv")
+    p.add_argument("betas", nargs="+")
+    p.add_argument("-o", "--out_path", default=None)
+    p.add_argument("-c", "--min_cov", type=int, default=1)
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    idict = g.ilmn2cpg_dict
+    if idict is None:
+        raise IllegalArgumentError(
+            "no ilmn2CpG.tsv.gz map in the genome reference dir")
+    ids, sites = [], []
+    with gzip.open(idict, "rt") as f:
+        for line in f:
+            tokens = line.rstrip("\n").split("\t")
+            if len(tokens) >= 2 and tokens[1].isdigit():
+                ids.append(tokens[0])
+                sites.append(int(tokens[1]))
+    sites = np.array(sites, dtype=np.int64)
+    out = open(args.out_path, "w") if args.out_path else sys.stdout
+    names = [pretty_name(b) for b in args.betas]
+    out.write("ID_REF," + ",".join(names) + "\n")
+    vecs = []
+    for b in args.betas:
+        data = load_beta(b)
+        vec = beta2vec(data, min_cov=args.min_cov)
+        vecs.append(vec[sites - 1])
+    for i, cgid in enumerate(ids):
+        row = [cgid]
+        for v in vecs:
+            row.append("NA" if np.isnan(v[i]) else f"{v[i]:.3f}")
+        out.write(",".join(row) + "\n")
+    if args.out_path:
+        out.close()
+    return 0
+
+
+def main_compare_betas(argv):
+    p = argparse.ArgumentParser(
+        prog="compare_betas",
+        description="Pairwise comparison of beta files")
+    p.add_argument("betas", nargs="+")
+    p.add_argument("-c", "--min_cov", type=int, default=10)
+    p.add_argument("-o", "--outpath", default=None,
+                   help="save pairwise 2-D histogram figure (png/pdf)")
+    add_gr_args(p)
+    args = p.parse_args(argv)
+    validate_file_list(args.betas, min_len=2)
+    g = Genome(args.genome)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    vecs = []
+    for b in args.betas:
+        data = (load_beta(b) if gr.is_whole() else load_beta(b, sites=gr.sites))
+        vecs.append(beta2vec(data, min_cov=args.min_cov))
+    n = len(vecs)
+    print("fileA\tfileB\tpearson\trmse\tn_common")
+    for i in range(n):
+        for j in range(i + 1, n):
+            both = ~np.isnan(vecs[i]) & ~np.isnan(vecs[j])
+            a, b = vecs[i][both], vecs[j][both]
+            r = float(np.corrcoef(a, b)[0, 1]) if both.sum() > 1 else float("nan")
+            rmse = float(np.sqrt(np.mean((a - b) ** 2))) if both.sum() else float("nan")
+            print(f"{pretty_name(args.betas[i])}\t{pretty_name(args.betas[j])}"
+                  f"\t{r:.4f}\t{rmse:.4f}\t{int(both.sum())}")
+    if args.outpath:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(n, n, figsize=(3 * n, 3 * n))
+        axes = np.atleast_2d(axes)
+        for i in range(n):
+            for j in range(n):
+                ax = axes[i][j]
+                if i == j:
+                    ax.hist(vecs[i][~np.isnan(vecs[i])], bins=50)
+                else:
+                    both = ~np.isnan(vecs[i]) & ~np.isnan(vecs[j])
+                    ax.hist2d(vecs[j][both], vecs[i][both], bins=50,
+                              cmap="viridis", cmin=1)
+                if i == n - 1:
+                    ax.set_xlabel(pretty_name(args.betas[j]))
+                if j == 0:
+                    ax.set_ylabel(pretty_name(args.betas[i]))
+        fig.tight_layout()
+        fig.savefig(args.outpath)
+    return 0

@@ -1,0 +1,292 @@
+"""pat-centric commands: pat2beta, index, merge, mix_pat, mask_pat, frag_len.
+
+ref: src/python/pat2beta.py, index.py, merge.py, mix_pat.py, mask_pat.py,
+frag_len.py.
+"""
+
+import argparse
+import os.path as op
+import sys
+
+import numpy as np
+
+from ..formats.beta import merge_betas
+from ..formats.blocks import load_blocks
+from ..formats.pat import (
+    PatFrags,
+    frags_to_bytes,
+    index_pat,
+    read_pat,
+    write_pat,
+)
+from ..genome.refdir import Genome
+from ..ops.frag_ops import mask_sites
+from ..pipeline.pat2beta import pat2beta
+from ..utils import (
+    IllegalArgumentError,
+    delete_or_skip,
+    pretty_name,
+    splitextgz,
+    validate_file_list,
+    validate_single_file,
+)
+from ..utils.log import logger
+from .main import add_gr_args, add_view_args
+from .view import view_pat
+
+
+def main_pat2beta(argv):
+    p = argparse.ArgumentParser(prog="pat2beta",
+                                description="Generate a beta file from a pat file")
+    p.add_argument("pat_paths", nargs="+")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-l", "--lbeta", action="store_true")
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    for pat in args.pat_paths:
+        validate_single_file(pat)
+        suff = ".lbeta" if args.lbeta else ".beta"
+        out = op.join(args.out_dir, splitextgz(op.basename(pat))[0] + suff)
+        if not delete_or_skip(out, args.force):
+            continue
+        pat2beta(pat, args.out_dir, genome=g, lbeta=args.lbeta)
+    return 0
+
+
+def main_index(argv):
+    p = argparse.ArgumentParser(prog="index",
+                                description="Build random-access index (.cdx)")
+    p.add_argument("input_files", nargs="+")
+    p.add_argument("-f", "--force", action="store_true")
+    args = p.parse_args(argv)
+    for f in args.input_files:
+        validate_single_file(f)
+        if op.isfile(f + ".cdx") and not args.force:
+            logger.info("index exists for %s (use -f)", f)
+            continue
+        index_pat(f)
+    return 0
+
+
+def _concat_frags(frag_list, labels=None):
+    if not frag_list:
+        raise IllegalArgumentError("no fragments to merge")
+    max_len = max(f.max_len for f in frag_list)
+    chrom_names = []
+    lookup = {}
+    parts = []
+    for k, f in enumerate(frag_list):
+        codes = f.codes
+        if codes.shape[1] < max_len:
+            codes = np.pad(codes, ((0, 0), (0, max_len - codes.shape[1])),
+                           constant_values=3)
+        # chrom-name union across inputs
+        ids = []
+        for c in f.chrom_names:
+            if c not in lookup:
+                lookup[c] = len(chrom_names)
+                chrom_names.append(c)
+            ids.append(lookup[c])
+        idmap = np.array(ids, dtype=np.int16)
+        cid = idmap[f.chrom_id] if len(ids) else f.chrom_id
+        extras = f.extras
+        if labels is not None:
+            lab = labels[k].encode()
+            base = f.extras if f.extras is not None else np.array(
+                [None] * f.nr_frags, dtype=object)
+            extras = np.array(
+                [lab if b is None else b + b"\t" + lab for b in base],
+                dtype=object,
+            )
+        parts.append((f.start, f.length, f.count, codes, cid, extras))
+    has_extras = any(p[5] is not None for p in parts)
+    if has_extras:
+        for i, pp in enumerate(parts):
+            if pp[5] is None:
+                parts[i] = pp[:5] + (np.array([None] * len(pp[0]), dtype=object),)
+    return PatFrags(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+        np.concatenate([p[3] for p in parts]),
+        np.concatenate([p[4] for p in parts]),
+        chrom_names,
+        np.concatenate([p[5] for p in parts]) if has_extras else None,
+    )
+
+
+def merge_pats(pat_paths, out_path, genome, labels=None, view_kwargs=None,
+               sub_samples=None, seed=None):
+    """Merge pat files: filter each, concat, sort, collapse, write
+    (ref: merge.py:55-120 — `sort -m` of cview streams + collapse)."""
+    view_kwargs = view_kwargs or {}
+    parts = []
+    for i, pat in enumerate(pat_paths):
+        kw = dict(view_kwargs)
+        if sub_samples is not None:
+            kw["sub_sample"] = sub_samples[i]
+            kw["seed"] = None if seed is None else seed + i
+        parts.append(view_pat(pat, genome, no_sort=True, **kw))
+    merged = _concat_frags(parts, labels)
+    merged = merged.sort().collapse()
+    write_pat(merged, out_path)
+    return out_path
+
+
+def main_merge(argv):
+    p = argparse.ArgumentParser(prog="merge", description="Merge pat or beta files")
+    p.add_argument("input_files", nargs="+")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-l", "--lbeta", action="store_true")
+    p.add_argument("--labels", nargs="+")
+    add_gr_args(p, bed_file=True)
+    add_view_args(p)
+    args = p.parse_args(argv)
+    files = args.input_files
+    validate_file_list(files)
+    ftype = splitextgz(files[0])[1][1:]
+    out_path = args.prefix + splitextgz(files[0])[1]
+    if op.realpath(out_path) in [op.realpath(x) for x in files]:
+        raise IllegalArgumentError("output path identical to an input file")
+    if not delete_or_skip(out_path, args.force):
+        return 0
+    if ftype in ("beta", "lbeta", "bin"):
+        merge_betas(files, out_path, args.lbeta)
+    elif ftype == "pat.gz":
+        g = Genome(args.genome)
+        view_kwargs = dict(
+            region=args.region, sites=args.sites, bed_file=args.bed_file,
+            strict=args.strict, strip=args.strip, min_len=args.min_len,
+        )
+        merge_pats(files, args.prefix + ".pat.gz", g, labels=args.labels,
+                   view_kwargs=view_kwargs)
+    else:
+        raise IllegalArgumentError(f"Unknown input format: {files[0]}")
+    return 0
+
+
+def main_mask_pat(argv):
+    p = argparse.ArgumentParser(prog="mask_pat",
+                                description="Mask CpG sites inside given blocks")
+    p.add_argument("pat")
+    p.add_argument("-L", "--bed_file", required=True, help="blocks to mask")
+    p.add_argument("-p", "--prefix", required=True)
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    validate_single_file(args.pat, ".pat.gz")
+    out = args.prefix + ".pat.gz"
+    if not delete_or_skip(out, args.force):
+        return 0
+    blocks = load_blocks(args.bed_file)
+    keep = blocks["startCpG"] >= 0
+    order = np.argsort(blocks["startCpG"][keep], kind="stable")
+    bstart = blocks["startCpG"][keep][order]
+    bend = blocks["endCpG"][keep][order]
+    frags = read_pat(args.pat)
+    masked = mask_sites(frags, bstart, bend, strip=True)
+    masked = masked.sort().collapse()
+    write_pat(masked, out)
+    return 0
+
+
+def main_mix_pat(argv):
+    p = argparse.ArgumentParser(
+        prog="mix_pat", description="In-silico mix of K pat files")
+    p.add_argument("pat_files", nargs="+")
+    p.add_argument("-c", "--cov", type=float)
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--reps", type=int, default=1)
+    p.add_argument("--rates", type=float, nargs="+", required=True)
+    p.add_argument("--labels", nargs="+")
+    p.add_argument("-p", "--prefix")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-l", "--lbeta", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    add_gr_args(p, bed_file=True)
+    add_view_args(p)
+    args = p.parse_args(argv)
+    validate_file_list(args.pat_files, "pat.gz", 2)
+    g = Genome(args.genome)
+
+    rates = list(args.rates)
+    n = len(args.pat_files)
+    if len(rates) == n - 1:
+        rates.append(1.0 - float(np.sum(rates)))
+    if len(rates) != n:
+        raise IllegalArgumentError("len(rates) must be len(files) or len(files)-1")
+    if abs(sum(rates) - 1) > 1e-8:
+        raise IllegalArgumentError(f"Sum(rates) == {sum(rates)} != 1")
+
+    # coverage of each input (ref: mix_pat.py:88-114)
+    from .cmd_beta import beta_cov_value
+
+    covs = []
+    for pat in args.pat_files:
+        beta = pat[:-7] + (".lbeta" if args.lbeta else ".beta")
+        if not op.isfile(beta):
+            logger.info("mix: no beta for %s; generating", pat)
+            beta = pat2beta(pat, op.dirname(pat) or ".", genome=g,
+                            lbeta=args.lbeta)
+        covs.append(beta_cov_value(beta, g, region=args.region,
+                                   sites=args.sites))
+    dest_cov = args.cov or covs[int(np.argmax(rates))]
+    adj_rates = []
+    for i in range(n):
+        adjr = rates[i] * dest_cov / covs[i]
+        if adjr > 1:
+            logger.warning("mix: %s has low coverage; reads will be duplicated",
+                           args.pat_files[i])
+        adj_rates.append(adjr)
+
+    labels = args.labels or [pretty_name(f) for f in args.pat_files]
+    if len(set(labels)) != len(labels):
+        raise IllegalArgumentError("duplicated labels")
+
+    prefix = args.prefix
+    if not prefix:
+        names = "_".join(
+            f"{pretty_name(f)}_{r}" for f, r in zip(args.pat_files, rates)
+        )
+        prefix = op.join(args.out_dir, f"{names}_cov_{dest_cov:.2f}")
+
+    view_kwargs = dict(region=args.region, sites=args.sites,
+                       bed_file=args.bed_file, strict=args.strict,
+                       strip=args.strip, min_len=args.min_len)
+    for rep in range(args.reps):
+        out = prefix + f"_{rep + 1}.pat.gz"
+        if not delete_or_skip(out, args.force):
+            continue
+        # subsample rates > 0.25 use binomial reps doubling inside view_pat
+        merge_pats(args.pat_files, out, g, labels=labels,
+                   view_kwargs=view_kwargs, sub_samples=adj_rates,
+                   seed=None if args.seed is None else args.seed + rep * 1000)
+        logger.info("mix: wrote %s", out)
+    return 0
+
+
+def main_frag_len(argv):
+    p = argparse.ArgumentParser(
+        prog="frag_len", description="Fragment length (in CpGs) histogram")
+    p.add_argument("pat_paths", nargs="+")
+    p.add_argument("-m", "--max_frag_size", type=int, default=30)
+    p.add_argument("-o", "--out_path", default=None)
+    add_gr_args(p, bed_file=True)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    out = open(args.out_path, "w") if args.out_path else sys.stdout
+    for pat in args.pat_paths:
+        frags = view_pat(pat, g, region=args.region, sites=args.sites,
+                         bed_file=args.bed_file, no_sort=True)
+        sizes = np.minimum(frags.length, args.max_frag_size)
+        hist = np.bincount(sizes, weights=frags.count,
+                           minlength=args.max_frag_size + 1)
+        out.write(f"# {pretty_name(pat)}\n")
+        for i in range(1, args.max_frag_size + 1):
+            out.write(f"{i}\t{int(hist[i])}\n")
+    if args.out_path:
+        out.close()
+    return 0

@@ -1,0 +1,65 @@
+"""view / cview commands (ref: src/python/view.py, cview.py)."""
+
+import argparse
+import os.path as op
+import sys
+
+import numpy as np
+
+from ..formats.beta import load_beta
+from ..genome.refdir import Genome
+from ..utils import IllegalArgumentError, validate_single_file
+from .main import add_gr_args, add_view_args
+from .view import print_frags, view_beta_text, view_pat
+
+
+def _parse(argv, prog):
+    p = argparse.ArgumentParser(prog=prog)
+    p.add_argument("input_file")
+    add_gr_args(p, bed_file=True)
+    add_view_args(p)
+    return p.parse_args(argv)
+
+
+def main(argv):
+    args = _parse(argv, "view")
+    validate_single_file(args.input_file)
+    genome = Genome(args.genome)
+    suff = op.splitext(args.input_file)[1]
+    if suff in (".beta", ".lbeta"):
+        out = open(args.out_path, "w") if args.out_path else sys.stdout
+        try:
+            view_beta_text(args.input_file, genome, region=args.region,
+                           sites=args.sites, out=out)
+        finally:
+            if args.out_path:
+                out.close()
+        return 0
+    if suff == ".bin":
+        data = load_beta(args.input_file)
+        np.savetxt(sys.stdout, data, fmt="%s", delimiter="\t")
+        return 0
+    if args.input_file.endswith((".pat.gz", ".pat")):
+        return main_cview(argv)
+    raise IllegalArgumentError(f"Unknown input format: {args.input_file}")
+
+
+def main_cview(argv):
+    args = _parse(argv, "cview")
+    genome = Genome(args.genome)
+    frags = view_pat(
+        args.input_file,
+        genome,
+        region=args.region,
+        sites=args.sites,
+        bed_file=getattr(args, "bed_file", None),
+        strict=args.strict,
+        strip=args.strip,
+        min_len=args.min_len,
+        no_gaps=args.no_gaps,
+        sub_sample=args.sub_sample,
+        seed=args.seed,
+        no_sort=args.no_sort,
+    )
+    print_frags(frags, args.out_path if args.out_path else sys.stdout)
+    return 0

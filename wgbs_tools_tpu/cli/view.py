@@ -1,0 +1,101 @@
+"""view / cview: render pat and beta files as text, filtered by region/blocks.
+
+Mirrors the reference's view/cview composition (ref: src/python/view.py,
+cview.py): pat goes through region/blocks filtering + optional subsample +
+sort + collapse; beta prints `chr  loc-1  loc+1  meth  cov` rows
+(ref: src/view_beta.sh).
+"""
+
+import sys
+
+import numpy as np
+
+from ..formats.beta import load_beta
+from ..formats.blocks import load_blocks
+from ..formats.pat import PatFrags, frags_to_bytes, read_pat
+from ..genome.region import GenomicRegion
+from ..ops.frag_ops import filter_by_blocks, sample_frags
+from ..utils import IllegalArgumentError
+
+
+def view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
+             strict=False, strip=False, min_len=1, no_gaps=False,
+             sub_sample=None, seed=None, no_sort=False) -> PatFrags:
+    """Load + filter a pat file, returning sorted/collapsed fragments."""
+    gr = GenomicRegion(region=region, sites=sites, genome=genome)
+    if bed_file is not None:
+        blocks = load_blocks(bed_file)
+        bstart, bend = blocks["startCpG"], blocks["endCpG"]
+        keep = bstart >= 0
+        bstart, bend = bstart[keep], bend[keep]
+        order = np.argsort(bstart, kind="stable")
+        bstart, bend = bstart[order], bend[order]
+        frags = read_pat(pat_path)
+    elif gr.is_whole():
+        frags = read_pat(pat_path)
+        bstart = np.array([1])
+        bend = np.array([genome.get_nr_sites() + 1])
+    else:
+        s, e = gr.sites
+        frags = read_pat(pat_path, region_sites=(s, e))
+        bstart, bend = np.array([s]), np.array([e])
+
+    frags = filter_by_blocks(frags, bstart, bend, strict=strict, strip=strip,
+                             min_cpgs=min_len, no_gaps=no_gaps)
+    if sub_sample is not None:
+        if not 0 <= sub_sample <= 1:
+            raise IllegalArgumentError("sub-sampling rate must be in [0, 1]")
+        # rate > 0.25 handled by doubling reps (ref: cview.py:55-67)
+        ss, rep = sub_sample, 1
+        while ss > 0.25:
+            rep *= 2
+            ss /= 2
+        frags = sample_frags(frags, ss, reps=rep, seed=seed)
+    if not no_sort:
+        frags = frags.sort().collapse()
+    return frags
+
+
+def view_beta_text(beta_path, genome, region=None, sites=None, out=None):
+    """beta -> text rows `chr  loc-1  loc+1  meth  cov`."""
+    out = out or sys.stdout
+    gr = GenomicRegion(region=region, sites=sites, genome=genome)
+    idx = genome.index
+    if gr.is_whole():
+        s, e = 1, idx.nr_sites + 1
+    else:
+        s, e = gr.sites
+    data = load_beta(beta_path, sites=(s, e))
+    loci = idx.loci[s - 1 : e - 1]
+    cids = idx.site2chrom_id(np.arange(s, e))
+    names = idx.chrom_names
+    lines = []
+    for i in range(e - s):
+        loc = int(loci[i])
+        lines.append(
+            f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{data[i, 0]}\t{data[i, 1]}"
+        )
+        if len(lines) >= 8192:
+            out.write("\n".join(lines) + "\n")
+            lines = []
+    if lines:
+        out.write("\n".join(lines) + "\n")
+
+
+def print_frags(frags, out=None):
+    out = out or sys.stdout
+    data = frags_to_bytes(frags)
+    if hasattr(out, "buffer"):
+        out.buffer.write(data)
+    elif isinstance(out, str):
+        mode = "wb"
+        if out.endswith(".gz"):
+            from ..formats.bgzf import BgzfWriter
+
+            with BgzfWriter(out) as w:
+                w.write(data)
+            return
+        with open(out, mode) as f:
+            f.write(data)
+    else:
+        out.write(data)
