@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Headline benchmark: pat2beta pileup fragments/s/chip.
+
+Measures the steady-state Pallas pileup kernel rate on device-resident
+fragment batches (the production layout: fragments are decoded once into
+bit-packed device arrays, then piled up), and compares against the
+reference's `stdin2beta` C++ stream kernel (compiled from /root/reference at
+run time) processing the same fragments as pat text on one CPU core — the
+reference's actual execution model (ref: src/python/pat2beta.py:41-65).
+
+Prints ONE JSON line:
+  {"metric": "pat2beta_frags_per_s_chip", "value": N, "unit": "frags/s",
+   "vs_baseline": N}
+"""
+
+import json
+import os
+import os.path as op
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, op.dirname(op.abspath(__file__)))
+
+import numpy as np
+
+N_FRAGS = int(os.environ.get("BENCH_FRAGS", 2_000_000))
+N_SITES = int(os.environ.get("BENCH_SITES", 4_000_000))
+MAX_LEN = 24
+REFERENCE = os.environ.get("WGBS_REFERENCE", "/root/reference")
+
+
+def make_frags(rng, n_frags, n_sites, max_len):
+    from tests.synth import random_frags
+
+    return random_frags(rng, n_frags, n_sites - max_len - 1, max_len=max_len,
+                        max_count=3, dot_rate=0.03, h_rate=0.01)
+
+
+def bench_reference(frags, n_sites):
+    """Wall time of the reference stdin2beta on the same fragments (1 core)."""
+    src = op.join(REFERENCE, "src/pat2beta/stdin2beta.cpp")
+    if not op.isfile(src):
+        return None
+    from wgbs_tools_tpu.formats.pat import frags_to_bytes
+
+    with tempfile.TemporaryDirectory() as td:
+        exe = op.join(td, "stdin2beta")
+        try:
+            subprocess.check_call(
+                ["g++", "-std=c++11", "-O2", "-o", exe, src],
+                stderr=subprocess.DEVNULL,
+            )
+        except Exception:
+            return None
+        pat_text = frags_to_bytes(frags)
+        pat_file = op.join(td, "in.pat")
+        with open(pat_file, "wb") as f:
+            f.write(pat_text)
+        t0 = time.perf_counter()
+        with open(pat_file, "rb") as f:
+            subprocess.run(
+                [exe, "1", str(n_sites + 1)],
+                stdin=f,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+                check=True,
+            )
+        return time.perf_counter() - t0
+
+
+def bench_tpu(frags, n_sites, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.ops import pileup_tpu as pt
+
+    start = np.asarray(frags.start, dtype=np.int64)
+    codes = frags.codes
+    F, L = codes.shape
+    max_len = max(pt._round_up(L, 128), 128)
+    if codes.shape[1] != max_len:
+        codes = np.pad(codes, ((0, 0), (0, max_len - codes.shape[1])),
+                       constant_values=3)
+    fc, tile = pt.FRAG_CHUNK, pt.TILE
+    rel = (start - 1).astype(np.int32)
+    Fp = pt._round_up(max(F, 1), fc)
+    n_chunks = Fp // fc
+    meta = np.zeros((n_chunks, 4, fc), dtype=np.int32)
+    sp = np.full(Fp, pt.SENTINEL, dtype=np.int32)
+    lp = np.zeros(Fp, dtype=np.int32)
+    cp = np.zeros(Fp, dtype=np.int32)
+    sp[:F] = rel
+    lp[:F] = frags.length
+    cp[:F] = frags.count
+    meta[:, 0, :] = sp.reshape(n_chunks, fc)
+    meta[:, 1, :] = lp.reshape(n_chunks, fc)
+    meta[:, 2, :] = cp.reshape(n_chunks, fc)
+    codes_p = np.full((Fp, max_len), 3, dtype=np.uint8)
+    codes_p[:F] = codes
+    words = pt.planar_pack(codes_p)
+
+    num_tiles = (n_sites + tile - 1) // tile
+    tile_bounds = np.arange(num_tiles, dtype=np.int64) * tile
+    lo = np.searchsorted(rel, tile_bounds - max_len + 1, side="left")
+    hi = np.searchsorted(rel, tile_bounds + tile, side="left")
+    first_chunk = lo // fc
+    max_chunks = max(int(((hi + fc - 1) // fc - first_chunk).max(initial=1)), 1)
+    first_chunk = np.minimum(first_chunk, max(n_chunks - max_chunks, 0))
+    lo_adj = first_chunk * fc
+    hi = np.minimum(hi, lo_adj + max_chunks * fc)
+
+    dev_args = (
+        jnp.asarray(lo_adj.astype(np.int32)),
+        jnp.asarray(hi.astype(np.int32)),
+        jnp.asarray(meta),
+        jnp.asarray(words),
+    )
+    interpret = jax.default_backend() != "tpu"
+
+    def run():
+        return pt._pileup_pallas_call(*dev_args, n_sites, max_len, tile, fc,
+                                      max_chunks, interpret)
+
+    out = run()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return dt, out
+
+
+def main():
+    rng = np.random.default_rng(20260817)
+    frags = make_frags(rng, N_FRAGS, N_SITES, MAX_LEN)
+    F = frags.nr_frags
+
+    tpu_dt, _ = bench_tpu(frags, N_SITES)
+    tpu_rate = F / tpu_dt
+
+    ref_dt = bench_reference(frags, N_SITES)
+    vs_baseline = (F / ref_dt and tpu_rate / (F / ref_dt)) if ref_dt else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "pat2beta_frags_per_s_chip",
+                "value": round(tpu_rate, 1),
+                "unit": "frags/s",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,192 @@
+"""Sharded whole-genome pipelines: pileup + block reduce + segmentation DP
+over a (samples, sites) device mesh.
+
+Mapping from the reference's process parallelism (see parallel/mesh.py):
+fragments are bucketed by the site-shard containing their start; boundary-
+crossing reads contribute to the next shard via a halo `ppermute` (replacing
+the order-preserving file concat of bam2pat.py:398-422); multi-sample
+segmentation costs reduce with `psum` over the samples axis (replacing the
+in-process dataset loop of segmentor.cpp:120-135).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_exp
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_exp(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs)
+
+from ..formats.pat import CODE_C, CODE_DOT, CODE_H
+
+
+def _local_pileup(rel_start, length, count, codes, out_len):
+    """Dense (out_len, 2) pileup of one fragment shard (relative starts)."""
+    L = codes.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    site = rel_start[:, None] + pos
+    in_read = pos < length[:, None]
+    in_win = (site >= 0) & (site < out_len)
+    observed = in_read & in_win & (codes != CODE_DOT)
+    meth_call = (codes == CODE_C) | (codes == CODE_H)
+    cnt = count[:, None]
+    site_c = jnp.where(in_win, site, out_len).reshape(-1)
+    out = jnp.zeros((out_len + 1, 2), dtype=jnp.int32)
+    out = out.at[site_c, 0].add(
+        jnp.where(observed & meth_call, cnt, 0).reshape(-1), mode="drop")
+    out = out.at[site_c, 1].add(
+        jnp.where(observed, cnt, 0).reshape(-1), mode="drop")
+    return out[:out_len]
+
+
+def _segment_cost_local(counts, loci, W, max_bp, pc):
+    """(S, W) float32 cost rows (ascending-k order) from local counts.
+
+    counts: (S, 2) int32 — local-sample partial counts; the caller psums the
+    returned rows over the samples axis before the DP.
+    """
+    S = counts.shape[0]
+    ps = jnp.concatenate(
+        [jnp.zeros((1, 2), jnp.int32), jnp.cumsum(counts, axis=0,
+                                                  dtype=jnp.int32)], axis=0
+    )
+    I = jnp.arange(S, dtype=jnp.int32)[:, None]
+    Wv = (W - 1) - jnp.arange(W, dtype=jnp.int32)[None, :]
+    Kk = I - Wv
+    valid = Kk >= 0
+    Kc = jnp.where(valid, Kk, 0)
+    nm = (ps[I + 1, 0] - ps[Kc, 0]).astype(jnp.float32)
+    nt = (ps[I + 1, 1] - ps[Kc, 1]).astype(jnp.float32)
+    pcf = jnp.float32(pc)
+    p = (nm + pcf) / (nt + 2 * pcf)
+    ll = nm * _log2s(p) + (nt - nm) * _log2s(1.0 - p)
+    ll = jnp.where(nt == 0, 0.0, ll)
+    if max_bp:
+        dist = loci[I] - loci[Kc]
+        ll = jnp.where(dist > max_bp, -jnp.inf, ll)
+    return jnp.where(valid, ll, -jnp.inf)
+
+
+def _log2s(x):
+    return jnp.where(x > 0, jnp.log2(jnp.maximum(x, 1e-38)), 0.0)
+
+
+def _dp_scan(Crev, W, vary_axes=None):
+    n = Crev.shape[0]
+    Mpad = jnp.full(n + W + 1, -jnp.inf, dtype=jnp.float32)
+    Mpad = Mpad.at[W].set(0.0)
+    if vary_axes:
+        # inside shard_map the scan carry must match the xs' varying axes
+        Mpad = jax.lax.pcast(Mpad, vary_axes, to="varying")
+
+    def step(Mpad, xs):
+        i, crow = xs
+        window = jax.lax.dynamic_slice(Mpad, (i + 1,), (W,))
+        cand = window + crow
+        am = jnp.argmax(cand)
+        Mpad = jax.lax.dynamic_update_slice(Mpad, cand[am][None], (W + i + 1,))
+        return Mpad, i - (W - 1) + am.astype(jnp.int32)
+
+    _, ks = jax.lax.scan(step, Mpad, (jnp.arange(n, dtype=jnp.int32), Crev))
+    return ks
+
+
+def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
+    """Jitted sharded step: fragments -> counts -> segmentation traceback.
+
+    Shapes (global):
+      rel_start/length/count: (F,) int32, fragments bucketed so that shard i
+        holds fragments starting in its site range (sorted by start);
+      codes: (F, L) uint8;
+      sample_counts: (K, n_sites, 2) int32 per-sample per-site counts
+        (sharded over samples x sites);
+      loci: (n_sites,) int32.
+
+    Returns (counts (n_sites, 2), dp_traceback (n_sites,), total_cov scalar).
+    """
+    n_sites_shard = n_sites // mesh.shape["sites"]
+    n_shards = mesh.shape["sites"]
+
+    def step(rel_start, length, count, codes, sample_counts, loci):
+        # rel_start here is relative to the *shard* start (host pre-subtracts)
+        local = _local_pileup(rel_start, length, count, codes,
+                              n_sites_shard + halo)
+        tail = local[n_sites_shard:]
+        perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+        received = jax.lax.ppermute(tail, "sites", perm)
+        idx = jax.lax.axis_index("sites")
+        received = jnp.where(idx == 0, 0, received)  # no left neighbor wrap
+        counts = local[:n_sites_shard].at[:halo].add(received)
+
+        # multi-sample segmentation cost: partial rows per sample shard,
+        # psum over the samples axis (ref: segmentor.cpp dataset loop)
+        k_local = sample_counts.shape[0]
+        cost = jnp.zeros((n_sites_shard, W), dtype=jnp.float32)
+        for d in range(k_local):
+            cost += _segment_cost_local(sample_counts[d], loci[:, 0], W,
+                                        max_bp, pc)
+        cost = jax.lax.psum(cost, "samples")
+        tb = _dp_scan(cost, W, vary_axes=("sites",))
+
+        total_cov = jax.lax.psum(
+            jnp.sum(counts[:, 1], dtype=jnp.int64), ("sites",)
+        )
+        return counts, tb, total_cov
+
+    sharded = shard_map(
+        step,
+        mesh,
+        in_specs=(
+            P("sites"), P("sites"), P("sites"), P("sites", None),
+            P("samples", "sites", None), P("sites", None),
+        ),
+        out_specs=(P("sites", None), P("sites"), P()),
+    )
+    return jax.jit(sharded)
+
+
+def bucket_fragments(start, length, count, codes, n_sites, n_shards,
+                     max_len=None):
+    """Host-side: assign fragments to site shards, pad to equal counts, and
+    make starts shard-relative. Returns arrays shaped (n_shards*Fp, ...)."""
+    start = np.asarray(start, dtype=np.int64)
+    S = n_sites // n_shards
+    shard_of = np.clip((start - 1) // S, 0, n_shards - 1)
+    order = np.argsort(shard_of, kind="stable")
+    start, shard_of = start[order], shard_of[order]
+    length = np.asarray(length, dtype=np.int32)[order]
+    count = np.asarray(count, dtype=np.int32)[order]
+    codes = np.asarray(codes)[order]
+    per = np.bincount(shard_of, minlength=n_shards)
+    Fp = max(int(per.max(initial=1)), 1)
+    L = codes.shape[1] if max_len is None else max_len
+    out_start = np.zeros((n_shards, Fp), dtype=np.int32)
+    out_len = np.zeros((n_shards, Fp), dtype=np.int32)
+    out_cnt = np.zeros((n_shards, Fp), dtype=np.int32)
+    out_codes = np.full((n_shards, Fp, L), CODE_DOT, dtype=np.uint8)
+    pos = 0
+    for sh in range(n_shards):
+        k = int(per[sh])
+        sl = slice(pos, pos + k)
+        out_start[sh, :k] = start[sl] - 1 - sh * S  # shard-relative, 0-based
+        out_len[sh, :k] = length[sl]
+        out_cnt[sh, :k] = count[sl]
+        out_codes[sh, :k, : codes.shape[1]] = codes[sl]
+        pos += k
+    return (
+        out_start.reshape(-1),
+        out_len.reshape(-1),
+        out_cnt.reshape(-1),
+        out_codes.reshape(n_shards * Fp, L),
+    )
