@@ -123,13 +123,24 @@ def bench_tpu(frags, n_sites, iters=5):
         return pt._pileup_pallas_call(*dev_args, n_sites, max_len, tile, fc,
                                       max_chunks, interpret)
 
+    def sync(o):
+        # On the axon-tunneled TPU, block_until_ready does not reliably wait;
+        # a 1-element fetch forces completion of the producing computation.
+        np.asarray(o[0][:1])
+
     out = run()
-    jax.block_until_ready(out)
+    sync(out)
+    # subtract the fetch round-trip latency measured on a completed buffer
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sync(out)
+    fetch = (time.perf_counter() - t0) / 3
+
     t0 = time.perf_counter()
     for _ in range(iters):
         out = run()
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+        sync(out)
+    dt = max((time.perf_counter() - t0) / iters - fetch, 1e-9)
     return dt, out
 
 

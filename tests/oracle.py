@@ -21,7 +21,10 @@ _SOURCES = {
     "segmentor": ["src/segment_betas/main.cpp", "src/segment_betas/segmentor.cpp"],
     "cview": ["src/cview/cview.cpp", "src/pipeline_wgbs/patter_utils.cpp"],
     "homog": ["src/homog/homog.cpp", "src/pipeline_wgbs/patter_utils.cpp"],
-    "match_maker": ["src/pipeline_wgbs/match_maker.cpp"],
+    "match_maker": [
+        "src/pipeline_wgbs/match_maker.cpp",
+        "src/pipeline_wgbs/patter_utils.cpp",
+    ],
     "patter": [
         "src/pipeline_wgbs/main.cpp",
         "src/pipeline_wgbs/patter.cpp",

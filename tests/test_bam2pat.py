@@ -1,0 +1,153 @@
+"""bam2pat conformance: native pipeline vs reference match_maker|patter."""
+
+import gzip
+import os
+import os.path as op
+import stat
+import subprocess
+
+import numpy as np
+import pytest
+
+from tests.bisim import add_cigar_variants, dump_bam, dump_sam, simulate_reads
+from tests.oracle import oracle
+from wgbs_tools_tpu.formats.pat import frags_to_bytes, parse_pat_bytes
+from wgbs_tools_tpu.genome.cpg_index import read_fasta
+from wgbs_tools_tpu.pipeline.bam2pat_run import bam2pat
+
+TABIX_SHIM = r'''#!/usr/bin/env python3
+import gzip, re, sys
+args = [a for a in sys.argv[1:] if not a.startswith('-')]
+path, region = args[0], args[1]
+m = re.match(r'^([^:]+)(?::(\d+)-(\d+))?$', region)
+chrom, s, e = m.group(1), m.group(2), m.group(3)
+s = int(s) if s else None
+e = int(e) if e else None
+for line in gzip.open(path, 'rt'):
+    t = line.rstrip('\n').split('\t')
+    if t[0] != chrom:
+        continue
+    loc = int(t[1])
+    if s is not None and (loc < s or loc > e):
+        continue
+    sys.stdout.write(line)
+'''
+
+
+@pytest.fixture(scope="module")
+def shim_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("shim")
+    p = d / "tabix"
+    p.write_text(TABIX_SHIM)
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    return str(d)
+
+
+def ref_bam2pat(reads, seqs, genome, shim_dir, tmp_path):
+    """Run reference `match_maker | patter` per chromosome on SAM text."""
+    mm = oracle("match_maker")
+    pt = oracle("patter")
+    dict_path = genome.join("CpG.bed.gz")
+    env = dict(os.environ, PATH=shim_dir + ":" + os.environ["PATH"])
+    out_rows = []
+    for chrom in genome.get_chroms():
+        chrom_reads = [r for r in reads if r.chrom == chrom]
+        if not chrom_reads:
+            continue
+        sam = dump_sam(chrom_reads, seqs, str(tmp_path / f"{chrom}.sam"))
+        with open(sam, "rb") as f:
+            p1 = subprocess.Popen([mm], stdin=f, stdout=subprocess.PIPE)
+            p2 = subprocess.Popen(
+                [pt, dict_path, chrom],
+                stdin=p1.stdout,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL,
+                env=env,
+            )
+            p1.stdout.close()
+            out, _ = p2.communicate()
+        # patter emits chrom\tstart\tpattern (no counts) — add count=1
+        for line in out.splitlines():
+            if line:
+                out_rows.append(line + b"\t1")
+    return parse_pat_bytes(b"\n".join(out_rows) + b"\n").sort().collapse()
+
+
+def _compare(frags, expect):
+    got_txt = frags_to_bytes(frags)
+    exp_txt = frags_to_bytes(expect)
+    assert got_txt == exp_txt
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_bam2pat_matches_reference(mini_genome, tmp_path, shim_path, paired):
+    rng = np.random.default_rng(7 if paired else 8)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=400, paired=paired)
+    bam = dump_bam(reads, seqs, str(tmp_path / "sim.bam"))
+
+    frags, _, stats = bam2pat(bam, genome=mini_genome, write_output=False)
+    expect = ref_bam2pat(reads, seqs, mini_genome, shim_path, tmp_path)
+    assert frags.nr_frags > 0
+    _compare(frags, expect)
+
+
+def test_bam2pat_cigar_variants(mini_genome, tmp_path, shim_path):
+    rng = np.random.default_rng(9)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=300, paired=False)
+    reads = add_cigar_variants(reads, seqs, rng, frac=0.4)
+    bam = dump_bam(reads, seqs, str(tmp_path / "simc.bam"))
+    frags, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
+    expect = ref_bam2pat(reads, seqs, mini_genome, shim_path, tmp_path)
+    _compare(frags, expect)
+
+
+def test_bam2pat_clip_and_min_cpg(mini_genome, tmp_path, shim_path):
+    rng = np.random.default_rng(10)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=300, paired=True)
+    bam = dump_bam(reads, seqs, str(tmp_path / "simk.bam"))
+    frags, _, _ = bam2pat(bam, genome=mini_genome, write_output=False,
+                          clip=3, min_cpg=2)
+
+    # oracle with same flags
+    mm = oracle("match_maker")
+    pt = oracle("patter")
+    env = dict(os.environ, PATH=shim_path + ":" + os.environ["PATH"])
+    rows = []
+    for chrom in mini_genome.get_chroms():
+        cr = [r for r in reads if r.chrom == chrom]
+        if not cr:
+            continue
+        sam = dump_sam(cr, seqs, str(tmp_path / f"k{chrom}.sam"))
+        with open(sam, "rb") as f:
+            p1 = subprocess.Popen([mm], stdin=f, stdout=subprocess.PIPE)
+            p2 = subprocess.Popen(
+                [pt, mini_genome.join("CpG.bed.gz"), chrom, "--clip", "3",
+                 "--min_cpg", "2"],
+                stdin=p1.stdout, stdout=subprocess.PIPE,
+                stderr=subprocess.DEVNULL, env=env)
+            p1.stdout.close()
+            out, _ = p2.communicate()
+        rows += [l + b"\t1" for l in out.splitlines() if l]
+    expect = parse_pat_bytes(b"\n".join(rows) + b"\n").sort().collapse()
+    _compare(frags, expect)
+
+
+def test_bam_roundtrip(mini_genome, tmp_path):
+    from wgbs_tools_tpu.pipeline.bam import BamReader
+
+    rng = np.random.default_rng(11)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=50, paired=False)
+    bam = dump_bam(reads, seqs, str(tmp_path / "rt.bam"))
+    reader = BamReader(bam)
+    got = list(reader)
+    assert len(got) == len(reads)
+    by_name = {r.qname: r for r in reads}
+    for rec in got:
+        orig = by_name[rec.qname]
+        assert rec.seq == orig.seq
+        assert rec.pos == orig.pos0
+        assert rec.flag == orig.flag

@@ -1,0 +1,242 @@
+"""Native BAM decoder/encoder.
+
+The reference delegates BAM decoding to `samtools view` piping SAM text into
+its C++ filters (ref: src/python/bam2pat.py:144-209). samtools is not a
+dependency here: BAM is BGZF-compressed binary (readable with zlib) and this
+module decodes records directly — header, flags, CIGAR, 4-bit packed
+sequence, and the aux tags needed by the pipeline (MM/ML for nanopore, XM
+for the double-stranded conversion test, YI for meth splitting).
+
+A minimal encoder exists so tests can synthesize BAMs without samtools.
+"""
+
+import struct
+
+import numpy as np
+
+from ..formats.bgzf import BgzfWriter, open_maybe_gzip
+from ..utils import IllegalArgumentError
+
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+CIGAR_OPS = "MIDNSHP=X"
+
+# sam FLAG bits
+FPAIRED = 0x1
+FUNMAP = 0x4
+FREVERSE = 0x10
+FREAD1 = 0x40
+FREAD2 = 0x80
+FSECONDARY = 0x100
+FQCFAIL = 0x200
+FDUP = 0x400
+FSUPPLEMENTARY = 0x800
+
+# default exclusion masks (ref: bam2pat.py:26-28)
+EXCLUDE_FLAGS = 1796
+EXCLUDE_FLAGS_NANOPORE = 3844
+MIN_MAPQ = 10
+
+
+class BamRecord:
+    __slots__ = ("qname", "flag", "ref_id", "pos", "mapq", "cigar", "seq",
+                 "qual", "tags")
+
+    def __init__(self, qname, flag, ref_id, pos, mapq, cigar, seq, qual, tags):
+        self.qname = qname
+        self.flag = flag
+        self.ref_id = ref_id
+        self.pos = pos  # 0-based
+        self.mapq = mapq
+        self.cigar = cigar  # list[(op_char, length)]
+        self.seq = seq  # bytes, ASCII
+        self.qual = qual
+        self.tags = tags  # raw bytes (lazily parsed)
+
+    def get_tag(self, name):
+        """Find an aux tag by 2-char name; returns decoded value or None."""
+        return parse_tag(self.tags, name.encode())
+
+
+def parse_tag(blob, name):
+    i = 0
+    n = len(blob)
+    while i + 3 <= n:
+        tag = blob[i : i + 2]
+        typ = blob[i + 2 : i + 3]
+        i += 3
+        if typ == b"A":
+            val, i = chr(blob[i]), i + 1
+        elif typ == b"c":
+            val, i = struct.unpack_from("<b", blob, i)[0], i + 1
+        elif typ == b"C":
+            val, i = blob[i], i + 1
+        elif typ == b"s":
+            val, i = struct.unpack_from("<h", blob, i)[0], i + 2
+        elif typ == b"S":
+            val, i = struct.unpack_from("<H", blob, i)[0], i + 2
+        elif typ == b"i":
+            val, i = struct.unpack_from("<i", blob, i)[0], i + 4
+        elif typ == b"I":
+            val, i = struct.unpack_from("<I", blob, i)[0], i + 4
+        elif typ == b"f":
+            val, i = struct.unpack_from("<f", blob, i)[0], i + 4
+        elif typ in (b"Z", b"H"):
+            end = blob.index(b"\x00", i)
+            val, i = blob[i:end].decode(), end + 1
+        elif typ == b"B":
+            sub = blob[i : i + 1]
+            cnt = struct.unpack_from("<I", blob, i + 1)[0]
+            fmt = {b"c": "b", b"C": "B", b"s": "h", b"S": "H", b"i": "i",
+                   b"I": "I", b"f": "f"}[sub]
+            size = struct.calcsize(fmt)
+            val = list(struct.unpack_from(f"<{cnt}{fmt}", blob, i + 5))
+            i += 5 + cnt * size
+        else:
+            raise IllegalArgumentError(f"unknown BAM tag type {typ!r}")
+        if tag == name:
+            return val
+    return None
+
+
+class BamReader:
+    def __init__(self, path):
+        self._fh = open_maybe_gzip(path, "rb")
+        magic = self._fh.read(4)
+        if magic != b"BAM\x01":
+            raise IllegalArgumentError(f"not a BAM file: {path}")
+        (l_text,) = struct.unpack("<i", self._fh.read(4))
+        self.header_text = self._fh.read(l_text).decode(errors="replace")
+        (n_ref,) = struct.unpack("<i", self._fh.read(4))
+        self.ref_names = []
+        self.ref_lengths = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._fh.read(4))
+            self.ref_names.append(self._fh.read(l_name)[:-1].decode())
+            self.ref_lengths.append(struct.unpack("<i", self._fh.read(4))[0])
+
+    def __iter__(self):
+        unpack = struct.unpack
+        read = self._fh.read
+        while True:
+            bs = read(4)
+            if len(bs) < 4:
+                return
+            (block_size,) = unpack("<i", bs)
+            data = read(block_size)
+            if len(data) < block_size:
+                return
+            (ref_id, pos, l_qname, mapq, _bin, n_cigar, flag, l_seq,
+             _nref, _npos, _tlen) = unpack("<iiBBHHHiiii", data[:32])
+            off = 32
+            qname = data[off : off + l_qname - 1].decode()
+            off += l_qname
+            cigar = []
+            for k in range(n_cigar):
+                (v,) = unpack("<I", data[off + 4 * k : off + 4 * k + 4])
+                cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+            off += 4 * n_cigar
+            nbytes = (l_seq + 1) // 2
+            seq = _decode_seq(data[off : off + nbytes], l_seq)
+            off += nbytes
+            qual = data[off : off + l_seq]
+            off += l_seq
+            yield BamRecord(qname, flag, ref_id, pos, mapq, cigar, seq, qual,
+                            data[off:])
+
+    def close(self):
+        self._fh.close()
+
+
+_SEQ_LUT = np.frombuffer(SEQ_CODES.encode(), dtype=np.uint8)
+
+
+def _decode_seq(packed, l_seq):
+    b = np.frombuffer(packed, dtype=np.uint8)
+    out = np.empty(b.shape[0] * 2, dtype=np.uint8)
+    out[0::2] = _SEQ_LUT[b >> 4]
+    out[1::2] = _SEQ_LUT[b & 0xF]
+    return out[:l_seq].tobytes()
+
+
+def read_bam(path, chrom=None, min_mapq=0, exclude_flags=0):
+    """Decode a BAM into a list of BamRecords with basic filtering
+    (the native replacement for `samtools view -q -F`)."""
+    reader = BamReader(path)
+    want_ref = None
+    if chrom is not None:
+        if chrom not in reader.ref_names:
+            reader.close()
+            return reader, []
+        want_ref = reader.ref_names.index(chrom)
+    records = []
+    for rec in reader:
+        if rec.flag & FUNMAP or rec.ref_id < 0:
+            continue
+        if want_ref is not None and rec.ref_id != want_ref:
+            continue
+        if rec.mapq < min_mapq:
+            continue
+        if rec.flag & exclude_flags:
+            continue
+        records.append(rec)
+    reader.close()
+    return reader, records
+
+
+# ---------------------------------------------------------------------------
+# Writer (for tests / split_by_* outputs)
+# ---------------------------------------------------------------------------
+
+_SEQ_ENC = np.zeros(256, dtype=np.uint8)
+for _i, _c in enumerate(SEQ_CODES):
+    _SEQ_ENC[ord(_c)] = _i
+
+
+def write_bam(path, ref_names, ref_lengths, records, header_text=None):
+    if header_text is None:
+        header_text = "".join(
+            f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(ref_names, ref_lengths)
+        )
+    with BgzfWriter(path) as w:
+        w.write(b"BAM\x01")
+        ht = header_text.encode()
+        w.write(struct.pack("<i", len(ht)))
+        w.write(ht)
+        w.write(struct.pack("<i", len(ref_names)))
+        for n, l in zip(ref_names, ref_lengths):
+            nb = n.encode() + b"\x00"
+            w.write(struct.pack("<i", len(nb)))
+            w.write(nb)
+            w.write(struct.pack("<i", l))
+        for rec in records:
+            w.write(_encode_record(rec))
+    return path
+
+
+def _encode_record(rec: BamRecord):
+    qname = rec.qname.encode() + b"\x00"
+    cigar = b"".join(
+        struct.pack("<I", (ln << 4) | CIGAR_OPS.index(op))
+        for op, ln in rec.cigar
+    )
+    seq_arr = _SEQ_ENC[np.frombuffer(rec.seq, dtype=np.uint8)]
+    if seq_arr.shape[0] % 2:
+        seq_arr = np.concatenate([seq_arr, np.zeros(1, dtype=np.uint8)])
+    packed = ((seq_arr[0::2] << 4) | seq_arr[1::2]).astype(np.uint8).tobytes()
+    qual = rec.qual if rec.qual else b"\xff" * len(rec.seq)
+    body = struct.pack(
+        "<iiBBHHHiiii",
+        rec.ref_id,
+        rec.pos,
+        len(qname),
+        rec.mapq,
+        0,
+        len(rec.cigar),
+        rec.flag,
+        len(rec.seq),
+        getattr(rec, "next_ref_id", rec.ref_id),
+        getattr(rec, "next_pos", 0),
+        0,
+    )
+    blob = body + qname + cigar + packed + qual + (rec.tags or b"")
+    return struct.pack("<i", len(blob)) + blob

@@ -1,0 +1,310 @@
+"""Methylation calling: aligned reads -> pat fragments.
+
+Exact reimplementation of the reference's patter calling rules
+(ref: src/pipeline_wgbs/patter.cpp:105-184, patter_utils.cpp:209-342):
+
+- CIGAR normalization: M/=/X copy, D/N insert 'N', I/S drop, H ignore.
+- Orientation: OT reads compare the C position against {C->meth, T->unmeth};
+  OB (bottom) reads compare the G position (+1 shift) against
+  {G->meth, A->unmeth}; the read must itself show a CpG-compatible
+  dinucleotide (is_cpg) else the site is unknown.
+- `clip` first/last bases are forced unknown; the pattern spans the first
+  through last known call over consecutive CpG indices.
+- Paired-end mates merge site-wise; disagreements become unknown
+  (patter_utils.cpp:292-342); merged reads longer than MAX_PE_PAT_LEN are
+  invalid.
+"""
+
+import numpy as np
+
+from ..formats.pat import PatFrags
+from ..utils.log import logger
+from .bam import FPAIRED, FREVERSE
+
+MAX_PE_PAT_LEN = 300  # ref: patter_utils.h:21
+
+B_C, B_G, B_T, B_A = ord("C"), ord("G"), ord("T"), ord("A")
+
+
+class ReadStats:
+    """First-class per-shard read accounting (ref: patter.cpp:298-316)."""
+
+    def __init__(self):
+        self.nr_lines = 0
+        self.nr_pairs = 0
+        self.nr_empty = 0
+        self.nr_short = 0
+        self.nr_invalid = 0
+
+    def summary(self, chrom=""):
+        good = self.nr_lines - self.nr_empty - self.nr_invalid
+        rate = (100.0 * (1 - self.nr_invalid / self.nr_lines)
+                if self.nr_lines else 0)
+        return (f"[ {chrom} ] finished {self.nr_lines:,} lines. "
+                f"({self.nr_pairs:,} pairs). {good:,} good, "
+                f"{self.nr_empty:,} empty, {self.nr_short:,} short, "
+                f"{self.nr_invalid:,} invalid. (success {rate:.0f}%)")
+
+
+def clean_cigar(seq: bytes, cigar) -> bytes:
+    """ref: patter_utils.cpp:209-251."""
+    if len(cigar) == 1 and cigar[0][0] in "M=X":
+        return seq[: cigar[0][1]]
+    out = bytearray()
+    pos = 0
+    for op, num in cigar:
+        if op in ("M", "=", "X"):
+            out += seq[pos : pos + num]
+            pos += num
+        elif op in ("D", "N"):
+            out += b"N" * num
+        elif op in ("I", "S"):
+            pos += num
+        elif op == "H":
+            continue
+        else:
+            raise ValueError(f"Unknown CIGAR character: {op}")
+    return bytes(out)
+
+
+def is_bottom(flag, paired):
+    """ref: patter_utils.cpp:163-168."""
+    if paired:
+        return (flag & 0x53) == 83 or (flag & 0xA3) == 163
+    return bool(flag & FREVERSE)
+
+
+def call_read(seq: bytes, start_locus: int, flag: int, paired: bool,
+              loci: np.ndarray, site_base: int, clip: int = 0,
+              mbias=None):
+    """Call one CIGAR-normalized read.
+
+    loci: sorted 1-based C positions of the chromosome's CpG sites;
+    site_base: global 1-based site index of loci[0].
+    Returns (start_site, pattern bytes) or None if the read covers no
+    known-call CpG.
+    """
+    n = len(seq)
+    if n == 0:
+        return None
+    bottom = is_bottom(flag, paired)
+    shift = 1 if bottom else 0
+    ref_chr = B_G if bottom else B_C
+    unmeth_chr = B_A if bottom else B_T
+
+    k0 = int(np.searchsorted(loci, start_locus, side="left"))
+    k1 = int(np.searchsorted(loci, start_locus + n, side="left"))
+    if k1 <= k0:
+        return None
+
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    i = loci[k0:k1].astype(np.int64) - start_locus  # read-coords of the C
+    j = i + shift
+    jn = np.clip(j, 0, n - 1)
+    s = arr[jn]
+
+    if bottom:
+        prev = arr[np.clip(j - 1, 0, n - 1)]
+        iscpg = (j > 0) & ((s == B_G) | (s == B_A)) & (prev == B_C)
+    else:
+        nxt = arr[np.clip(j + 1, 0, n - 1)]
+        iscpg = (j < n - 1) & ((s == B_C) | (s == B_T)) & (nxt == B_G)
+
+    calls = np.full(i.shape[0], ord("."), dtype=np.uint8)
+    calls[iscpg & (s == unmeth_chr)] = ord("T")
+    calls[iscpg & (s == ref_chr)] = ord("C")
+    if clip > 0:
+        clipped = ~((j >= clip) & (j < n - clip))
+        calls[clipped] = ord(".")
+    # positions where j is out of read bounds can never be valid calls
+    calls[(j < 0) | (j >= n)] = ord(".")
+
+    if mbias is not None:
+        mbias.update(flag, paired, bottom, n, j, calls, iscpg)
+
+    known = calls != ord(".")
+    if not known.any():
+        return None
+    first = int(np.argmax(known))
+    last = int(len(known) - 1 - np.argmax(known[::-1]))
+    pattern = calls[first : last + 1].tobytes()
+    return site_base + k0 + first, pattern
+
+
+def merge_pe(r1, r2):
+    """Merge two called mates (ref: patter_utils.cpp:292-342).
+
+    Each of r1/r2 is (start_site, pattern bytes) or None.
+    Returns merged tuple, None (both empty), or raises ValueError (too far).
+    """
+    if r1 is None:
+        return r2
+    if r2 is None:
+        return r1
+    if r1[0] > r2[0]:
+        r1, r2 = r2, r1
+    start1, pat1 = r1
+    start2, pat2 = r2
+    last = max(start1 + len(pat1), start2 + len(pat2))
+    if last - start1 > MAX_PE_PAT_LEN:
+        raise ValueError("invalid pairing. merged read is too long")
+    merged = bytearray(b"." * (last - start1))
+    merged[: len(pat1)] = pat1
+    off = start2 - start1
+    for i, c in enumerate(pat2):
+        cur = merged[off + i]
+        if cur == ord("."):
+            merged[off + i] = c
+        elif c != ord(".") and cur != c:
+            merged[off + i] = ord(".")  # mate disagreement -> unknown
+    # strip
+    m = bytes(merged)
+    stripped = m.strip(b".")
+    if not stripped:
+        return None
+    lead = len(m) - len(m.lstrip(b"."))
+    return start1 + lead, stripped
+
+
+class MBiasCounter:
+    """Methylation-by-read-position counters (ref: patter.cpp:50-72,116-164).
+
+    Four tables: OT/OB x read1/read2, each (max_read_len, 2) [meth, unmeth].
+    """
+
+    MAX_READ_LEN = 1000
+
+    def __init__(self):
+        self.tables = {
+            ("OT", 0): np.zeros((self.MAX_READ_LEN, 2), dtype=np.int64),
+            ("OT", 1): np.zeros((self.MAX_READ_LEN, 2), dtype=np.int64),
+            ("OB", 0): np.zeros((self.MAX_READ_LEN, 2), dtype=np.int64),
+            ("OB", 1): np.zeros((self.MAX_READ_LEN, 2), dtype=np.int64),
+        }
+
+    def update(self, flag, paired, bottom, read_len, j, calls, iscpg):
+        if paired:
+            if (flag & 0x53) == 0x53:
+                key = ("OB", 0)
+            elif (flag & 0xA3) == 0xA3:
+                key = ("OB", 1)
+            elif (flag & 0x63) == 0x63:
+                key = ("OT", 0)
+            elif (flag & 0x93) == 0x93:
+                key = ("OT", 1)
+            else:
+                return
+        else:
+            key = ("OB" if bottom else "OT", 0)
+        if read_len > self.MAX_READ_LEN:
+            return
+        mj = (read_len - 1 - (j - (1 if bottom else 0))) if bottom else j
+        # reference indexes by the position within the original read (mj uses
+        # the conv position i, not j); recompute: i = j - shift
+        i = j - (1 if bottom else 0)
+        mj = (read_len - 1 - i) if bottom else i
+        tab = self.tables[key]
+        for pos, c in zip(mj, calls):
+            if 0 <= pos < self.MAX_READ_LEN:
+                if c == ord("C"):
+                    tab[pos, 0] += 1
+                elif c == ord("T"):
+                    tab[pos, 1] += 1
+
+    def dump(self, prefix):
+        for strand in ("OT", "OB"):
+            path = f"{prefix}.{strand}.txt"
+            with open(path, "w") as f:
+                f.write("r1m1\tr1u1\tr2m2\tr2u2\n")
+                t0, t1 = self.tables[(strand, 0)], self.tables[(strand, 1)]
+                for pos in range(self.MAX_READ_LEN):
+                    f.write(f"{t0[pos, 0]}\t{t0[pos, 1]}\t"
+                            f"{t1[pos, 0]}\t{t1[pos, 1]}\n")
+
+
+def call_records(records, loci, site_base, chrom_name, paired, clip=0,
+                 min_cpg=1, stats=None, mbias=None, with_qname=False):
+    """Call + pair a chromosome's worth of BamRecords into pat rows.
+
+    records: position-sorted primary records of one chromosome.
+    Returns (starts int64[], patterns list[bytes], qnames list|None).
+    """
+    stats = stats if stats is not None else ReadStats()
+    starts, patterns, qnames = [], [], []
+
+    def emit(res, qname):
+        if res is None:
+            return
+        if len(res[1]) < min_cpg:
+            stats.nr_short += 1
+            return
+        starts.append(res[0])
+        patterns.append(res[1])
+        if with_qname:
+            qnames.append(qname)
+
+    def call_one(rec):
+        stats.nr_lines += 1
+        try:
+            seq = clean_cigar(rec.seq, rec.cigar)
+            res = call_read(seq, rec.pos + 1, rec.flag, paired, loci,
+                            site_base, clip=clip, mbias=mbias)
+            if res is None:
+                stats.nr_empty += 1
+            return res
+        except Exception as e:  # invalid read
+            stats.nr_invalid += 1
+            if stats.nr_invalid <= 20:
+                logger.warning("[ %s ] invalid read %s: %s", chrom_name,
+                               rec.qname, e)
+            return None
+
+    if not paired:
+        for rec in records:
+            emit(call_one(rec), rec.qname)
+    else:
+        pending = {}
+        for rec in records:
+            if rec.qname in pending:
+                mate = pending.pop(rec.qname)
+                stats.nr_pairs += 1
+                r1 = call_one(mate)
+                r2 = call_one(rec)
+                try:
+                    emit(merge_pe(r1, r2), rec.qname)
+                except ValueError:
+                    stats.nr_invalid += 2
+            else:
+                pending[rec.qname] = rec
+        for qname, rec in pending.items():  # unpaired singles
+            emit(call_one(rec), qname)
+
+    return (np.array(starts, dtype=np.int64), patterns,
+            qnames if with_qname else None)
+
+
+def rows_to_frags(starts, patterns, chrom_name, qnames=None) -> PatFrags:
+    """Pack called rows into a PatFrags batch (count=1 each), unsorted."""
+    from ..formats.pat import _ENCODE_LUT
+
+    n = len(patterns)
+    if n == 0:
+        from ..formats.pat import empty_frags
+
+        return empty_frags()
+    max_len = max(len(p) for p in patterns)
+    mat = np.array(patterns, dtype=f"S{max_len}").view(np.uint8).reshape(n, -1)
+    codes = _ENCODE_LUT[mat]
+    lengths = np.array([len(p) for p in patterns], dtype=np.int32)
+    extras = None
+    if qnames is not None:
+        extras = np.array([q.encode() for q in qnames], dtype=object)
+    return PatFrags(
+        np.asarray(starts, dtype=np.int32),
+        lengths,
+        np.ones(n, dtype=np.int32),
+        codes,
+        np.zeros(n, dtype=np.int16),
+        [chrom_name],
+        extras,
+    )
