@@ -1,0 +1,78 @@
+"""bam2pat and BAM-splitting commands (ref: src/python/bam2pat.py,
+add_cpg_counts.py, split_by_meth.py, split_by_allele.py)."""
+
+import argparse
+import os.path as op
+
+from ..genome.refdir import Genome
+from ..pipeline.bam import EXCLUDE_FLAGS, MIN_MAPQ
+from ..pipeline.bam2pat_run import bam2pat
+from ..pipeline.pat2beta import pat2beta
+from ..utils import IllegalArgumentError, delete_or_skip, eprint, \
+    pretty_name, validate_single_file
+from .main import add_gr_args
+
+
+def main(argv):
+    p = argparse.ArgumentParser(
+        prog="bam2pat", description="Convert aligned BAM to pat + beta")
+    p.add_argument("bam", nargs="+")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-F", "--exclude_flags", type=int, default=None,
+                   help=f"samtools-style exclusion flags [{EXCLUDE_FLAGS}]")
+    p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
+    p.add_argument("--clip", type=int, default=0,
+                   help="clip first/last bases of each read")
+    p.add_argument("--min_cpg", type=int, default=1)
+    p.add_argument("--mbias", action="store_true",
+                   help="dump m-bias tables alongside the pat")
+    p.add_argument("--no_beta", action="store_true")
+    p.add_argument("--no_pat", action="store_true")
+    p.add_argument("-l", "--lbeta", action="store_true")
+    p.add_argument("--long", dest="long_reads", action="store_true",
+                   help="keep read names as an extra pat column")
+    add_gr_args(p)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    include = None
+    if args.region:
+        from ..genome.region import GenomicRegion
+
+        gr = GenomicRegion(region=args.region, genome=g)
+        include = [gr.chrom]
+    for bam in args.bam:
+        try:
+            validate_single_file(bam)
+            out_pat = op.join(args.out_dir, pretty_name(bam) + ".pat.gz")
+            if not delete_or_skip(out_pat, args.force):
+                continue
+            mb = (op.join(args.out_dir, pretty_name(bam) + ".mbias")
+                  if args.mbias else None)
+            frags, pat_path, stats = bam2pat(
+                bam, genome=g, out_dir=args.out_dir, min_mapq=args.mapq,
+                exclude_flags=args.exclude_flags, clip=args.clip,
+                min_cpg=args.min_cpg, mbias_prefix=mb, include_chroms=include,
+                write_output=not args.no_pat, with_qname=args.long_reads,
+            )
+            if not args.no_beta and pat_path:
+                pat2beta(pat_path, args.out_dir, genome=g, lbeta=args.lbeta)
+        except IllegalArgumentError as e:
+            # skip-and-continue per file (ref: bam2pat.py:516-519)
+            eprint(f"[wt bam2pat] skipping {bam}: {e}")
+    return 0
+
+
+def main_add_cpg_counts(argv):
+    raise IllegalArgumentError(
+        "add_cpg_counts is not implemented yet in this build")
+
+
+def main_split_by_allele(argv):
+    raise IllegalArgumentError(
+        "split_by_allele is not implemented yet in this build")
+
+
+def main_split_by_meth(argv):
+    raise IllegalArgumentError(
+        "split_by_meth is not implemented yet in this build")

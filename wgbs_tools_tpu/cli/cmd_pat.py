@@ -205,9 +205,8 @@ def main_mix_pat(argv):
     p.add_argument("-p", "--prefix")
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-l", "--lbeta", action="store_true")
-    p.add_argument("--seed", type=int, default=None)
     add_gr_args(p, bed_file=True)
-    add_view_args(p)
+    add_view_args(p, out_path=False, sub_sample=False)  # provides --seed etc.
     args = p.parse_args(argv)
     validate_file_list(args.pat_files, "pat.gz", 2)
     g = Genome(args.genome)

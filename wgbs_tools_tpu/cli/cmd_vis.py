@@ -1,0 +1,311 @@
+"""vis: terminal visualization of pat and beta files
+(ref: src/python/vis.py, pat_vis.py, beta_vis.py, pat_fig.py)."""
+
+import argparse
+import os.path as op
+import re
+import sys
+
+import numpy as np
+
+from ..formats.beta import load_beta
+from ..formats.blocks import load_blocks
+from ..genome.refdir import Genome
+from ..genome.region import GenomicRegion
+from ..utils import IllegalArgumentError, pretty_name, validate_file_list
+from .main import add_gr_args, add_view_args
+from .view import view_pat
+
+FULL_CIRCLE = "●"
+FULL_SQUARE = "■"
+DASH = "—"
+BORDER = "|"
+
+NUM2COLOR = {
+    "C": "01;31", "T": "01;32", "X": "01;33", "M": "01;31", "U": "01;32",
+    "H": "01;33", "c": "01;106", "t": "01;90", "g": "01;91", "a": "01;92",
+}
+NUM2COLOR_YEBL = {"T": "01;34", "C": "01;33", "X": "01;33", "M": "01;31",
+                  "U": "01;32"}
+
+
+def color_text(txt, cdict, scheme=16):
+    """ANSI coloring (ref: utils_wgbs.py:192-200)."""
+    if scheme == 16:
+        return "".join(
+            f"\033[{cdict[c]}m{c}\033[00m" if c in cdict else c for c in txt
+        )
+    return "".join(
+        f"[38;5;{cdict[c]}m{c}[0m" if c in cdict else c
+        for c in txt
+    )
+
+
+# ---------------------------------------------------------------- pat vis
+
+
+def pack_reads_to_table(frags, window_start, window_end, max_reps=10,
+                        no_dense=False, uxm=None):
+    """Greedy packing of reads into a 2-D character table
+    (ref: pat_vis.py:162-230). Returns (table chars, first_site, uxm_counts,
+    score tuple)."""
+    if frags.nr_frags == 0:
+        return None
+    longest = int(frags.length.max())
+    first = int(frags.start.min())
+    max_width = window_end - window_start + 2 * longest
+    n_rows = int(frags.count.sum()) + 1
+    table = np.zeros((n_rows, max_width), dtype=np.int16)
+    # codes: 0=empty, 1=space, then ord of char
+    SPACE = 1
+
+    from ..formats.pat import _DECODE_LUT
+
+    uxm_counts = {"U": 0, "X": 0, "M": 0}
+    nm = nh = nu = 0
+    for i in range(frags.nr_frags):
+        patt = _DECODE_LUT[frags.codes[i, : frags.length[i]]].tobytes().decode()
+        count = int(frags.count[i])
+        nm += patt.count("C") * count
+        nh += patt.count("H") * count
+        nu += patt.count("T") * count
+        if not patt.strip("."):
+            continue
+        if uxm:
+            u_sites = patt.count("T")
+            m_sites = patt.count("C")
+            total = u_sites + m_sites
+            if total == 0:
+                continue
+            if u_sites / total >= uxm:
+                status = "U"
+            elif m_sites / total >= uxm:
+                status = "M"
+            else:
+                status = "X"
+            uxm_counts[status] += count
+            patt = status * len(patt)
+        vals = np.array([ord(c) for c in patt], dtype=np.int16)
+        for _ in range(min(max_reps, count)):
+            col = int(frags.start[i]) - first
+            if col < 0:
+                raise IllegalArgumentError("Error: Pat is not sorted!")
+            if no_dense:
+                row = int(np.argmin(table.sum(axis=1)))
+            else:
+                row = int(np.argmin(table[:, col]))
+            table[row, col : col + len(patt)] = vals
+            table[row, :col][table[row, :col] == 0] = SPACE
+            table[row, col + len(patt)] = SPACE
+
+    nr_lines = int(np.argmin(table[:, 0]))
+    width = int(np.max(np.argmin(table, axis=1))) if table.size else 0
+    table = table[:nr_lines, :width]
+    table[table == 0] = SPACE
+    if first > window_start:
+        table = np.concatenate(
+            [np.full((table.shape[0], first - window_start), SPACE,
+                     dtype=np.int16), table],
+            axis=1,
+        )
+        first = window_start
+    chars = np.where(table == SPACE, ord(" "), table).astype(np.uint8)
+    ntotal = nm + nu + nh
+    score = (
+        (int(100 * (nm + nh) / ntotal), int(100 * nh / ntotal))
+        if ntotal else "NA"
+    )
+    return chars, first, uxm_counts, score
+
+
+def render_pat(frags, gr, blocks=None, no_color=False, text=False,
+               strike=False, yebl=False, max_reps=10, no_dense=False,
+               uxm=None, hmc=False, out=None):
+    out = out or sys.stdout
+    packed = pack_reads_to_table(frags, gr.sites[0], gr.sites[1],
+                                 max_reps=max_reps, no_dense=no_dense,
+                                 uxm=uxm)
+    if packed is None:
+        out.write("(no reads)\n")
+        return
+    chars, first, uxm_counts, score = packed
+    if score != "NA":
+        line = f"Methylation average: {score[0]}%"
+        if hmc:
+            line += f" | Hydroxymethylation average: {score[1]}%"
+        if uxm:
+            arr = np.array([uxm_counts[k] for k in "UXM"])
+            tot = max(arr.sum(), 1)
+            line += "\nUXM [{}/{}/{}]".format(*arr)
+            line += " [{:.1%}/{:.1%}/{:.1%}]".format(*(arr / tot))
+        out.write(line + "\n")
+
+    markers = " " * (gr.sites[0] - first) + "+" * (gr.sites[1] - gr.sites[0])
+    rows = ["".join(chr(c) for c in row) for row in chars]
+
+    if blocks is not None:
+        borders = _borders_in_window(blocks, first, first + chars.shape[1])
+        if borders.size:
+            rows = [_insert_borders(r, borders) for r in rows]
+            markers = _insert_borders(markers.ljust(chars.shape[1]), borders)
+
+    txt = "\n".join(rows)
+    if not no_color:
+        txt = color_text(txt, NUM2COLOR_YEBL if yebl else NUM2COLOR)
+    if not text:
+        txt = re.sub("[CTUXMH]", FULL_CIRCLE, txt)
+        txt = re.sub(r"\.", DASH, txt)
+        if strike:
+            txt = txt.replace(FULL_CIRCLE, FULL_CIRCLE + "̶")
+    out.write(markers + "\n")
+    out.write(txt + "\n")
+
+
+def _borders_in_window(blocks, start, end):
+    vals = np.sort(np.unique(np.concatenate(
+        [blocks["startCpG"], blocks["endCpG"]]))) - start
+    return vals[(vals >= 0) & (vals <= end - start)]
+
+
+def _insert_borders(row, borders):
+    arr = list(row)
+    for b in sorted(borders.tolist(), reverse=True):
+        if b <= len(arr):
+            arr.insert(b, BORDER)
+    return "".join(arr)
+
+
+# ---------------------------------------------------------------- beta vis
+
+
+def beta_color_dict(scheme=16):
+    if scheme == 16:
+        colors = ["01;92", "92", "32", "32", "34", "34", "02;31", "02;31",
+                  "31", "01;31"]
+    else:
+        colors = [10, 47, 70, 28, 3, 3, 202, 204, 197, 196]
+    return {str(i): colors[i] for i in range(10)}
+
+
+def render_beta(paths, gr, min_cov=1, no_color=False, heatmap=False,
+                blocks=None, color_scheme=16, out=None):
+    out = out or sys.stdout
+    cdict = beta_color_dict(color_scheme)
+    s, e = gr.sites
+    borders = (
+        _borders_in_window(blocks, s, e) if blocks is not None else
+        np.array([])
+    )
+    fname_len = min(50, max(len(pretty_name(f)) for f in paths)) + 1
+    for fpath in paths:
+        data = load_beta(fpath, sites=(s, e)).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vec = np.round(data[:, 0] / data[:, 1] * 10, 0)
+        vec = np.nan_to_num(vec, nan=-1).astype(int)
+        vec[vec == 10] = 9
+        vec[data[:, 1] < min_cov] = -1
+        vals = ["." if x == -1 else str(x) for x in vec]
+        if borders.size:
+            vals = list(np.insert(np.array(vals, dtype=object), borders, "|"))
+        line = "".join(vals)
+        if not no_color:
+            line = color_text(line, cdict, scheme=color_scheme)
+            if heatmap:
+                line = re.sub("m[0-9]", "m" + FULL_SQUARE, line)
+                line = re.sub(r"\.", " ", line)
+        out.write(pretty_name(fpath)[:fname_len].ljust(fname_len) + ": "
+                  + line + "\n")
+
+
+# ---------------------------------------------------------------- CLI
+
+
+def main(argv):
+    p = argparse.ArgumentParser(prog="vis",
+                                description="Visualize pat/beta in terminal")
+    p.add_argument("input_files", nargs="+")
+    add_gr_args(p, bed_file=True)
+    add_view_args(p)
+    p.add_argument("--max_reps", type=int, default=10)
+    p.add_argument("--no_dense", action="store_true")
+    p.add_argument("--no_color", action="store_true")
+    p.add_argument("--text", action="store_true")
+    p.add_argument("--strike", action="store_true")
+    p.add_argument("--yebl", action="store_true")
+    p.add_argument("--uxm", type=float, default=None)
+    p.add_argument("--hmc", action="store_true")
+    p.add_argument("--min_cov", type=int, default=1)
+    p.add_argument("--heatmap", action="store_true")
+    p.add_argument("--color_scheme", type=int, default=16, choices=[16, 256])
+    p.add_argument("--blocks_path", default=None)
+    args = p.parse_args(argv)
+    validate_file_list(args.input_files)
+    g = Genome(args.genome)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    if gr.is_whole():
+        raise IllegalArgumentError("vis requires a region (-r or -s)")
+    print(gr)
+    blocks = load_blocks(args.blocks_path) if args.blocks_path else None
+
+    if args.input_files[0].endswith((".beta", ".lbeta")):
+        render_beta(args.input_files, gr, min_cov=args.min_cov,
+                    no_color=args.no_color, heatmap=args.heatmap,
+                    blocks=blocks, color_scheme=args.color_scheme)
+        return 0
+    for pat in args.input_files:
+        print(pretty_name(pat))
+        frags = view_pat(pat, g, sites=f"{gr.sites[0]}-{gr.sites[1]}",
+                         strict=args.strict, strip=args.strip,
+                         min_len=args.min_len, sub_sample=args.sub_sample,
+                         seed=args.seed)
+        render_pat(frags, gr, blocks=blocks, no_color=args.no_color,
+                   text=args.text, strike=args.strike, yebl=args.yebl,
+                   max_reps=args.max_reps, no_dense=args.no_dense,
+                   uxm=args.uxm, hmc=args.hmc)
+    return 0
+
+
+def main_pat_fig(argv):
+    """Publication-style matplotlib figure of pat visualization
+    (ref: src/python/pat_fig.py)."""
+    p = argparse.ArgumentParser(prog="pat_fig")
+    p.add_argument("input_files", nargs="+")
+    p.add_argument("-o", "--outpath", required=True)
+    add_gr_args(p)
+    p.add_argument("--max_reps", type=int, default=10)
+    p.add_argument("--top", type=int, default=30, help="max reads per sample")
+    args = p.parse_args(argv)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    g = Genome(args.genome)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    n = len(args.input_files)
+    fig, axes = plt.subplots(n, 1, figsize=(10, 2.2 * n), squeeze=False)
+    for ax, pat in zip(axes[:, 0], args.input_files):
+        frags = view_pat(pat, g, sites=f"{gr.sites[0]}-{gr.sites[1]}")
+        packed = pack_reads_to_table(frags, gr.sites[0], gr.sites[1],
+                                     max_reps=args.max_reps)
+        ax.set_title(pretty_name(pat), fontsize=9)
+        ax.set_xlim(-1, gr.sites[1] - gr.sites[0] + 1)
+        ax.invert_yaxis()
+        ax.axis("off")
+        if packed is None:
+            continue
+        chars, first, _, _ = packed
+        for r in range(min(chars.shape[0], args.top)):
+            for c in range(chars.shape[1]):
+                ch = chr(chars[r, c])
+                x = c - (gr.sites[0] - first)
+                if ch == "C":
+                    ax.plot(x, r, "o", color="black", ms=4)
+                elif ch == "T":
+                    ax.plot(x, r, "o", mfc="white", mec="black", ms=4)
+                elif ch == "H":
+                    ax.plot(x, r, "o", color="orange", ms=4)
+    fig.tight_layout()
+    fig.savefig(args.outpath)
+    print(f"[wt pat_fig] saved {args.outpath}")
+    return 0

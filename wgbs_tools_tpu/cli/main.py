@@ -107,7 +107,7 @@ def add_gr_args(parser, bed_file=False):
     return parser
 
 
-def add_view_args(parser):
+def add_view_args(parser, out_path=True, sub_sample=True):
     parser.add_argument("--strict", action="store_true",
                         help="truncate reads outside the region")
     parser.add_argument("--strip", action="store_true",
@@ -116,10 +116,12 @@ def add_view_args(parser):
                         help="only reads covering >= MIN_LEN CpGs")
     parser.add_argument("--no_gaps", action="store_true",
                         help="drop reads with unknown (.) sites")
-    parser.add_argument("--sub_sample", type=float, help="subsample rate")
+    if sub_sample:
+        parser.add_argument("--sub_sample", type=float, help="subsample rate")
     parser.add_argument("--no_sort", action="store_true")
     parser.add_argument("--seed", type=int, default=None)
-    parser.add_argument("-o", "--out_path", default=None)
+    if out_path:
+        parser.add_argument("-o", "--out_path", default=None)
     return parser
 
 

@@ -43,9 +43,11 @@ def view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
     frags = filter_by_blocks(frags, bstart, bend, strict=strict, strip=strip,
                              min_cpgs=min_len, no_gaps=no_gaps)
     if sub_sample is not None:
-        if not 0 <= sub_sample <= 1:
-            raise IllegalArgumentError("sub-sampling rate must be in [0, 1]")
-        # rate > 0.25 handled by doubling reps (ref: cview.py:55-67)
+        if sub_sample < 0:
+            raise IllegalArgumentError("sub-sampling rate must be >= 0")
+        # rate > 0.25 handled by doubling reps (ref: cview.py:55-67); rates
+        # above 1 (coverage-boosting mixes) duplicate reads the same way
+        # (ref: mix_pat.py:108-111)
         ss, rep = sub_sample, 1
         while ss > 0.25:
             rep *= 2
