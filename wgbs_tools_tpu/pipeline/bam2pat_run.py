@@ -46,7 +46,8 @@ def detect_layout(bam_path):
 def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
             exclude_flags=None, clip=0, min_cpg=1, mbias_prefix=None,
             include_chroms=None, force=True, write_output=True,
-            with_qname=False, nanopore=None):
+            with_qname=False, nanopore=None, np_thresh=0.667, cpc_call="C",
+            combine_mods=False):
     """Convert a BAM to a sorted/collapsed PatFrags batch (and pat.gz file).
 
     Returns (frags, out_path or None, stats).
@@ -56,9 +57,11 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     paired, detected_np = detect_layout(bam_path)
     if nanopore is None:
         nanopore = detected_np
-    if nanopore:
+    if nanopore and paired:
         raise IllegalArgumentError(
-            "nanopore BAMs are not supported yet in this build")
+            "Unrecognized bam format: paired end and nanopore")
+    if nanopore:
+        paired = False
     if exclude_flags is None:
         exclude_flags = EXCLUDE_FLAGS_NANOPORE if nanopore else EXCLUDE_FLAGS
 
@@ -89,6 +92,8 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         starts, patterns, qnames = call_records(
             records, loci, site_base, chrom, paired, clip=clip,
             min_cpg=min_cpg, stats=stats, mbias=mbias, with_qname=with_qname,
+            nanopore=nanopore, np_thresh=np_thresh, cpc_call=cpc_call,
+            combine_mods=combine_mods,
         )
         frags = rows_to_frags(starts, patterns, chrom, qnames)
         if frags.nr_frags:

@@ -222,8 +222,42 @@ class MBiasCounter:
                             f"{t1[pos, 0]}\t{t1[pos, 1]}\n")
 
 
+def call_read_nanopore(rec, loci, site_base, clip=0, np_thresh=0.667,
+                       cpc_call="C", combine_mods=False):
+    """ONT/modification-aware calling of one record
+    (ref: src/pipeline_wgbs/ont.cpp:90-221)."""
+    from .nanopore import (
+        NanoporeCalls,
+        make_meth_mask,
+        np_call_read,
+        revcomp,
+    )
+
+    mm = rec.get_tag("MM")
+    if mm is None:
+        mm = rec.get_tag("Mm")
+    ml = rec.get_tag("ML")
+    if ml is None:
+        ml = rec.get_tag("Ml")
+    calls = NanoporeCalls(mm or "", ml, cpc_call=cpc_call,
+                          combine_mods=combine_mods)
+    if calls.empty or not rec.seq or rec.seq == b"*":
+        return None
+    bottom = bool(rec.flag & FREVERSE)
+    orig_seq = revcomp(rec.seq) if bottom else rec.seq
+    mask = make_meth_mask(orig_seq, calls, np_thresh=np_thresh)
+    if bottom:
+        mask = mask[::-1]
+    seq_adj = clean_cigar(rec.seq, rec.cigar)
+    mask_adj = clean_cigar(mask, rec.cigar)
+    return np_call_read(seq_adj, mask_adj, rec.pos + 1, bottom, calls.np_dot,
+                        loci, site_base, clip=clip)
+
+
 def call_records(records, loci, site_base, chrom_name, paired, clip=0,
-                 min_cpg=1, stats=None, mbias=None, with_qname=False):
+                 min_cpg=1, stats=None, mbias=None, with_qname=False,
+                 nanopore=False, np_thresh=0.667, cpc_call="C",
+                 combine_mods=False):
     """Call + pair a chromosome's worth of BamRecords into pat rows.
 
     records: position-sorted primary records of one chromosome.
@@ -246,9 +280,15 @@ def call_records(records, loci, site_base, chrom_name, paired, clip=0,
     def call_one(rec):
         stats.nr_lines += 1
         try:
-            seq = clean_cigar(rec.seq, rec.cigar)
-            res = call_read(seq, rec.pos + 1, rec.flag, paired, loci,
-                            site_base, clip=clip, mbias=mbias)
+            if nanopore:
+                res = call_read_nanopore(
+                    rec, loci, site_base, clip=clip, np_thresh=np_thresh,
+                    cpc_call=cpc_call, combine_mods=combine_mods,
+                )
+            else:
+                seq = clean_cigar(rec.seq, rec.cigar)
+                res = call_read(seq, rec.pos + 1, rec.flag, paired, loci,
+                                site_base, clip=clip, mbias=mbias)
             if res is None:
                 stats.nr_empty += 1
             return res
