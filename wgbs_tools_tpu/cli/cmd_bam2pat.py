@@ -64,15 +64,96 @@ def main(argv):
 
 
 def main_add_cpg_counts(argv):
-    raise IllegalArgumentError(
-        "add_cpg_counts is not implemented yet in this build")
+    from ..pipeline.bam_split import add_cpg_counts_bam
+
+    p = argparse.ArgumentParser(
+        prog="add_cpg_counts",
+        description="Annotate BAM reads with YI:Z:<nrMeth>,<nrUnmeth> tags")
+    p.add_argument("bam", nargs="+")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("--suffix", default="counts")
+    p.add_argument("--add_pat", action="store_true",
+                   help="also add the pat string as an XP:Z tag")
+    p.add_argument("--min_cpg", type=int, default=1)
+    p.add_argument("--clip", type=int, default=0)
+    p.add_argument("-F", "--exclude_flags", type=int, default=EXCLUDE_FLAGS)
+    p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    g = Genome(args.genome)
+    for bam in args.bam:
+        validate_single_file(bam)
+        out = op.join(args.out_dir,
+                      pretty_name(bam) + f".{args.suffix}.bam")
+        if not delete_or_skip(out, args.force):
+            continue
+        add_cpg_counts_bam(bam, out, genome=g, min_mapq=args.mapq,
+                           exclude_flags=args.exclude_flags, clip=args.clip,
+                           add_pat=args.add_pat)
+    return 0
 
 
 def main_split_by_allele(argv):
-    raise IllegalArgumentError(
-        "split_by_allele is not implemented yet in this build")
+    from ..pipeline.bam_split import split_bam_by_allele
+    from .cmd_pat import main_pat2beta  # noqa: F401 (kept for parity flows)
+
+    p = argparse.ArgumentParser(
+        prog="split_by_allele",
+        description="Split a BAM by the allele at a SNP position")
+    p.add_argument("bam")
+    p.add_argument("pos", help="SNP position, e.g. chr1:12345")
+    p.add_argument("alleles", help="e.g. 'C/T'")
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-F", "--exclude_flags", type=int, default=EXCLUDE_FLAGS)
+    p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
+    p.add_argument("--snp_qual", type=int, default=0)
+    p.add_argument("--no_pat", action="store_true",
+                   help="do not run bam2pat on the split BAMs")
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    validate_single_file(args.bam)
+    chrom, position = args.pos.split(":")
+    let1, let2 = args.alleles.split("/")
+    g = Genome(args.genome)
+    paths = split_bam_by_allele(
+        args.bam, chrom, int(position), let1, let2, out_dir=args.out_dir,
+        genome=g, min_mapq=args.mapq, exclude_flags=args.exclude_flags,
+        qual_filter=args.snp_qual,
+    )
+    if not args.no_pat:
+        from ..pipeline.bam2pat_run import bam2pat
+        from ..pipeline.pat2beta import pat2beta
+
+        for bam in paths:
+            _, pat_path, _ = bam2pat(bam, genome=g, out_dir=args.out_dir,
+                                     include_chroms=[chrom])
+            if pat_path:
+                pat2beta(pat_path, args.out_dir, genome=g)
+    return 0
 
 
 def main_split_by_meth(argv):
-    raise IllegalArgumentError(
-        "split_by_meth is not implemented yet in this build")
+    from ..pipeline.bam_split import split_bam_by_meth
+
+    p = argparse.ArgumentParser(
+        prog="split_by_meth",
+        description="Split a YI-tagged BAM into homogeneously meth/unmeth "
+        "reads")
+    p.add_argument("bam", nargs="+")
+    p.add_argument("homog_prop", type=float,
+                   help="homogeneity proportion threshold (e.g. 0.75)")
+    p.add_argument("--min_cpg", type=int, default=1)
+    p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("-F", "--exclude_flags", type=int, default=None)
+    p.add_argument("-q", "--mapq", type=int, default=None)
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--genome", default=None)
+    args = p.parse_args(argv)
+    for bam in args.bam:
+        validate_single_file(bam)
+        split_bam_by_meth(bam, out_dir=args.out_dir,
+                          homog_prop=args.homog_prop, min_cpg=args.min_cpg,
+                          min_mapq=args.mapq,
+                          exclude_flags=args.exclude_flags)
+    return 0
