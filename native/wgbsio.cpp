@@ -1,0 +1,344 @@
+// wgbsio — native IO kernels for wgbs_tools_tpu.
+//
+// The reference implements its IO as per-process text filters glued with
+// Unix pipes; here the host-side hot loops (pat text <-> struct-of-arrays
+// decode/encode, BGZF block codec) are a small C++ library driven from
+// Python via ctypes, feeding device arrays directly.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libwgbsio.so wgbsio.cpp -lz -lpthread
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <thread>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// pat text parsing
+// ---------------------------------------------------------------------------
+
+// First pass: count records and the maximum pattern length.
+// Returns 0 on success, -1 on malformed input.
+int pat_scan(const char* buf, int64_t len, int64_t* n_lines,
+             int64_t* max_len) {
+    int64_t lines = 0, maxlen = 0;
+    const char* p = buf;
+    const char* end = buf + len;
+    while (p < end) {
+        const char* nl = (const char*)memchr(p, '\n', end - p);
+        const char* line_end = nl ? nl : end;
+        if (line_end > p) {
+            // third column is the pattern
+            const char* t1 = (const char*)memchr(p, '\t', line_end - p);
+            if (!t1) return -1;
+            const char* t2 = (const char*)memchr(t1 + 1, '\t', line_end - t1 - 1);
+            if (!t2) return -1;
+            const char* t3 = (const char*)memchr(t2 + 1, '\t', line_end - t2 - 1);
+            if (!t3) return -1;
+            int64_t plen = t3 - (t2 + 1);
+            if (plen > maxlen) maxlen = plen;
+            lines++;
+        }
+        if (!nl) break;
+        p = nl + 1;
+    }
+    *n_lines = lines;
+    *max_len = maxlen;
+    return 0;
+}
+
+// Second pass: fill the SoA arrays.
+//   starts/lengths/counts: int32[n_lines]
+//   codes: uint8[n_lines * max_len], pre-filled by caller or filled here
+//          with 3 ('.') padding. T=0 C=1 H=2 .=3
+//   chrom_ids: int16[n_lines]
+//   chrom_buf: char[chrom_buf_cap] receives '\n'-separated distinct chrom
+//              names in first-appearance order.
+//   extras_off: int64[n_lines + 1]; extras byte ranges into buf (0-length
+//               when a line has exactly 4 columns).
+// Returns number of distinct chroms, or -1 on error.
+int pat_parse(const char* buf, int64_t len, int64_t n_lines, int64_t max_len,
+              int32_t* starts, int32_t* lengths, int32_t* counts,
+              uint8_t* codes, int16_t* chrom_ids, char* chrom_buf,
+              int64_t chrom_buf_cap, int64_t* extras_off) {
+    static int8_t lut[256];
+    static bool lut_init = false;
+    if (!lut_init) {
+        memset(lut, -1, sizeof(lut));
+        lut['T'] = 0; lut['C'] = 1; lut['H'] = 2; lut['.'] = 3;
+        lut_init = true;
+    }
+
+    memset(codes, 3, (size_t)n_lines * max_len);
+
+    std::vector<std::string> chroms;
+    std::string cur_chrom;
+    int16_t cur_id = -1;
+
+    const char* p = buf;
+    const char* end = buf + len;
+    int64_t i = 0;
+    while (p < end && i < n_lines) {
+        const char* nl = (const char*)memchr(p, '\n', end - p);
+        const char* line_end = nl ? nl : end;
+        if (line_end > p) {
+            const char* t1 = (const char*)memchr(p, '\t', line_end - p);
+            const char* t2 = (const char*)memchr(t1 + 1, '\t', line_end - t1 - 1);
+            const char* t3 = (const char*)memchr(t2 + 1, '\t', line_end - t2 - 1);
+            if (!t1 || !t2 || !t3) return -1;
+
+            // chrom
+            if (cur_id < 0 || (size_t)(t1 - p) != cur_chrom.size() ||
+                memcmp(p, cur_chrom.data(), t1 - p) != 0) {
+                cur_chrom.assign(p, t1 - p);
+                cur_id = -1;
+                for (size_t c = 0; c < chroms.size(); c++) {
+                    if (chroms[c] == cur_chrom) { cur_id = (int16_t)c; break; }
+                }
+                if (cur_id < 0) {
+                    cur_id = (int16_t)chroms.size();
+                    chroms.push_back(cur_chrom);
+                }
+            }
+            chrom_ids[i] = cur_id;
+
+            // start
+            int64_t v = 0;
+            for (const char* q = t1 + 1; q < t2; q++) {
+                if (*q < '0' || *q > '9') return -1;
+                v = v * 10 + (*q - '0');
+            }
+            starts[i] = (int32_t)v;
+
+            // pattern
+            int64_t plen = t3 - (t2 + 1);
+            lengths[i] = (int32_t)plen;
+            uint8_t* row = codes + (size_t)i * max_len;
+            for (int64_t j = 0; j < plen; j++) {
+                int8_t c = lut[(uint8_t)t2[1 + j]];
+                if (c < 0) return -1;
+                row[j] = (uint8_t)c;
+            }
+
+            // count (4th column, up to tab or line end)
+            const char* t4 = (const char*)memchr(t3 + 1, '\t', line_end - t3 - 1);
+            const char* cnt_end = t4 ? t4 : line_end;
+            v = 0;
+            for (const char* q = t3 + 1; q < cnt_end; q++) {
+                if (*q < '0' || *q > '9') return -1;
+                v = v * 10 + (*q - '0');
+            }
+            counts[i] = (int32_t)v;
+
+            // extras
+            if (t4) {
+                extras_off[2 * i] = (t4 + 1) - buf;
+                extras_off[2 * i + 1] = line_end - buf;
+            } else {
+                extras_off[2 * i] = 0;
+                extras_off[2 * i + 1] = 0;
+            }
+            i++;
+        }
+        if (!nl) break;
+        p = nl + 1;
+    }
+
+    // emit chrom names
+    int64_t off = 0;
+    for (auto& c : chroms) {
+        if (off + (int64_t)c.size() + 1 > chrom_buf_cap) return -1;
+        memcpy(chrom_buf + off, c.data(), c.size());
+        off += c.size();
+        chrom_buf[off++] = '\n';
+    }
+    if (off < chrom_buf_cap) chrom_buf[off] = 0;
+    return (int)chroms.size();
+}
+
+// ---------------------------------------------------------------------------
+// pat serialization: SoA arrays -> text buffer
+// ---------------------------------------------------------------------------
+
+// Returns the number of bytes written, or -1 if out_cap is too small.
+int64_t pat_serialize(int64_t n_lines, int64_t max_len, const int32_t* starts,
+                      const int32_t* lengths, const int32_t* counts,
+                      const uint8_t* codes, const int16_t* chrom_ids,
+                      const char* chrom_buf,  // '\n'-separated names
+                      char* out, int64_t out_cap) {
+    static const char dec[4] = {'T', 'C', 'H', '.'};
+    // split chrom names
+    std::vector<std::string> chroms;
+    {
+        const char* p = chrom_buf;
+        while (*p) {
+            const char* nl = strchr(p, '\n');
+            if (!nl) break;
+            chroms.emplace_back(p, nl - p);
+            p = nl + 1;
+        }
+    }
+    char* w = out;
+    char* wend = out + out_cap;
+    char tmp[16];
+    for (int64_t i = 0; i < n_lines; i++) {
+        const std::string& chrom = chroms[chrom_ids[i]];
+        int64_t need = chrom.size() + 1 + 12 + lengths[i] + 12 + 2;
+        if (w + need > wend) return -1;
+        memcpy(w, chrom.data(), chrom.size());
+        w += chrom.size();
+        *w++ = '\t';
+        w += sprintf(w, "%d", starts[i]);
+        *w++ = '\t';
+        const uint8_t* row = codes + (size_t)i * max_len;
+        for (int32_t j = 0; j < lengths[i]; j++) *w++ = dec[row[j] & 3];
+        *w++ = '\t';
+        w += sprintf(w, "%d", counts[i]);
+        *w++ = '\n';
+    }
+    return w - out;
+}
+
+// ---------------------------------------------------------------------------
+// BGZF block codec (multi-threaded)
+// ---------------------------------------------------------------------------
+
+static const int64_t BGZF_BLOCK = 65280;
+
+static int64_t compress_one_block(const uint8_t* data, int64_t n,
+                                  uint8_t* out) {
+    // header (18B) + deflate payload + crc/isize (8B)
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    zs.next_in = (Bytef*)data;
+    zs.avail_in = (uInt)n;
+    zs.next_out = out + 18;
+    zs.avail_out = (uInt)(BGZF_BLOCK + 1024);
+    deflate(&zs, Z_FINISH);
+    int64_t payload = zs.total_out;
+    deflateEnd(&zs);
+
+    uint16_t bsize = (uint16_t)(payload + 25);
+    const uint8_t hdr[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff,
+                             6, 0, 'B', 'C', 2, 0};
+    memcpy(out, hdr, 16);
+    out[16] = bsize & 0xff;
+    out[17] = (bsize >> 8) & 0xff;
+    uint32_t crc = crc32(0, data, (uInt)n);
+    uint8_t* f = out + 18 + payload;
+    memcpy(f, &crc, 4);
+    uint32_t isize = (uint32_t)n;
+    memcpy(f + 4, &isize, 4);
+    return 18 + payload + 8;
+}
+
+// Compress `len` bytes into BGZF blocks using `n_threads` workers.
+// out must have capacity >= (len/BGZF_BLOCK + 2) * (BGZF_BLOCK + 1064).
+// Appends the 28-byte EOF marker. Returns bytes written.
+int64_t bgzf_compress_mt(const uint8_t* data, int64_t len, uint8_t* out,
+                         int n_threads) {
+    int64_t n_blocks = (len + BGZF_BLOCK - 1) / BGZF_BLOCK;
+    if (n_blocks == 0) n_blocks = 0;
+    std::vector<int64_t> sizes(n_blocks, 0);
+    int64_t stride = BGZF_BLOCK + 1064;
+    std::vector<uint8_t> scratch((size_t)n_blocks * stride);
+
+    auto worker = [&](int tid) {
+        for (int64_t b = tid; b < n_blocks; b += n_threads) {
+            int64_t off = b * BGZF_BLOCK;
+            int64_t n = std::min(BGZF_BLOCK, len - off);
+            sizes[b] = compress_one_block(data + off, n,
+                                          scratch.data() + b * stride);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
+    for (auto& t : threads) t.join();
+
+    uint8_t* w = out;
+    for (int64_t b = 0; b < n_blocks; b++) {
+        memcpy(w, scratch.data() + b * stride, sizes[b]);
+        w += sizes[b];
+    }
+    static const uint8_t eof[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00, 0x42,
+        0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00};
+    memcpy(w, eof, 28);
+    w += 28;
+    return w - out;
+}
+
+// Decompress a BGZF/multi-member-gzip buffer. Two-phase:
+// bgzf_scan_blocks fills (in_off, out_off) pairs so callers can size the
+// output and decompress in parallel.
+int64_t bgzf_scan_blocks(const uint8_t* data, int64_t len, int64_t* in_offs,
+                         int64_t* out_offs, int64_t max_blocks) {
+    int64_t nb = 0;
+    int64_t in_pos = 0, out_pos = 0;
+    while (in_pos + 18 <= len && nb < max_blocks) {
+        if (data[in_pos] != 0x1f || data[in_pos + 1] != 0x8b) return -1;
+        uint16_t xlen = data[in_pos + 10] | (data[in_pos + 11] << 8);
+        // find BC subfield
+        int64_t xs = in_pos + 12;
+        int64_t bsize = -1;
+        int64_t p = xs;
+        while (p + 4 <= xs + xlen) {
+            uint8_t s1 = data[p], s2 = data[p + 1];
+            uint16_t slen = data[p + 2] | (data[p + 3] << 8);
+            if (s1 == 'B' && s2 == 'C' && slen == 2) {
+                bsize = (data[p + 4] | (data[p + 5] << 8)) + 1;
+                break;
+            }
+            p += 4 + slen;
+        }
+        if (bsize < 0) return -2;  // not BGZF
+        uint32_t isize;
+        memcpy(&isize, data + in_pos + bsize - 4, 4);
+        in_offs[nb] = in_pos;
+        out_offs[nb] = out_pos;
+        out_pos += isize;
+        in_pos += bsize;
+        nb++;
+    }
+    in_offs[nb] = in_pos;
+    out_offs[nb] = out_pos;
+    return nb;
+}
+
+int bgzf_decompress_mt(const uint8_t* data, int64_t len, const int64_t* in_offs,
+                       const int64_t* out_offs, int64_t n_blocks, uint8_t* out,
+                       int n_threads) {
+    volatile int err = 0;
+    auto worker = [&](int tid) {
+        for (int64_t b = tid; b < n_blocks; b += n_threads) {
+            int64_t in_pos = in_offs[b];
+            uint16_t xlen = data[in_pos + 10] | (data[in_pos + 11] << 8);
+            int64_t payload_off = in_pos + 12 + xlen;
+            int64_t payload_len = in_offs[b + 1] - payload_off - 8;
+            int64_t out_n = out_offs[b + 1] - out_offs[b];
+            if (out_n == 0) continue;
+            z_stream zs;
+            memset(&zs, 0, sizeof(zs));
+            inflateInit2(&zs, -15);
+            zs.next_in = (Bytef*)(data + payload_off);
+            zs.avail_in = (uInt)payload_len;
+            zs.next_out = out + out_offs[b];
+            zs.avail_out = (uInt)out_n;
+            int r = inflate(&zs, Z_FINISH);
+            if (r != Z_STREAM_END) err = 1;
+            inflateEnd(&zs);
+        }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < n_threads; t++) threads.emplace_back(worker, t);
+    for (auto& t : threads) t.join();
+    return err ? -1 : 0;
+}
+
+}  // extern "C"

@@ -156,9 +156,23 @@ def unpack_codes(packed: np.ndarray, max_len=None) -> np.ndarray:
 
 
 def parse_pat_bytes(data: bytes, keep_extras=True) -> PatFrags:
-    """Parse raw pat text into a PatFrags batch (vectorized numpy)."""
+    """Parse raw pat text into a PatFrags batch.
+
+    Uses the native C++ parser (wgbs_tools_tpu.native) when available,
+    falling back to a python/numpy implementation.
+    """
     if not data:
         return empty_frags()
+    try:
+        from ..native import parse_pat_native
+
+        res = parse_pat_native(data)
+    except Exception:
+        res = None
+    if res is not None:
+        starts, lengths, counts, codes, chrom_ids, chrom_names, extras = res
+        return PatFrags(starts, lengths, counts, codes, chrom_ids,
+                        chrom_names, extras if keep_extras else None)
     lines = data.splitlines()
     n = len(lines)
     chroms = [None] * n
@@ -217,9 +231,21 @@ def _assemble(chroms, starts, pats, counts, extras):
 
 
 def frags_to_bytes(frags: PatFrags) -> bytes:
-    """Serialize a PatFrags batch to pat text."""
+    """Serialize a PatFrags batch to pat text (native fast path when the
+    batch has no extra columns)."""
     if frags.nr_frags == 0:
         return b""
+    if frags.extras is None:
+        try:
+            from ..native import serialize_pat_native
+
+            out = serialize_pat_native(frags.start, frags.length, frags.count,
+                                       frags.codes, frags.chrom_id,
+                                       frags.chrom_names)
+            if out is not None:
+                return out
+        except Exception:
+            pass
     chars = _DECODE_LUT[frags.codes]
     out = bytearray()
     names = [c.encode() for c in frags.chrom_names]
@@ -263,9 +289,22 @@ def read_pat(path, region_sites=None, genome=None, keep_extras=True) -> PatFrags
         idx = load_pat_index(path)
         if idx is not None:
             return _read_region_indexed(path, idx, region_sites, keep_extras)
-    opener = gzip.open if is_gzip(path) else open
-    with opener(path, "rb") as f:
-        frags = parse_pat_bytes(f.read(), keep_extras=keep_extras)
+    if is_gzip(path):
+        data = None
+        try:
+            from ..native import bgzf_decompress_native
+
+            with open(path, "rb") as f:
+                data = bgzf_decompress_native(f.read())
+        except Exception:
+            data = None
+        if data is None:
+            with gzip.open(path, "rb") as f:
+                data = f.read()
+    else:
+        with open(path, "rb") as f:
+            data = f.read()
+    frags = parse_pat_bytes(data, keep_extras=keep_extras)
     if region_sites is not None:
         frags = frags.slice_sites(*region_sites)
     return frags
@@ -294,17 +333,43 @@ def _read_region_indexed(path, idx, region_sites, keep_extras):
 
 
 def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE):
-    """Write fragments as a BGZF pat.gz (+ .cdx random-access sidecar)."""
+    """Write fragments as a BGZF pat.gz (+ .cdx random-access sidecar).
+
+    Fast path: native multi-threaded block compression of the serialized
+    text, with index voffsets recovered from the block table.
+    """
+    text = frags_to_bytes(frags)
+    comp = None
+    try:
+        from ..native import bgzf_compress_native
+
+        comp = bgzf_compress_native(text)
+    except Exception:
+        comp = None
+
     samples_sites, samples_voff = [], []
-    with BgzfWriter(path, level=level) as w:
-        starts = frags.start.tolist()
-        text_rows = frags_to_bytes(frags).splitlines(keepends=True)
-        for i, row in enumerate(text_rows):
-            if index and i % stride == 0:
-                w.flush_block()
-                samples_sites.append(starts[i])
-                samples_voff.append(w.virtual_offset)
-            w.write(row)
+    if comp is not None:
+        with open(path, "wb") as f:
+            f.write(comp)
+        if index and frags.nr_frags:
+            starts = frags.start
+            idx_rows = np.arange(0, frags.nr_frags, stride)
+            offs = _line_offsets(text, idx_rows)
+            coffs, uoffs = _bgzf_block_table(comp)
+            blk = np.searchsorted(uoffs, offs, side="right") - 1
+            voffs = (coffs[blk] << 16) | (offs - uoffs[blk])
+            samples_sites = starts[idx_rows].astype(np.int64)
+            samples_voff = voffs.astype(np.int64)
+    else:
+        with BgzfWriter(path, level=level) as w:
+            starts = frags.start.tolist()
+            text_rows = text.splitlines(keepends=True)
+            for i, row in enumerate(text_rows):
+                if index and i % stride == 0:
+                    w.flush_block()
+                    samples_sites.append(starts[i])
+                    samples_voff.append(w.virtual_offset)
+                w.write(row)
     if index:
         max_len = int(frags.length.max()) if frags.nr_frags else 1
         np.savez(
@@ -314,6 +379,42 @@ def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE):
             max_len=np.int64(max_len),
         )
     return path
+
+
+def _line_offsets(text: bytes, rows):
+    """Byte offsets of the given (sorted) line numbers within `text`."""
+    nl = np.frombuffer(text, dtype=np.uint8) == ord("\n")
+    line_starts = np.concatenate([[0], np.nonzero(nl)[0] + 1])
+    return line_starts[rows]
+
+
+def _bgzf_block_table(comp: bytes):
+    """(compressed_offsets, uncompressed_offsets) of each BGZF block."""
+    import struct as _struct
+
+    coffs, uoffs = [], []
+    pos = 0
+    upos = 0
+    n = len(comp)
+    while pos + 18 <= n:
+        xlen = _struct.unpack_from("<H", comp, pos + 10)[0]
+        bsize = None
+        p = pos + 12
+        while p + 4 <= pos + 12 + xlen:
+            s1, s2 = comp[p], comp[p + 1]
+            slen = _struct.unpack_from("<H", comp, p + 2)[0]
+            if s1 == 0x42 and s2 == 0x43 and slen == 2:
+                bsize = _struct.unpack_from("<H", comp, p + 4)[0] + 1
+                break
+            p += 4 + slen
+        if bsize is None:
+            break
+        isize = _struct.unpack_from("<I", comp, pos + bsize - 4)[0]
+        coffs.append(pos)
+        uoffs.append(upos)
+        upos += isize
+        pos += bsize
+    return np.asarray(coffs, dtype=np.int64), np.asarray(uoffs, dtype=np.int64)
 
 
 def load_pat_index(path):

@@ -1,0 +1,164 @@
+"""ctypes bindings for the native IO library (native/wgbsio.cpp).
+
+Built on demand with g++ into native/build/; all callers fall back to the
+pure-Python implementations when the toolchain or build is unavailable, so
+the native layer is an accelerator, never a hard dependency.
+"""
+
+import ctypes
+import os
+import os.path as op
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+_SRC = op.join(op.dirname(op.dirname(op.dirname(op.abspath(__file__)))),
+               "native", "wgbsio.cpp")
+_BUILD_DIR = op.join(op.dirname(_SRC), "build")
+_SO = op.join(_BUILD_DIR, "libwgbsio.so")
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("WGBS_TPU_NO_NATIVE"):
+        return None
+    try:
+        if not op.isfile(_SO) or op.getmtime(_SO) < op.getmtime(_SRC):
+            os.makedirs(_BUILD_DIR, exist_ok=True)
+            subprocess.check_call(
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz",
+                 "-lpthread"],
+                stderr=subprocess.DEVNULL,
+            )
+        lib = ctypes.CDLL(_SO)
+    except Exception:
+        return None
+
+    i64 = ctypes.c_int64
+    lib.pat_scan.restype = ctypes.c_int
+    lib.pat_scan.argtypes = [ctypes.c_char_p, i64, ctypes.POINTER(i64),
+                             ctypes.POINTER(i64)]
+    lib.pat_parse.restype = ctypes.c_int
+    lib.pat_serialize.restype = i64
+    lib.bgzf_compress_mt.restype = i64
+    lib.bgzf_scan_blocks.restype = i64
+    lib.bgzf_decompress_mt.restype = ctypes.c_int
+    _LIB = lib
+    return _LIB
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def parse_pat_native(data: bytes):
+    """pat text -> SoA arrays via the C++ parser, or None on fallback."""
+    lib = get_lib()
+    if lib is None or not data:
+        return None
+    n_lines = ctypes.c_int64()
+    max_len = ctypes.c_int64()
+    if lib.pat_scan(data, len(data), ctypes.byref(n_lines),
+                    ctypes.byref(max_len)) != 0:
+        return None
+    n, L = n_lines.value, max(max_len.value, 1)
+    starts = np.empty(n, dtype=np.int32)
+    lengths = np.empty(n, dtype=np.int32)
+    counts = np.empty(n, dtype=np.int32)
+    codes = np.empty((n, L), dtype=np.uint8)
+    chrom_ids = np.empty(n, dtype=np.int16)
+    chrom_buf = ctypes.create_string_buffer(65536)
+    extras_off = np.empty(2 * n + 2, dtype=np.int64)
+    rc = lib.pat_parse(
+        data, len(data), n, L,
+        _ptr(starts, ctypes.c_int32), _ptr(lengths, ctypes.c_int32),
+        _ptr(counts, ctypes.c_int32), _ptr(codes, ctypes.c_uint8),
+        _ptr(chrom_ids, ctypes.c_int16), chrom_buf, len(chrom_buf),
+        _ptr(extras_off, ctypes.c_int64),
+    )
+    if rc < 0:
+        return None
+    chrom_names = chrom_buf.value.decode().split("\n")[:rc]
+    eo = extras_off[: 2 * n].reshape(n, 2)
+    extras = None
+    if (eo[:, 1] > eo[:, 0]).any():
+        extras = np.array(
+            [data[a:b] if b > a else None for a, b in eo.tolist()],
+            dtype=object,
+        )
+    return starts, lengths, counts, codes, chrom_ids, chrom_names, extras
+
+
+def serialize_pat_native(starts, lengths, counts, codes, chrom_ids,
+                         chrom_names):
+    lib = get_lib()
+    if lib is None:
+        return None
+    n, L = codes.shape
+    chrom_buf = ("\n".join(chrom_names) + "\n").encode() + b"\x00"
+    cap = int(n * (L + 40) + 1024)
+    out = ctypes.create_string_buffer(cap)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    chrom_ids = np.ascontiguousarray(chrom_ids, dtype=np.int16)
+    w = lib.pat_serialize(
+        ctypes.c_int64(n), ctypes.c_int64(L),
+        _ptr(starts, ctypes.c_int32), _ptr(lengths, ctypes.c_int32),
+        _ptr(counts, ctypes.c_int32), _ptr(codes, ctypes.c_uint8),
+        _ptr(chrom_ids, ctypes.c_int16), chrom_buf, out, ctypes.c_int64(cap),
+    )
+    if w < 0:
+        return None
+    return out.raw[:w]
+
+
+def bgzf_compress_native(data: bytes, n_threads=None):
+    lib = get_lib()
+    if lib is None:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    n_blocks = (len(data) + 65279) // 65280
+    cap = (n_blocks + 2) * (65280 + 1064) + 64
+    out = ctypes.create_string_buffer(cap)
+    w = lib.bgzf_compress_mt(data, ctypes.c_int64(len(data)), out,
+                             ctypes.c_int(max(n_threads, 1)))
+    if w < 0:
+        return None
+    return out.raw[:w]
+
+
+def bgzf_decompress_native(data: bytes, n_threads=None):
+    lib = get_lib()
+    if lib is None or not data:
+        return None
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    max_blocks = len(data) // 28 + 2
+    in_offs = np.empty(max_blocks + 1, dtype=np.int64)
+    out_offs = np.empty(max_blocks + 1, dtype=np.int64)
+    nb = lib.bgzf_scan_blocks(data, ctypes.c_int64(len(data)),
+                              _ptr(in_offs, ctypes.c_int64),
+                              _ptr(out_offs, ctypes.c_int64),
+                              ctypes.c_int64(max_blocks))
+    if nb < 0:
+        return None  # plain gzip, not BGZF — caller falls back
+    total = int(out_offs[nb])
+    out = ctypes.create_string_buffer(max(total, 1))
+    rc = lib.bgzf_decompress_mt(data, ctypes.c_int64(len(data)),
+                                _ptr(in_offs, ctypes.c_int64),
+                                _ptr(out_offs, ctypes.c_int64),
+                                ctypes.c_int64(nb), out,
+                                ctypes.c_int(max(n_threads, 1)))
+    if rc != 0:
+        return None
+    return out.raw[:total]
