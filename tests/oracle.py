@@ -32,6 +32,7 @@ _SOURCES = {
         "src/pipeline_wgbs/patter_utils.cpp",
     ],
     "mask_pat": ["src/pat2beta/mask_pat.cpp", "src/pipeline_wgbs/patter_utils.cpp"],
+    "stdin2pairs": ["src/pat2beta/stdin2pairs.cpp"],
 }
 
 _INCLUDE_DIRS = ["src/pipeline_wgbs", "src/cview", "src/homog", "src/segment_betas"]

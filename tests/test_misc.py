@@ -1,0 +1,51 @@
+import numpy as np
+import pytest
+
+from tests.oracle import run_oracle
+from tests.synth import random_frags
+from wgbs_tools_tpu.formats.pat import frags_to_bytes
+from wgbs_tools_tpu.ops.pairs import pair_counts
+
+
+def test_pairs_vs_oracle(rng):
+    frags = random_frags(rng, 800, 4000, max_len=12, dot_rate=0.15)
+    start, end = 1, 4001
+    out = run_oracle("stdin2pairs", [start, end], frags_to_bytes(frags))
+    expect = np.array(out.split(), dtype=np.int64).reshape(-1, 4)
+    got = pair_counts(frags, (start, end))
+    assert got.shape == expect.shape
+    assert (got == expect).all()
+
+
+def test_pairs_subwindow(rng):
+    frags = random_frags(rng, 500, 3000, max_len=10)
+    out = run_oracle("stdin2pairs", [1000, 2000], frags_to_bytes(frags))
+    expect = np.array(out.split(), dtype=np.int64).reshape(-1, 4)
+    got = pair_counts(frags, (1000, 2000))
+    assert (got == expect).all()
+
+
+def test_mbias_tables_and_plot(tmp_path, mini_genome):
+    from tests.bisim import dump_bam, simulate_reads
+    from wgbs_tools_tpu.genome.cpg_index import read_fasta
+    from wgbs_tools_tpu.pipeline.bam2pat_run import bam2pat
+
+    rng = np.random.default_rng(44)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=200, paired=True)
+    bam = dump_bam(reads, seqs, str(tmp_path / "mb.bam"))
+    prefix = str(tmp_path / "mb.mbias")
+    bam2pat(bam, genome=mini_genome, write_output=False, mbias_prefix=prefix)
+    import os.path as op
+
+    assert op.isfile(prefix + ".OT.txt")
+    assert op.isfile(prefix + ".OB.txt")
+    ot = np.loadtxt(prefix + ".OT.txt", skiprows=1)
+    ob = np.loadtxt(prefix + ".OB.txt", skiprows=1)
+    assert ot.sum() + ob.sum() > 0
+
+    from wgbs_tools_tpu.cli.cmd_misc import plot_mbias
+
+    out = plot_mbias([prefix + ".OT.txt", prefix + ".OB.txt"], str(tmp_path),
+                     PE=True)
+    assert op.isfile(out)

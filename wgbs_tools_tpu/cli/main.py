@@ -58,6 +58,9 @@ COMMANDS = {
     "split_by_allele": _lazy("cmd_bam2pat", "main_split_by_allele"),
     "split_by_meth": _lazy("cmd_bam2pat", "main_split_by_meth"),
     "test_bimodal": _lazy("cmd_markers", "main_test_bimodal"),
+    # extras beyond the reference's registered commands
+    "pat2pairs": _lazy("cmd_misc", "main_pat2pairs"),
+    "mbias_plot": _lazy("cmd_misc", "main_mbias_plot"),
 }
 
 
