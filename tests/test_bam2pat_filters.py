@@ -1,0 +1,73 @@
+"""blacklist/whitelist region filtering + blueprint conversion filter."""
+
+import numpy as np
+import pytest
+
+from tests.bisim import bisulfite_seq, dump_bam, simulate_reads, SimRead
+from wgbs_tools_tpu.genome.cpg_index import read_fasta
+from wgbs_tools_tpu.pipeline.bam2pat_run import bam2pat
+from wgbs_tools_tpu.pipeline.calling import passes_bisulfite_conversion
+
+
+def test_whitelist_blacklist(mini_genome, tmp_path):
+    rng = np.random.default_rng(55)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=300, paired=False)
+    bam = dump_bam(reads, seqs, str(tmp_path / "wl.bam"))
+
+    bed = tmp_path / "regions.bed"
+    bed.write_text("chr1\t0\t10000\n")
+
+    all_frags, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
+    wl_frags, _, _ = bam2pat(bam, genome=mini_genome, write_output=False,
+                             whitelist=str(bed))
+    bl_frags, _, _ = bam2pat(bam, genome=mini_genome, write_output=False,
+                             blacklist=str(bed))
+    assert 0 < wl_frags.count.sum() < all_frags.count.sum()
+    assert 0 < bl_frags.count.sum() < all_frags.count.sum()
+    # whitelist + blacklist partition the reads
+    assert (wl_frags.count.sum() + bl_frags.count.sum()
+            == all_frags.count.sum())
+    # whitelist reads start within/near the region
+    idx = mini_genome.index
+    s_lim = idx.locus2site("chr1", 11000)
+    wl_chr1 = wl_frags.take(
+        np.array([wl_frags.chrom_names[c] == "chr1"
+                  for c in wl_frags.chrom_id])
+    )
+    assert (wl_chr1.start < s_lim).all()
+
+
+def test_blueprint_conversion_filter_unit():
+    #        0123456789
+    ref_s = b"ACTTCATCAG"  # C at 1(+T) 4(+A) 7(+A) — none CpG
+    # fully converted read: all non-CpG Cs -> T
+    conv = b"ATTTTATTAG"
+    # margin=0 so the 3 CH sites count
+    assert passes_bisulfite_conversion(conv, ref_s, bottom=False, margin=0)
+    # unconverted read keeps Cs
+    assert not passes_bisulfite_conversion(ref_s, ref_s, bottom=False,
+                                           margin=0)
+    # too few CH sites
+    assert not passes_bisulfite_conversion(b"AT", b"AC", bottom=False,
+                                           margin=0)
+
+
+def test_blueprint_in_pipeline(mini_genome, tmp_path):
+    rng = np.random.default_rng(56)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, meth = simulate_reads(seqs, rng, n_reads=150, paired=False)
+    # append unconverted reads (raw reference slices, top strand)
+    ref = seqs["chr1"]
+    bad = []
+    for i in range(50):
+        pos = int(rng.integers(0, len(ref) - 102))
+        bad.append(SimRead(f"bad{i:04d}", 0, "chr1", pos,
+                           bytes(ref[pos : pos + 100]), "100M"))
+    bam = dump_bam(reads + bad, seqs, str(tmp_path / "bp.bam"))
+
+    plain, _, s1 = bam2pat(bam, genome=mini_genome, write_output=False)
+    filt, _, s2 = bam2pat(bam, genome=mini_genome, write_output=False,
+                          blueprint=True)
+    assert s2.nr_bad_conv >= 50  # all unconverted reads dropped
+    assert filt.count.sum() < plain.count.sum()

@@ -32,6 +32,18 @@ def main(argv):
     p.add_argument("-l", "--lbeta", action="store_true")
     p.add_argument("--long", dest="long_reads", action="store_true",
                    help="keep read names as an extra pat column")
+    p.add_argument("--nanopore", action="store_true", default=None)
+    p.add_argument("--np_thresh", type=float, default=0.667)
+    p.add_argument("--cpc_call", choices=["C", "H", "."], default="C")
+    p.add_argument("--combine_mods", action="store_true")
+    p.add_argument("--blueprint", action="store_true",
+                   help="drop reads with <90%% non-CpG cytosine conversion")
+    p.add_argument("-L", "--whitelist", nargs="?", const=True, default=None,
+                   help="keep only reads overlapping this bed "
+                        "(genome default when no path given)")
+    p.add_argument("--blacklist", nargs="?", const=True, default=None,
+                   help="drop reads overlapping this bed "
+                        "(genome default when no path given)")
     add_gr_args(p)
     args = p.parse_args(argv)
     g = Genome(args.genome)
@@ -54,7 +66,19 @@ def main(argv):
                 exclude_flags=args.exclude_flags, clip=args.clip,
                 min_cpg=args.min_cpg, mbias_prefix=mb, include_chroms=include,
                 write_output=not args.no_pat, with_qname=args.long_reads,
+                nanopore=args.nanopore, np_thresh=args.np_thresh,
+                cpc_call=args.cpc_call, combine_mods=args.combine_mods,
+                whitelist=args.whitelist, blacklist=args.blacklist,
+                blueprint=args.blueprint,
             )
+            if mb:
+                try:
+                    from .cmd_misc import plot_mbias
+
+                    plot_mbias([mb + ".OT.txt", mb + ".OB.txt"],
+                               args.out_dir, PE=True)
+                except Exception as e:
+                    eprint(f"[wt bam2pat] mbias plot failed: {e}")
             if not args.no_beta and pat_path:
                 pat2beta(pat_path, args.out_dir, genome=g, lbeta=args.lbeta)
         except IllegalArgumentError as e:

@@ -134,22 +134,28 @@ def _traceback(T, n):
 def _cost_fast_jax(pm, pt, loci, W, max_bp, pc):
     """Cost tensor Crev[i, j] (f32) with j = W-1-w (ascending-k order).
 
-    pm/pt: int32 (K, n+1) prefix sums; loci: int32 (n,).
+    pm/pt: int32 (K, n+1) prefix sums; loci: int32 (n,). Datasets accumulate
+    one at a time so peak memory stays O(n*W), not O(K*n*W).
     """
     n = loci.shape[0]
+    K = pm.shape[0]
     I = jnp.arange(n, dtype=jnp.int32)[:, None]
     Wv = (W - 1) - jnp.arange(W, dtype=jnp.int32)[None, :]  # w descending
     Kk = I - Wv
     valid = Kk >= 0
     Kc = jnp.where(valid, Kk, 0)
-
-    nm = (pm[:, I + 1] - pm[:, Kc]).astype(jnp.float32)
-    nt = (pt[:, I + 1] - pt[:, Kc]).astype(jnp.float32)
     pc = jnp.float32(pc)
-    p = (nm + pc) / (nt + 2 * pc)
-    ll = nm * _safe_log2(p) + (nt - nm) * _safe_log2(1.0 - p)
-    ll = jnp.where(nt == 0, 0.0, ll)
-    row = ll.sum(axis=0)
+
+    def one_dataset(carry, d):
+        nm = (pm[d, I[:, 0] + 1][:, None] - pm[d, Kc]).astype(jnp.float32)
+        nt = (pt[d, I[:, 0] + 1][:, None] - pt[d, Kc]).astype(jnp.float32)
+        p = (nm + pc) / (nt + 2 * pc)
+        ll = nm * _safe_log2(p) + (nt - nm) * _safe_log2(1.0 - p)
+        ll = jnp.where(nt == 0, 0.0, ll)
+        return carry + ll, None
+
+    row, _ = jax.lax.scan(one_dataset, jnp.zeros((n, W), dtype=jnp.float32),
+                          jnp.arange(K))
 
     if max_bp:
         dist = loci[jnp.minimum(I, n - 1)] - loci[Kc]
@@ -159,6 +165,82 @@ def _cost_fast_jax(pm, pt, loci, W, max_bp, pc):
 
 def _safe_log2(x):
     return jnp.where(x > 0, jnp.log2(jnp.maximum(x, 1e-38)), 0.0)
+
+
+@partial(jax.jit, static_argnames=("W", "B"))
+def _dp_fast_blocked(Crev, W, B=128):
+    """Blocked max-plus DP for TPU.
+
+    The sequential recurrence M[i+1] = max_k M[k] + cost(k, i) has window W;
+    a naive lax.scan pays per-step dispatch latency 60k times per chunk.
+    Here the site axis is cut into blocks of B borders: contributions from
+    borders before the block are a fully-parallel (B, W) reduction, and
+    in-block dependencies are closed with ~log2(B) max-plus matrix squarings
+    ((B+1)^3 VPU work each). The optimal predecessors are recovered
+    afterwards in one fully-parallel argmax pass over the final M vector.
+
+    Crev: (n, W) float32 cost rows in ascending-k order
+    (Crev[i, j] = cost(k = i-W+1+j, i)). Returns T (n+1,) int32.
+    """
+    n = Crev.shape[0]
+    NEG = jnp.float32(-jnp.inf)
+    n_blocks = (n + B - 1) // B
+    n_pad = n_blocks * B
+    Cp = jnp.pad(Crev, ((0, n_pad - n), (0, 0)), constant_values=NEG)
+
+    # in-block edge matrix template indices: A[p, q] = Cp[b0+q-1, W-1-(q-p)]
+    P = jnp.arange(B + 1)[:, None]
+    Q = jnp.arange(B + 1)[None, :]
+    col_idx = W - (Q - P)  # j = k - i + W - 1 with k=b0+p, i=b0+q-1
+    a_valid = (Q > P) & (P >= 1) & (col_idx >= 0) & (col_idx < W)
+    col_c = jnp.clip(col_idx, 0, W - 1)
+
+    # H gather: H[q] = max over j of Mwin[j + q] + Cp[b0+q-1, j] for k <= b0
+    # with Mwin[t] = M[b0 - W + 1 + t] (t in [0, W)):
+    # k = (b0+q-1) - (W-1) + j  => Mwin index = j + q - ... see below
+    Jj = jnp.arange(W)[None, :]
+    Qq = jnp.arange(1, B + 1)[:, None]
+    k_rel = Qq + Jj - W  # k - b0 for row q, col j
+    h_valid = k_rel <= 0
+    mwin_idx = jnp.clip(k_rel + W - 1, 0, W - 1)  # index into Mwin (len W)
+
+    log_steps = max(int(np.ceil(np.log2(max(B, 2)))), 1)
+
+    def block_step(Mwin, b):
+        # Mwin: (W,) = M[b0-W+1 .. b0]
+        rows = jax.lax.dynamic_slice(Cp, (b * B, 0), (B, W))  # (B, W)
+        # H over known borders
+        gat = Mwin[mwin_idx]  # (B, W)
+        H = jnp.max(jnp.where(h_valid, gat + rows, NEG), axis=1)  # (B,)
+        v = jnp.concatenate([Mwin[-1][None], H])  # (B+1,) border b0..b0+B
+
+        # in-block closure
+        A = jnp.where(a_valid, rows[jnp.clip(Q - 1, 0, B - 1), col_c], NEG)
+        S = jnp.where(P == Q, 0.0, A)  # I (+) A
+
+        def sq(S, _):
+            return jnp.max(S[:, :, None] + S[None, :, :], axis=1), None
+
+        S, _ = jax.lax.scan(sq, S, None, length=log_steps)
+        M_blk = jnp.max(v[:, None] + S, axis=0)
+        M_blk = jnp.maximum(M_blk, v)  # keep direct H values
+        # next carry: M[b0+B-W+1 .. b0+B]
+        allm = jnp.concatenate([Mwin, M_blk[1:]])  # (W+B,)
+        return allm[-W:], M_blk[1:]
+
+    Mwin0 = jnp.full(W, NEG, dtype=jnp.float32).at[-1].set(0.0)
+    _, Ms = jax.lax.scan(block_step, Mwin0,
+                         jnp.arange(n_blocks, dtype=jnp.int32))
+    M = jnp.concatenate([jnp.zeros(1, jnp.float32), Ms.reshape(-1)[:n]])
+
+    # parallel predecessor recovery: T[i+1] = argmax_k M[k] + Crev[i, :]
+    Mpad = jnp.concatenate([jnp.full(W - 1, NEG), M])  # index shift W-1
+    I = jnp.arange(n)[:, None]
+    Jw = jnp.arange(W)[None, :]
+    cand = Mpad[I + Jw] + Crev  # Mpad[i+j] = M[i - W + 1 + j] = M[k]
+    am = jnp.argmax(cand, axis=1)
+    ks = (jnp.arange(n) - (W - 1) + am).astype(jnp.int32)
+    return jnp.concatenate([jnp.zeros(1, jnp.int32), ks])
 
 
 @partial(jax.jit, static_argnames=("W",))
@@ -223,7 +305,10 @@ def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
             int(max_bp) if max_bp else 0,
             float(pseudo_count),
         )
-        T = np.asarray(_dp_fast_jax(Crev, W)).astype(np.int64)
+        if n >= 512:
+            T = np.asarray(_dp_fast_blocked(Crev, W)).astype(np.int64)
+        else:
+            T = np.asarray(_dp_fast_jax(Crev, W)).astype(np.int64)
     else:
         raise IllegalArgumentError(f"unknown segment mode: {mode}")
     return _traceback(T, n)

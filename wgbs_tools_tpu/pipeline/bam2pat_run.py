@@ -43,11 +43,48 @@ def detect_layout(bam_path):
     return paired, nanopore
 
 
+def _ref_span(cigar):
+    """Reference bases consumed by a CIGAR (M/D/N/=/X)."""
+    return sum(n for op, n in cigar if op in "MDN=X")
+
+
+def _load_region_bed(path):
+    """{chrom: (starts, ends)} 0-based half-open intervals from a bed."""
+    import gzip as _gzip
+
+    from ..formats.bgzf import is_gzip
+
+    opener = _gzip.open if is_gzip(path) else open
+    per = {}
+    with opener(path, "rb") as f:
+        for line in f:
+            t = line.rstrip(b"\n").split(b"\t")
+            if len(t) < 3 or not t[1].isdigit():
+                continue
+            per.setdefault(t[0].decode(), []).append((int(t[1]), int(t[2])))
+    out = {}
+    for c, iv in per.items():
+        iv.sort()
+        out[c] = (np.array([a for a, _ in iv]), np.array([b for _, b in iv]))
+    return out
+
+
+def _overlaps_regions(regions, chrom, start0, end0):
+    iv = regions.get(chrom)
+    if iv is None:
+        return False
+    starts, ends = iv
+    ends_max = np.maximum.accumulate(ends)
+    i = np.searchsorted(ends_max, start0, side="right")
+    return i < starts.shape[0] and starts[i] < end0
+
+
 def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
             exclude_flags=None, clip=0, min_cpg=1, mbias_prefix=None,
             include_chroms=None, force=True, write_output=True,
             with_qname=False, nanopore=None, np_thresh=0.667, cpc_call="C",
-            combine_mods=False):
+            combine_mods=False, whitelist=None, blacklist=None,
+            blueprint=False):
     """Convert a BAM to a sorted/collapsed PatFrags batch (and pat.gz file).
 
     Returns (frags, out_path or None, stats).
@@ -65,6 +102,16 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     if exclude_flags is None:
         exclude_flags = EXCLUDE_FLAGS_NANOPORE if nanopore else EXCLUDE_FLAGS
 
+    # region allow/deny lists (ref: bam2pat.py:173-179, genome defaults
+    # bam2pat.py:288-295)
+    wl = bl = None
+    if whitelist:
+        wl_path = g.whitelist if whitelist is True else whitelist
+        wl = _load_region_bed(wl_path) if wl_path else None
+    elif blacklist:
+        bl_path = g.blacklist if blacklist is True else blacklist
+        bl = _load_region_bed(bl_path) if bl_path else None
+
     reader = BamReader(bam_path)
     ref_names = reader.ref_names
     per_chrom = {c: [] for c in idx.chrom_names}
@@ -74,9 +121,27 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         if rec.mapq < min_mapq or (rec.flag & exclude_flags):
             continue
         chrom = ref_names[rec.ref_id]
-        if chrom in per_chrom:
-            per_chrom[chrom].append(rec)
+        if chrom not in per_chrom:
+            continue
+        if wl is not None or bl is not None:
+            end0 = rec.pos + _ref_span(rec.cigar)
+            if wl is not None and not _overlaps_regions(wl, chrom, rec.pos,
+                                                        end0):
+                continue
+            if bl is not None and _overlaps_regions(bl, chrom, rec.pos, end0):
+                continue
+        per_chrom[chrom].append(rec)
     reader.close()
+
+    ref_seqs = None
+    if blueprint:
+        from ..genome.cpg_index import read_fasta
+
+        fa = g.join("genome.fa")
+        if fa is None:
+            raise IllegalArgumentError(
+                "--blueprint requires genome.fa in the reference dir")
+        ref_seqs = read_fasta(fa)
 
     stats = ReadStats()
     mbias = MBiasCounter() if mbias_prefix else None
@@ -89,6 +154,22 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         records.sort(key=lambda r: r.pos)
         site_base, _ = idx.chrom_site_bounds(chrom)
         loci = idx.chrom_loci(chrom)
+        if ref_seqs is not None:
+            from .calling import clean_cigar, is_bottom, \
+                passes_bisulfite_conversion
+
+            ref = ref_seqs.get(chrom)
+            kept = []
+            for rec in records:
+                seq_adj = clean_cigar(rec.seq, rec.cigar)
+                sl = ref[rec.pos : rec.pos + len(seq_adj)].tobytes()
+                if passes_bisulfite_conversion(
+                    seq_adj, sl, is_bottom(rec.flag, paired)
+                ):
+                    kept.append(rec)
+                else:
+                    stats.nr_bad_conv += 1
+            records = kept
         starts, patterns, qnames = call_records(
             records, loci, site_base, chrom, paired, clip=clip,
             min_cpg=min_cpg, stats=stats, mbias=mbias, with_qname=with_qname,

@@ -35,6 +35,7 @@ class ReadStats:
         self.nr_empty = 0
         self.nr_short = 0
         self.nr_invalid = 0
+        self.nr_bad_conv = 0
 
     def summary(self, chrom=""):
         good = self.nr_lines - self.nr_empty - self.nr_invalid
@@ -72,6 +73,36 @@ def is_bottom(flag, paired):
     if paired:
         return (flag & 0x53) == 83 or (flag & 0xA3) == 163
     return bool(flag & FREVERSE)
+
+
+def passes_bisulfite_conversion(seq_adj: bytes, ref_slice: bytes, bottom,
+                                margin=3, min_ch=3, min_rate=0.9):
+    """Blueprint conversion filter: require >= min_rate of non-CpG cytosines
+    to be bisulfite-converted (ref: src/pipeline_wgbs/blueprint/
+    patter.cpp:104-142, margin=3)."""
+    seq = np.frombuffer(seq_adj, dtype=np.uint8)
+    ref = np.frombuffer(ref_slice, dtype=np.uint8)
+    n = min(seq.shape[0], ref.shape[0])
+    if n < 2:
+        return False
+    j = np.arange(n)
+    in_margin = (j < margin) | (j >= seq.shape[0] - margin)
+    if bottom:
+        ch = (ref == B_G) & (j >= 1)
+        ch &= np.concatenate([[False], ref[:-1] != B_C])[:n]
+        conv = ch & (seq[:n] == B_A) & ~in_margin
+        nonconv = ch & (seq[:n] == B_G) & ~in_margin
+    else:
+        ch = (ref == B_C) & (j < n - 1)
+        nxt = np.concatenate([ref[1:], [0]])[:n]
+        ch &= nxt != B_G
+        conv = ch & (seq[:n] == B_T) & ~in_margin
+        nonconv = ch & (seq[:n] == B_C) & ~in_margin
+    nr_conv = int(conv.sum())
+    nr_ch = nr_conv + int(nonconv.sum())
+    if nr_ch < min_ch:
+        return False
+    return nr_conv / nr_ch >= min_rate
 
 
 def call_read(seq: bytes, start_locus: int, flag: int, paired: bool,
