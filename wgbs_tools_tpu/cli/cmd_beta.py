@@ -199,11 +199,51 @@ def main_beta2bed(argv):
 
 
 def main_beta2bw(argv):
-    from ..utils import eprint
+    """beta -> bigWig (native container writer; ref: beta2bw.py shells out
+    to UCSC bedGraphToBigWig instead)."""
+    p = argparse.ArgumentParser(prog="beta2bw", description="beta -> bigWig")
+    p.add_argument("beta_paths", nargs="+")
+    p.add_argument("-c", "--min_cov", type=int, default=1)
+    p.add_argument("-o", "--outdir", default=".")
+    p.add_argument("--cov", dest="with_cov", action="store_true",
+                   help="also emit a coverage track")
+    p.add_argument("-f", "--force", action="store_true")
+    add_gr_args(p)
+    args = p.parse_args(argv)
+    from ..formats.bigwig import write_bigwig
+    from ..utils import delete_or_skip
 
-    eprint("[wt beta2bw] bigWig output requires the external "
-           "bedGraphToBigWig tool; emitting bedGraph instead (beta2bed).")
-    return main_beta2bed(argv)
+    g = Genome(args.genome)
+    idx = g.index
+    chrom_sizes = [(c, int(s)) for c, s in
+                   zip(idx.chrom_names, idx.chrom_sizes.tolist())]
+    for beta in args.beta_paths:
+        out = op.join(args.outdir, pretty_name(beta) + ".bigwig")
+        if not delete_or_skip(out, args.force):
+            continue
+        data = load_beta(beta)
+        meth_tracks, cov_tracks = {}, {}
+        for cid, chrom in enumerate(idx.chrom_names):
+            lo, hi = idx.chrom_offsets[cid], idx.chrom_offsets[cid + 1]
+            sub = data[lo:hi]
+            loci = idx.loci[lo:hi].astype(np.int64)
+            keep = sub[:, 1] >= args.min_cov
+            if keep.any():
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vals = sub[keep, 0] / sub[keep, 1]
+                meth_tracks[chrom] = (loci[keep] - 1, loci[keep] + 1,
+                                      vals.astype(np.float32))
+            covk = sub[:, 1] > 0
+            if args.with_cov and covk.any():
+                cov_tracks[chrom] = (loci[covk] - 1, loci[covk] + 1,
+                                     sub[covk, 1].astype(np.float32))
+        write_bigwig(out, chrom_sizes, meth_tracks)
+        logger.info("beta2bw: %s", out)
+        if args.with_cov:
+            covout = op.join(args.outdir, pretty_name(beta) + ".cov.bigwig")
+            write_bigwig(covout, chrom_sizes, cov_tracks)
+            logger.info("beta2bw: %s", covout)
+    return 0
 
 
 # ------------------------------------------------------------ cov / stats
