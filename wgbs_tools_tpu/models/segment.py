@@ -130,25 +130,48 @@ def _traceback(T, n):
 # ---------------------------------------------------------------------------
 
 
+def _hankel(x, n, W):
+    """Dense Hankel matrix S[i, j] = x[i + j], i in [0, n), j in [0, W).
+
+    x must have length >= n + W - 1 (padded by the caller). Built with a
+    tile+reshape skew instead of a gather — TPU gathers over (n, W) windows
+    were the dominant cost of the naive formulation.
+    """
+    L = n + W - 1
+    x = x[:L]
+    # reshape width L+1 skews each row one step left:
+    # t[j, c] = x[(j*(L+1) + c) mod L] = x[(j + c) mod L]
+    t = jnp.tile(x, W + 1)[: W * (L + 1)].reshape(W, L + 1)
+    # max needed index is (n-1)+(W-1) = L-1, so the wrap never materializes
+    return t[:, :n].T  # S[i, j] = x[i + j]
+
+
 @partial(jax.jit, static_argnames=("W", "max_bp"))
 def _cost_fast_jax(pm, pt, loci, W, max_bp, pc):
-    """Cost tensor Crev[i, j] (f32) with j = W-1-w (ascending-k order).
+    """Cost tensor Crev[i, j] (f32) with j = W-1-w (ascending-k order,
+    Crev[i, j] = cost(k = i-W+1+j, i)).
 
     pm/pt: int32 (K, n+1) prefix sums; loci: int32 (n,). Datasets accumulate
-    one at a time so peak memory stays O(n*W), not O(K*n*W).
+    one at a time so peak memory stays O(n*W); window prefix values come from
+    Hankel skews rather than gathers.
     """
     n = loci.shape[0]
     K = pm.shape[0]
-    I = jnp.arange(n, dtype=jnp.int32)[:, None]
-    Wv = (W - 1) - jnp.arange(W, dtype=jnp.int32)[None, :]  # w descending
-    Kk = I - Wv
-    valid = Kk >= 0
-    Kc = jnp.where(valid, Kk, 0)
     pc = jnp.float32(pc)
+    j_col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    i_row = jnp.arange(n, dtype=jnp.int32)[:, None]
+    valid = (i_row - (W - 1) + j_col) >= 0  # k >= 0
+
+    def window_vals(vec, fill):
+        # returns S[i, j] = vec[k] with k = i - (W-1) + j
+        pad = jnp.full(W - 1, fill, dtype=vec.dtype)
+        return _hankel(jnp.concatenate([pad, vec]), n, W)
 
     def one_dataset(carry, d):
-        nm = (pm[d, I[:, 0] + 1][:, None] - pm[d, Kc]).astype(jnp.float32)
-        nt = (pt[d, I[:, 0] + 1][:, None] - pt[d, Kc]).astype(jnp.float32)
+        pk_m = window_vals(pm[d, : n + 1], 0)  # pm[k] (n, W); k<0 slots bogus
+        pk_t = window_vals(pt[d, : n + 1], 0)
+        nm = (pm[d, 1 : n + 1][:, None] - pk_m).astype(jnp.float32)
+        nt = (pt[d, 1 : n + 1][:, None] - pk_t).astype(jnp.float32)
         p = (nm + pc) / (nt + 2 * pc)
         ll = nm * _safe_log2(p) + (nt - nm) * _safe_log2(1.0 - p)
         ll = jnp.where(nt == 0, 0.0, ll)
@@ -158,7 +181,8 @@ def _cost_fast_jax(pm, pt, loci, W, max_bp, pc):
                           jnp.arange(K))
 
     if max_bp:
-        dist = loci[jnp.minimum(I, n - 1)] - loci[Kc]
+        lk = window_vals(loci[:n], loci[0])
+        dist = loci[:, None] - lk
         row = jnp.where(dist > max_bp, -jnp.inf, row)
     return jnp.where(valid, row, -jnp.inf)
 
@@ -188,34 +212,35 @@ def _dp_fast_blocked(Crev, W, B=128):
     n_pad = n_blocks * B
     Cp = jnp.pad(Crev, ((0, n_pad - n), (0, 0)), constant_values=NEG)
 
-    # in-block edge matrix template indices: A[p, q] = Cp[b0+q-1, W-1-(q-p)]
+    # in-block edge matrix A[p, q] = Cp[b0+q-1, W-(q-p)] — extracted from the
+    # flattened cost rows with a reshape skew (flat idx = q*(W-1)+p) instead
+    # of a gather
     P = jnp.arange(B + 1)[:, None]
     Q = jnp.arange(B + 1)[None, :]
-    col_idx = W - (Q - P)  # j = k - i + W - 1 with k=b0+p, i=b0+q-1
-    a_valid = (Q > P) & (P >= 1) & (col_idx >= 0) & (col_idx < W)
-    col_c = jnp.clip(col_idx, 0, W - 1)
+    a_valid = (Q > P) & (P >= 1) & (Q - P <= W)
 
-    # H gather: H[q] = max over j of Mwin[j + q] + Cp[b0+q-1, j] for k <= b0
-    # with Mwin[t] = M[b0 - W + 1 + t] (t in [0, W)):
-    # k = (b0+q-1) - (W-1) + j  => Mwin index = j + q - ... see below
+    # H term: H[q] = max_j Mwin[(q-1) + j] + Cp[b0+q-1, j] restricted to
+    # k <= b0  (k - b0 = q + j - W)
     Jj = jnp.arange(W)[None, :]
     Qq = jnp.arange(1, B + 1)[:, None]
-    k_rel = Qq + Jj - W  # k - b0 for row q, col j
-    h_valid = k_rel <= 0
-    mwin_idx = jnp.clip(k_rel + W - 1, 0, W - 1)  # index into Mwin (len W)
+    h_valid = (Qq + Jj - W) <= 0
 
     log_steps = max(int(np.ceil(np.log2(max(B, 2)))), 1)
 
     def block_step(Mwin, b):
         # Mwin: (W,) = M[b0-W+1 .. b0]
         rows = jax.lax.dynamic_slice(Cp, (b * B, 0), (B, W))  # (B, W)
-        # H over known borders
-        gat = Mwin[mwin_idx]  # (B, W)
+        # H over known borders: Hankel skew of Mwin gives Mwin[(q-1)+j]
+        gat = _hankel(jnp.concatenate([Mwin, jnp.full(B, NEG)]), B, W)
         H = jnp.max(jnp.where(h_valid, gat + rows, NEG), axis=1)  # (B,)
         v = jnp.concatenate([Mwin[-1][None], H])  # (B+1,) border b0..b0+B
 
-        # in-block closure
-        A = jnp.where(a_valid, rows[jnp.clip(Q - 1, 0, B - 1), col_c], NEG)
+        # in-block closure: A[p, q] = rows_flat[q*(W-1) + p]
+        rows_flat = jnp.concatenate(
+            [rows.reshape(-1), jnp.full(2 * W, NEG)]
+        )
+        skew = rows_flat[: (B + 1) * (W - 1)].reshape(B + 1, W - 1)
+        A = jnp.where(a_valid, skew[:, : B + 1].T, NEG)
         S = jnp.where(P == Q, 0.0, A)  # I (+) A
 
         def sq(S, _):
@@ -235,9 +260,7 @@ def _dp_fast_blocked(Crev, W, B=128):
 
     # parallel predecessor recovery: T[i+1] = argmax_k M[k] + Crev[i, :]
     Mpad = jnp.concatenate([jnp.full(W - 1, NEG), M])  # index shift W-1
-    I = jnp.arange(n)[:, None]
-    Jw = jnp.arange(W)[None, :]
-    cand = Mpad[I + Jw] + Crev  # Mpad[i+j] = M[i - W + 1 + j] = M[k]
+    cand = _hankel(Mpad, n, W) + Crev  # S[i, j] = M[i - W + 1 + j] = M[k]
     am = jnp.argmax(cand, axis=1)
     ks = (jnp.arange(n) - (W - 1) + am).astype(jnp.int32)
     return jnp.concatenate([jnp.zeros(1, jnp.int32), ks])
