@@ -85,15 +85,34 @@ def main_beta_to_blocks(argv):
 # ------------------------------------------------------------ beta_to_table
 
 
+def load_uxm(path, n_blocks, um="U", min_cov=4):
+    """U (or M) read fraction per block from a binary .uxm file
+    (ref: dmb.py:10-16; cond is strictly greater than min_cov)."""
+    data = np.fromfile(path, np.uint8).reshape((-1, 3))[:n_blocks]
+    covs = data.sum(axis=1).astype(np.float64)
+    cond = covs > min_cov
+    idx = {"U": 0, "X": 1, "M": 2}[um]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.divide(data[:, idx], covs, where=cond)
+    r[~cond] = np.nan
+    return r.astype(float)
+
+
 def build_beta_table(blocks, beta_paths, groups=None, min_cov=4):
     """blocks x samples mean-methylation matrix (ref: beta_to_table.py:72-106).
 
-    groups: optional {group_name: [beta basenames]}; group columns average
-    member columns (NaN-aware).
+    Inputs may be beta/lbeta (mean methylation) or binary .uxm files
+    (U-read fraction, ref: beta_to_table.py:59-69). groups: optional
+    {group_name: [basenames]}; group columns average member columns
+    (NaN-aware).
     """
     names = [pretty_name(b) for b in beta_paths]
     cols = {}
+    n_blocks = blocks["startCpG"].shape[0]
     for b, name in zip(beta_paths, names):
+        if b.endswith(".uxm"):
+            cols[name] = load_uxm(b, n_blocks, "U", min_cov)
+            continue
         reduced = reduce_beta_to_blocks(b, blocks)
         cols[name] = beta2vec(reduced, min_cov=min_cov)
     if groups:

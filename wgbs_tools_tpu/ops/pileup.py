@@ -82,18 +82,21 @@ def pileup_xla(start, length, count, codes, window_start, window_len,
 
 
 def pileup_frags(frags: PatFrags, window, backend="auto", **kw):
-    """Pileup a PatFrags batch over a 1-based [s, e) site window."""
+    """Pileup a PatFrags batch over a 1-based [s, e) site window.
+
+    backend: "pallas" forces the TPU kernel (interpret mode off-TPU),
+    "xla" the scatter path; "auto" picks pallas on TPU, xla elsewhere.
+    """
     s, e = window
     n = e - s
     sel = frags.slice_sites(s, e, min_overlap=1) if frags.nr_frags else frags
-    if backend in ("auto", "pallas"):
-        try:
-            from .pileup_tpu import pileup_pallas
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from .pileup_tpu import pileup_pallas
 
-            return pileup_pallas(
-                sel.start, sel.length, sel.count, sel.packed(), s, n, **kw
-            )
-        except Exception:
-            if backend == "pallas":
-                raise
+        return pileup_pallas(
+            sel.start, sel.length, sel.count, sel.packed(), s, n, **kw
+        )
     return pileup_xla(sel.start, sel.length, sel.count, sel.codes, s, n, **kw)
