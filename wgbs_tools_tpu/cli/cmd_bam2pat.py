@@ -120,8 +120,6 @@ def main_add_cpg_counts(argv):
 
 def main_split_by_allele(argv):
     from ..pipeline.bam_split import split_bam_by_allele
-    from .cmd_pat import main_pat2beta  # noqa: F401 (kept for parity flows)
-
     p = argparse.ArgumentParser(
         prog="split_by_allele",
         description="Split a BAM by the allele at a SNP position")

@@ -8,7 +8,6 @@ import numpy as np
 from ..formats.bgzf import BgzfWriter
 from ..formats.blocks import load_blocks
 from ..formats.pat import read_pat
-from ..genome.refdir import Genome
 from ..ops.frag_ops import homog_counts
 from ..utils import (
     IllegalArgumentError,

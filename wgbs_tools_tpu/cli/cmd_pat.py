@@ -14,7 +14,6 @@ from ..formats.beta import merge_betas
 from ..formats.blocks import load_blocks
 from ..formats.pat import (
     PatFrags,
-    frags_to_bytes,
     index_pat,
     read_pat,
     write_pat,

@@ -2,7 +2,6 @@
 (ref: src/python/vis.py, pat_vis.py, beta_vis.py, pat_fig.py)."""
 
 import argparse
-import os.path as op
 import re
 import sys
 

@@ -14,7 +14,7 @@ unknown=3) which bit-packs 4 calls/byte for HBM residency. All device kernels
 
 import gzip
 import os.path as op
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -1,0 +1,314 @@
+"""Sub-block grouped Pallas pileup kernel (v2).
+
+The v1 kernel (ops/pileup_tpu.py) aligns every fragment across the full
+tile+halo width (~1280 lanes) even though a fragment spans <= 128 sites, so
+~90% of the barrel-roll work is wasted. Here each fragment is assigned to the
+128-lane sub-block containing its start:
+
+- rolls happen in a 2-sub-block (256-lane) window — 7 conditional
+  `pltpu.roll` steps instead of 11 over 1280 lanes;
+- per-chunk contributions reduce into (G_MAX, 256) strips with a one-hot MXU
+  matmul over the fragment axis (the host packs chunks so they span at most
+  G_MAX sub-blocks and never cross a tile boundary);
+- strips add into the tile accumulator at 128-aligned dynamic lane offsets,
+  and the tile's right halo carries to the next tile through scratch (the
+  grid runs sequentially on the core).
+
+Fragments must be sorted by start with length <= SB (128 sites); the host
+splits longer fragments into <=128-site pieces first (piece pileups are
+independent, so this is exact).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.pat import CODE_C, CODE_DOT, CODE_H
+
+SB = 128          # sub-block width (lanes)
+TILE_SB = 8       # sub-blocks per output tile -> tile = 1024 sites
+FRAG_CHUNK = 256  # fragment rows per chunk (row fc-1 is always padding)
+G_MAX = 8         # max distinct sub-blocks per chunk
+
+
+def planar_pack128(codes):
+    """uint8 (F, 128) codes -> int32 (F, 8) planar words (see pileup_tpu)."""
+    F, L = codes.shape
+    assert L == SB
+    w16 = L // 16
+    word = np.zeros((F, w16), dtype=np.uint32)
+    for j in range(16):
+        word |= codes[:, j * w16 : (j + 1) * w16].astype(np.uint32) << (2 * j)
+    return word.view(np.int32)
+
+
+def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
+            acc_m, acc_c, carry_m, carry_c, sem_out, *, tile, fc, g_max):
+    W2 = 2 * SB
+    acc_w = tile + 2 * SB
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            carry_m[...] = jnp.zeros_like(carry_m)
+            carry_c[...] = jnp.zeros_like(carry_c)
+
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+        acc_m[:, :W2] = carry_m[...]
+        acc_c[:, :W2] = carry_c[...]
+
+    active = (c0_ref[i] + c) < c1_ref[i]
+
+    @pl.when(active)
+    def _():
+        rel = meta_blk[0, 0].reshape(fc, 1)      # start relative to window
+        lens = meta_blk[0, 1].reshape(fc, 1)
+        counts = meta_blk[0, 2].reshape(fc, 1)
+        dg = meta_blk[0, 3].reshape(fc)          # sub-block - chunk base
+        base_g = meta_blk[0, 0, fc - 1]          # stashed in the padding row
+
+        words = words_blk[...]
+        codes = jnp.concatenate(
+            [(words >> (2 * j)) & 3 for j in range(16)], axis=1
+        )  # (fc, SB)
+        work = jnp.concatenate(
+            [codes, jnp.full((fc, SB), CODE_DOT, dtype=jnp.int32)], axis=1
+        )  # (fc, W2)
+        rr = jnp.remainder(rel, SB)
+        for b in range(7):  # shifts < SB = 128
+            bit = (rr >> b) & 1
+            work = jnp.where(bit == 1, pltpu.roll(work, 1 << b, axis=1), work)
+
+        p_col = jax.lax.broadcasted_iota(jnp.int32, (fc, W2), dimension=1)
+        valid = (p_col >= rr) & (p_col < rr + lens)
+        observed = valid & (work != CODE_DOT)
+        meth_call = observed & ((work == CODE_C) | (work == CODE_H))
+
+        mv = jnp.where(meth_call, counts, 0).astype(jnp.float32)
+        cv = jnp.where(observed, counts, 0).astype(jnp.float32)
+        onehot = (
+            dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, fc), 0)
+        ).astype(jnp.float32)
+        strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
+        strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+
+        off0 = base_g * SB - i * tile
+
+        def add_strip(g, _):
+            off = off0 + g * SB
+            ok = (off >= 0) & (off + W2 <= acc_w)
+            offc = pl.multiple_of(jnp.clip(off, 0, acc_w - W2), SB)
+            sm = jax.lax.dynamic_slice(strips_m, (g, 0), (1, W2))
+            sc = jax.lax.dynamic_slice(strips_c, (g, 0), (1, W2))
+            acc_m[:, pl.ds(offc, W2)] += jnp.where(ok, sm, 0.0).astype(
+                jnp.int32)
+            acc_c[:, pl.ds(offc, W2)] += jnp.where(ok, sc, 0.0).astype(
+                jnp.int32)
+            return 0
+
+        jax.lax.fori_loop(0, g_max, add_strip, 0)
+
+    @pl.when(c == n_c - 1)
+    def _():
+        carry_m[...] = acc_m[:, tile : tile + W2]
+        carry_c[...] = acc_c[:, tile : tile + W2]
+        cp_m = pltpu.make_async_copy(
+            acc_m.at[:, pl.ds(0, tile)], meth_out.at[i], sem_out.at[0]
+        )
+        cp_c = pltpu.make_async_copy(
+            acc_c.at[:, pl.ds(0, tile)], cov_out.at[i], sem_out.at[1]
+        )
+        cp_m.start()
+        cp_c.start()
+        cp_m.wait()
+        cp_c.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_len", "tile", "fc", "g_max", "max_chunks",
+                     "interpret"),
+)
+def _call(c0, c1, meta, words, window_len, tile, fc, g_max, max_chunks,
+          interpret=False):
+    num_tiles = (window_len + tile - 1) // tile
+    n_chunks = meta.shape[0]
+
+    def meta_idx(i, c, c0_ref, c1_ref):
+        return (jnp.minimum(c0_ref[i] + c, n_chunks - 1), 0, 0)
+
+    def words_idx(i, c, c0_ref, c1_ref):
+        return (jnp.minimum(c0_ref[i] + c, n_chunks - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles, max_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 4, fc), meta_idx),
+            pl.BlockSpec((fc, SB // 16), words_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile + 2 * SB), jnp.int32),
+            pltpu.VMEM((1, tile + 2 * SB), jnp.int32),
+            pltpu.VMEM((1, 2 * SB), jnp.int32),
+            pltpu.VMEM((1, 2 * SB), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, tile=tile, fc=fc, g_max=g_max)
+    meth, cov = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(c0, c1, meta, words)
+    return meth.reshape(-1)[:window_len], cov.reshape(-1)[:window_len]
+
+
+def _split_long(start, length, count, codes, max_piece=SB):
+    """Split fragments longer than max_piece into independent pieces."""
+    start = np.asarray(start, dtype=np.int64)
+    length = np.asarray(length, dtype=np.int32)
+    count = np.asarray(count, dtype=np.int32)
+    codes = np.asarray(codes)
+    long = length > max_piece
+    if not long.any():
+        return start, length, count, codes[:, :max_piece]
+    s_out = [start[~long]]
+    l_out = [length[~long]]
+    c_out = [count[~long]]
+    code_out = [codes[~long][:, :max_piece]]
+    for i in np.nonzero(long)[0]:
+        L = int(length[i])
+        for off in range(0, L, max_piece):
+            ln = min(max_piece, L - off)
+            row = np.full(max_piece, CODE_DOT, dtype=np.uint8)
+            row[:ln] = codes[i, off : off + ln]
+            s_out.append(np.array([start[i] + off]))
+            l_out.append(np.array([ln], dtype=np.int32))
+            c_out.append(np.array([count[i]], dtype=np.int32))
+            code_out.append(row[None])
+    start = np.concatenate(s_out)
+    order = np.argsort(start, kind="stable")
+    return (
+        start[order],
+        np.concatenate(l_out)[order],
+        np.concatenate(c_out)[order],
+        np.concatenate(code_out)[order],
+    )
+
+
+def stage_v2(start, length, count, codes, window_start, window_len,
+             tile=SB * TILE_SB, fc=FRAG_CHUNK, g_max=G_MAX):
+    """Host staging: split long frags, clip to the window, pack chunks
+    bounded by (fc-1 rows, g_max sub-blocks, one tile), build meta/words and
+    per-tile chunk ranges."""
+    codes = np.asarray(codes)
+    if codes.shape[1] < SB:
+        codes = np.pad(codes, ((0, 0), (0, SB - codes.shape[1])),
+                       constant_values=CODE_DOT)
+    start, length, count, codes = _split_long(start, length, count, codes)
+    rel = (np.asarray(start) - window_start).astype(np.int64)
+    keep = (rel + length > 0) & (rel < window_len)
+    rel, length, count, codes = rel[keep], length[keep], count[keep], codes[keep]
+    neg = np.nonzero(rel < 0)[0]
+    if neg.size:
+        codes = codes.copy()
+        for idx in neg:
+            sh = int(-rel[idx])
+            row = np.full(SB, CODE_DOT, dtype=np.uint8)
+            ln = max(int(length[idx]) - sh, 0)
+            if ln > 0:
+                row[:ln] = codes[idx, sh : sh + ln]
+            codes[idx] = row
+            length[idx] = ln
+            rel[idx] = 0
+        pos = length > 0
+        rel, length, count, codes = (rel[pos], length[pos], count[pos],
+                                     codes[pos])
+
+    F = rel.shape[0]
+    g = rel // SB
+    tile_of = g // TILE_SB
+
+    breaks = [0]
+    cstart = 0
+    while cstart < F:
+        lim1 = cstart + fc - 1
+        lim2 = int(np.searchsorted(g, g[cstart] + g_max, side="left"))
+        lim3 = int(np.searchsorted(tile_of, tile_of[cstart] + 1, side="left"))
+        nxt = max(min(lim1, lim2, lim3, F), cstart + 1)
+        breaks.append(nxt)
+        cstart = nxt
+    n_chunks = max(len(breaks) - 1, 1)
+
+    meta = np.zeros((n_chunks, 4, fc), dtype=np.int32)
+    meta[:, 3, :] = g_max  # padded rows select no one-hot group
+    words = np.zeros((n_chunks * fc, SB // 16), dtype=np.int32)
+    all_words = (planar_pack128(codes) if F else
+                 np.zeros((0, SB // 16), dtype=np.int32))
+    bstarts = np.asarray(breaks[:-1], dtype=np.int64)
+    bends = np.asarray(breaks[1:], dtype=np.int64)
+    if F:
+        lens_c = bends - bstarts
+        ci_arr = np.repeat(np.arange(n_chunks), lens_c)
+        pos_arr = np.arange(F) - np.repeat(bstarts, lens_c)
+        base_g = g[bstarts]
+        meta[ci_arr, 0, pos_arr] = rel
+        meta[ci_arr, 1, pos_arr] = length
+        meta[ci_arr, 2, pos_arr] = count
+        meta[ci_arr, 3, pos_arr] = g - base_g[ci_arr]
+        meta[:, 0, fc - 1] = base_g  # row fc-1 is guaranteed padding
+        words[ci_arr * fc + pos_arr] = all_words
+        chunk_tile = tile_of[bstarts]
+    else:
+        chunk_tile = np.zeros(n_chunks, dtype=np.int64)
+
+    num_tiles = (window_len + tile - 1) // tile
+    c0 = np.searchsorted(chunk_tile[: len(breaks) - 1] if F else chunk_tile,
+                         np.arange(num_tiles), side="left")
+    c1 = np.searchsorted(chunk_tile[: len(breaks) - 1] if F else chunk_tile,
+                         np.arange(num_tiles), side="right")
+    if F == 0:
+        c0 = np.zeros(num_tiles, dtype=np.int64)
+        c1 = np.zeros(num_tiles, dtype=np.int64)
+    max_chunks = max(int((c1 - c0).max(initial=1)), 1)
+    return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
+            max_chunks)
+
+
+def pileup_pallas_v2(start, length, count, codes, window_start, window_len,
+                     interpret=None, packed=False):
+    """Pileup over 1-based [window_start, window_start + window_len)."""
+    from ..formats.pat import unpack_codes
+
+    if packed:
+        codes = unpack_codes(np.asarray(codes))
+    tile = SB * TILE_SB
+    c0, c1, meta, words, max_chunks = stage_v2(
+        start, length, count, codes, window_start, window_len, tile=tile
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    meth, cov = _call(
+        jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
+        jnp.asarray(words),
+        window_len, tile, FRAG_CHUNK, G_MAX, max_chunks, interpret,
+    )
+    return np.stack([np.asarray(meth), np.asarray(cov)], axis=1)

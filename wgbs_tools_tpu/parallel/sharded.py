@@ -9,8 +9,6 @@ segmentation costs reduce with `psum` over the samples axis (replacing the
 in-process dataset loop of segmentor.cpp:120-135).
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,7 +11,7 @@ import os.path as op
 
 import numpy as np
 
-from ..formats.pat import PatFrags, empty_frags, write_pat
+from ..formats.pat import empty_frags, write_pat
 from ..genome.refdir import Genome
 from ..utils import IllegalArgumentError, pretty_name
 from ..utils.log import logger

@@ -11,14 +11,11 @@
 
 import os.path as op
 
-import numpy as np
-
 from ..genome.refdir import Genome
 from ..utils import IllegalArgumentError
 from ..utils.log import logger
 from .bam import (
     BamReader,
-    BamRecord,
     EXCLUDE_FLAGS,
     FDUP,
     FPAIRED,

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..formats.pat import PatFrags
 from ..utils.log import logger
-from .bam import FPAIRED, FREVERSE
+from .bam import FREVERSE
 
 MAX_PE_PAT_LEN = 300  # ref: patter_utils.h:21
 

@@ -9,8 +9,6 @@ Pool becomes tile-parallelism inside the kernel / shards of a device mesh).
 
 import os.path as op
 
-import numpy as np
-
 from ..formats.beta import trim_to_uint
 from ..formats.pat import read_pat
 from ..ops.pileup import pileup_frags
