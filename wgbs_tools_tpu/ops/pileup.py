@@ -84,16 +84,22 @@ def pileup_xla(start, length, count, codes, window_start, window_len,
 def pileup_frags(frags: PatFrags, window, backend="auto", **kw):
     """Pileup a PatFrags batch over a 1-based [s, e) site window.
 
-    backend: "pallas" forces the TPU kernel (interpret mode off-TPU),
-    "xla" the scatter path; "auto" picks pallas on TPU, xla elsewhere.
+    backend: "pallas2" = sub-block grouped TPU kernel (fastest steady-state),
+    "pallas" = tile/halo TPU kernel, "xla" = scatter path; "auto" picks
+    pallas2 on TPU, xla elsewhere.
     """
     s, e = window
     n = e - s
     sel = frags.slice_sites(s, e, min_overlap=1) if frags.nr_frags else frags
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_pallas:
+    if backend == "auto":
+        backend = "pallas2" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas2":
+        from .pileup_tpu2 import pileup_pallas_v2
+
+        return pileup_pallas_v2(
+            sel.start, sel.length, sel.count, sel.codes, s, n, **kw
+        )
+    if backend == "pallas":
         from .pileup_tpu import pileup_pallas
 
         return pileup_pallas(

@@ -102,20 +102,16 @@ def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
         strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
 
         off0 = base_g * SB - i * tile
-
-        def add_strip(g, _):
+        # NOTE: unrolled on purpose — a fori_loop needs dynamic_slice on the
+        # strips, which Mosaic does not lower
+        for g in range(g_max):
             off = off0 + g * SB
             ok = (off >= 0) & (off + W2 <= acc_w)
             offc = pl.multiple_of(jnp.clip(off, 0, acc_w - W2), SB)
-            sm = jax.lax.dynamic_slice(strips_m, (g, 0), (1, W2))
-            sc = jax.lax.dynamic_slice(strips_c, (g, 0), (1, W2))
-            acc_m[:, pl.ds(offc, W2)] += jnp.where(ok, sm, 0.0).astype(
-                jnp.int32)
-            acc_c[:, pl.ds(offc, W2)] += jnp.where(ok, sc, 0.0).astype(
-                jnp.int32)
-            return 0
-
-        jax.lax.fori_loop(0, g_max, add_strip, 0)
+            add_m = jnp.where(ok, strips_m[g], 0.0).astype(jnp.int32)[None]
+            add_c = jnp.where(ok, strips_c[g], 0.0).astype(jnp.int32)[None]
+            acc_m[:, pl.ds(offc, W2)] += add_m
+            acc_c[:, pl.ds(offc, W2)] += add_c
 
     @pl.when(c == n_c - 1)
     def _():

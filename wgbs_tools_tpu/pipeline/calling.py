@@ -285,6 +285,90 @@ def call_read_nanopore(rec, loci, site_base, clip=0, np_thresh=0.667,
                         loci, site_base, clip=clip)
 
 
+def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
+                     clip=0):
+    """Vectorized calling of many CIGAR-normalized reads at once.
+
+    Exactly equivalent to per-read `call_read` (same masks/rules), but all
+    (read, CpG) pairs are processed in one numpy pass — the batched analogue
+    of patter's per-base scan. seqs_adj: list of bytes; returns a list of
+    (start_site, pattern bytes) | None entries.
+    """
+    R = len(seqs_adj)
+    if R == 0:
+        return []
+    lens = np.fromiter((len(s) for s in seqs_adj), dtype=np.int64, count=R)
+    Lmax = max(int(lens.max()), 1)
+    seqmat = np.zeros((R, Lmax), dtype=np.uint8)
+    for r, s in enumerate(seqs_adj):
+        seqmat[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    pos1 = np.asarray(positions, dtype=np.int64)  # 1-based start locus
+    flags = np.asarray(flags, dtype=np.int64)
+    if paired:
+        bottom = ((flags & 0x53) == 83) | ((flags & 0xA3) == 163)
+    else:
+        bottom = (flags & FREVERSE) != 0
+    shift = bottom.astype(np.int64)
+
+    k0 = np.searchsorted(loci, pos1, side="left")
+    k1 = np.searchsorted(loci, pos1 + lens, side="left")
+    counts = k1 - k0
+    P = int(counts.sum())
+    results = [None] * R
+    if P == 0:
+        return results
+    rid = np.repeat(np.arange(R), counts)
+    kk = (np.arange(P) - np.repeat(np.cumsum(counts) - counts, counts)
+          + np.repeat(k0, counts))
+    i = loci[kk].astype(np.int64) - pos1[rid]
+    j = i + shift[rid]
+    n_r = lens[rid]
+    jn = np.clip(j, 0, Lmax - 1)
+    s = seqmat[rid, jn]
+    bot = bottom[rid]
+
+    prev = seqmat[rid, np.clip(j - 1, 0, Lmax - 1)]
+    nxt = seqmat[rid, np.clip(j + 1, 0, Lmax - 1)]
+    iscpg = np.where(
+        bot,
+        (j > 0) & ((s == B_G) | (s == B_A)) & (prev == B_C),
+        (j < n_r - 1) & ((s == B_C) | (s == B_T)) & (nxt == B_G),
+    )
+    ref_chr = np.where(bot, B_G, B_C)
+    unmeth_chr = np.where(bot, B_A, B_T)
+    calls = np.full(P, ord("."), dtype=np.uint8)
+    calls[iscpg & (s == unmeth_chr)] = ord("T")
+    calls[iscpg & (s == ref_chr)] = ord("C")
+    if clip > 0:
+        clipped = ~((j >= clip) & (j < n_r - clip))
+        calls[clipped] = ord(".")
+    calls[(j < 0) | (j >= n_r)] = ord(".")
+
+    # per-read pattern extents over known calls
+    known = calls != ord(".")
+    if not known.any():
+        return results
+    idx = np.arange(P)
+    first = np.full(R, P + 1, dtype=np.int64)
+    last = np.full(R, -1, dtype=np.int64)
+    np.minimum.at(first, rid[known], idx[known])
+    np.maximum.at(last, rid[known], idx[known])
+    has = last >= 0
+    if not has.any():
+        return results
+    span = np.zeros(R, dtype=np.int64)
+    span[has] = last[has] - first[has] + 1
+    maxspan = int(span.max())
+    patmat = np.full((R, maxspan), ord("."), dtype=np.uint8)
+    sel = has[rid] & (idx >= np.where(has, first, 0)[rid]) & (idx <= last[rid])
+    patmat[rid[sel], idx[sel] - first[rid[sel]]] = calls[sel]
+    pat_trimmed = [bytes(patmat[r, : span[r]]) for r in range(R)]
+    # start site = global 1-based index of the first known call's CpG
+    for r in np.nonzero(has)[0]:
+        results[r] = (int(site_base + kk[first[r]]), pat_trimmed[r])
+    return results
+
+
 def call_records(records, loci, site_base, chrom_name, paired, clip=0,
                  min_cpg=1, stats=None, mbias=None, with_qname=False,
                  nanopore=False, np_thresh=0.667, cpc_call="C",
@@ -308,8 +392,41 @@ def call_records(records, loci, site_base, chrom_name, paired, clip=0,
         if with_qname:
             qnames.append(qname)
 
+    # batched pre-calling (fast path): mbias still runs per read because it
+    # accumulates inside call_read
+    precomputed = None
+    if not nanopore and mbias is None and records:
+        seqs, positions, flags, ok = [], [], [], []
+        for rec in records:
+            try:
+                seqs.append(clean_cigar(rec.seq, rec.cigar))
+                positions.append(rec.pos + 1)
+                flags.append(rec.flag)
+                ok.append(True)
+            except Exception as e:
+                stats.nr_invalid += 1
+                if stats.nr_invalid <= 20:
+                    logger.warning("[ %s ] invalid read %s: %s", chrom_name,
+                                   rec.qname, e)
+                ok.append(False)
+        batch = call_reads_batch(seqs, positions, flags, paired, loci,
+                                 site_base, clip=clip)
+        precomputed = {}
+        bi = 0
+        for rec, good in zip(records, ok):
+            precomputed[id(rec)] = batch[bi] if good else ("invalid",)
+            if good:
+                bi += 1
+
     def call_one(rec):
         stats.nr_lines += 1
+        if precomputed is not None:
+            res = precomputed[id(rec)]
+            if res == ("invalid",):
+                return None  # already counted
+            if res is None:
+                stats.nr_empty += 1
+            return res
         try:
             if nanopore:
                 res = call_read_nanopore(
