@@ -100,62 +100,86 @@ def parse_tag(blob, name):
 
 class BamReader:
     def __init__(self, path):
-        self._fh = open_maybe_gzip(path, "rb")
-        magic = self._fh.read(4)
-        if magic != b"BAM\x01":
+        # decompress the whole file up front (native multithreaded BGZF when
+        # available) and parse from the in-memory buffer — far fewer
+        # small-read syscalls than streaming through gzip
+        buf = None
+        try:
+            from ..native import bgzf_decompress_native
+
+            with open(path, "rb") as f:
+                raw = f.read()
+            if raw[:2] == b"\x1f\x8b":
+                buf = bgzf_decompress_native(raw)
+            else:
+                buf = raw
+        except Exception:
+            buf = None
+        if buf is None:
+            with open_maybe_gzip(path, "rb") as f:
+                buf = f.read()
+        self._buf = buf
+        if buf[:4] != b"BAM\x01":
             raise IllegalArgumentError(f"not a BAM file: {path}")
-        (l_text,) = struct.unpack("<i", self._fh.read(4))
-        self.header_text = self._fh.read(l_text).decode(errors="replace")
-        (n_ref,) = struct.unpack("<i", self._fh.read(4))
+        (l_text,) = struct.unpack_from("<i", buf, 4)
+        self.header_text = buf[8 : 8 + l_text].decode(errors="replace")
+        pos = 8 + l_text
+        (n_ref,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
         self.ref_names = []
         self.ref_lengths = []
         for _ in range(n_ref):
-            (l_name,) = struct.unpack("<i", self._fh.read(4))
-            self.ref_names.append(self._fh.read(l_name)[:-1].decode())
-            self.ref_lengths.append(struct.unpack("<i", self._fh.read(4))[0])
+            (l_name,) = struct.unpack_from("<i", buf, pos)
+            pos += 4
+            self.ref_names.append(buf[pos : pos + l_name - 1].decode())
+            pos += l_name
+            self.ref_lengths.append(struct.unpack_from("<i", buf, pos)[0])
+            pos += 4
+        self._records_off = pos
 
     def __iter__(self):
-        unpack = struct.unpack
-        read = self._fh.read
-        while True:
-            bs = read(4)
-            if len(bs) < 4:
+        unpack_from = struct.unpack_from
+        buf = self._buf
+        n = len(buf)
+        pos = self._records_off
+        while pos + 4 <= n:
+            (block_size,) = unpack_from("<i", buf, pos)
+            pos += 4
+            if pos + block_size > n:
                 return
-            (block_size,) = unpack("<i", bs)
-            data = read(block_size)
-            if len(data) < block_size:
-                return
-            (ref_id, pos, l_qname, mapq, _bin, n_cigar, flag, l_seq,
-             _nref, _npos, _tlen) = unpack("<iiBBHHHiiii", data[:32])
-            off = 32
-            qname = data[off : off + l_qname - 1].decode()
+            (ref_id, rpos, l_qname, mapq, _bin, n_cigar, flag, l_seq,
+             _nref, _npos, _tlen) = unpack_from("<iiBBHHHiiii", buf, pos)
+            off = pos + 32
+            qname = buf[off : off + l_qname - 1].decode()
             off += l_qname
-            cigar = []
-            for k in range(n_cigar):
-                (v,) = unpack("<I", data[off + 4 * k : off + 4 * k + 4])
-                cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+            cigar = [
+                (CIGAR_OPS[v & 0xF], v >> 4)
+                for v in unpack_from(f"<{n_cigar}I", buf, off)
+            ]
             off += 4 * n_cigar
             nbytes = (l_seq + 1) // 2
-            seq = _decode_seq(data[off : off + nbytes], l_seq)
+            seq = _decode_seq(buf[off : off + nbytes], l_seq)
             off += nbytes
-            qual = data[off : off + l_seq]
+            qual = buf[off : off + l_seq]
             off += l_seq
-            yield BamRecord(qname, flag, ref_id, pos, mapq, cigar, seq, qual,
-                            data[off:])
+            yield BamRecord(qname, flag, ref_id, rpos, mapq, cigar, seq, qual,
+                            buf[off : pos + block_size])
+            pos += block_size
 
     def close(self):
-        self._fh.close()
+        self._buf = b""
 
 
 _SEQ_LUT = np.frombuffer(SEQ_CODES.encode(), dtype=np.uint8)
+# byte -> two ASCII bases, as a uint16 LUT (single gather per record)
+_PAIR_LUT = np.zeros(256, dtype="<u2")
+for _b in range(256):
+    _PAIR_LUT[_b] = int(_SEQ_LUT[_b >> 4]) | (int(_SEQ_LUT[_b & 0xF]) << 8)
 
 
 def _decode_seq(packed, l_seq):
     b = np.frombuffer(packed, dtype=np.uint8)
-    out = np.empty(b.shape[0] * 2, dtype=np.uint8)
-    out[0::2] = _SEQ_LUT[b >> 4]
-    out[1::2] = _SEQ_LUT[b & 0xF]
-    return out[:l_seq].tobytes()
+    return _PAIR_LUT[b].tobytes()[:l_seq]
 
 
 def read_bam(path, chrom=None, min_mapq=0, exclude_flags=0):
