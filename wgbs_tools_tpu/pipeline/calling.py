@@ -162,6 +162,69 @@ def call_read(seq: bytes, start_locus: int, flag: int, paired: bool,
     return site_base + k0 + first, pattern
 
 
+def merge_pe_batch(pairs):
+    """Vectorized mate merging; same semantics as merge_pe per pair.
+
+    pairs: list of (r1, r2) where each element is (start, pattern) | None.
+    Returns list of merged (start, pattern) | None | ValueError (too-long).
+    """
+    out = [None] * len(pairs)
+    idxs, s1s, s2s, p1s, p2s = [], [], [], [], []
+    for i, (r1, r2) in enumerate(pairs):
+        if r1 is None and r2 is None:
+            continue
+        if r1 is None or r2 is None:
+            out[i] = r1 if r2 is None else r2
+            continue
+        if r1[0] > r2[0]:
+            r1, r2 = r2, r1
+        idxs.append(i)
+        s1s.append(r1[0])
+        s2s.append(r2[0])
+        p1s.append(r1[1])
+        p2s.append(r2[1])
+    if not idxs:
+        return out
+    n = len(idxs)
+    s1 = np.asarray(s1s, dtype=np.int64)
+    s2 = np.asarray(s2s, dtype=np.int64)
+    l1 = np.fromiter((len(p) for p in p1s), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(p) for p in p2s), dtype=np.int64, count=n)
+    last = np.maximum(s1 + l1, s2 + l2)
+    width = last - s1
+    too_long = width > MAX_PE_PAT_LEN
+    W = int(np.minimum(width, MAX_PE_PAT_LEN).max())
+    A = np.full((n, W), ord("."), dtype=np.uint8)
+    B = np.full((n, W), ord("."), dtype=np.uint8)
+    cols = np.arange(W)[None, :]
+    # place p1 at 0 and p2 at its offset
+    for k, p in enumerate(p1s):
+        if not too_long[k]:
+            A[k, : len(p)] = np.frombuffer(p, dtype=np.uint8)
+    off = s2 - s1
+    for k, p in enumerate(p2s):
+        if not too_long[k]:
+            B[k, off[k] : off[k] + len(p)] = np.frombuffer(p, dtype=np.uint8)
+    dot = ord(".")
+    merged = np.where(A == dot, B,
+                      np.where((B != dot) & (A != B), dot, A))
+    in_range = cols < width[:, None]
+    merged[~in_range] = dot
+    rows = merged.view(f"S{W}").ravel()
+    for k, i in enumerate(idxs):
+        if too_long[k]:
+            out[i] = ValueError("invalid pairing. merged read is too long")
+            continue
+        m = rows[k][: width[k]]
+        stripped = m.strip(b".")
+        if not stripped:
+            out[i] = None
+            continue
+        lead = len(m) - len(m.lstrip(b"."))
+        out[i] = (int(s1[k]) + lead, stripped)
+    return out
+
+
 def merge_pe(r1, r2):
     """Merge two called mates (ref: patter_utils.cpp:292-342).
 
@@ -452,18 +515,28 @@ def call_records(records, loci, site_base, chrom_name, paired, clip=0,
             emit(call_one(rec), rec.qname)
     else:
         pending = {}
+        pair_list = []
         for rec in records:
             if rec.qname in pending:
-                mate = pending.pop(rec.qname)
+                pair_list.append((pending.pop(rec.qname), rec))
                 stats.nr_pairs += 1
+            else:
+                pending[rec.qname] = rec
+        if precomputed is not None:
+            pair_res = [(call_one(a), call_one(b)) for a, b in pair_list]
+            for (a, b), m in zip(pair_list, merge_pe_batch(pair_res)):
+                if isinstance(m, ValueError):
+                    stats.nr_invalid += 2
+                else:
+                    emit(m, b.qname)
+        else:
+            for mate, rec in pair_list:
                 r1 = call_one(mate)
                 r2 = call_one(rec)
                 try:
                     emit(merge_pe(r1, r2), rec.qname)
                 except ValueError:
                     stats.nr_invalid += 2
-            else:
-                pending[rec.qname] = rec
         for qname, rec in pending.items():  # unpaired singles
             emit(call_one(rec), qname)
 
