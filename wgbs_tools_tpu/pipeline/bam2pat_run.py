@@ -170,6 +170,7 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
                 else:
                     stats.nr_bad_conv += 1
             records = kept
+        before = stats.snapshot()
         starts, patterns, qnames = call_records(
             records, loci, site_base, chrom, paired, clip=clip,
             min_cpg=min_cpg, stats=stats, mbias=mbias, with_qname=with_qname,
@@ -179,7 +180,7 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         frags = rows_to_frags(starts, patterns, chrom, qnames)
         if frags.nr_frags:
             parts.append(frags.sort().collapse())
-        logger.info("bam2pat: %s", stats.summary(chrom))
+        logger.info("bam2pat: %s", stats.summary(chrom, since=before))
 
     if parts:
         from ..cli.cmd_pat import _concat_frags

@@ -37,14 +37,25 @@ class ReadStats:
         self.nr_invalid = 0
         self.nr_bad_conv = 0
 
-    def summary(self, chrom=""):
-        good = self.nr_lines - self.nr_empty - self.nr_invalid
-        rate = (100.0 * (1 - self.nr_invalid / self.nr_lines)
-                if self.nr_lines else 0)
-        return (f"[ {chrom} ] finished {self.nr_lines:,} lines. "
-                f"({self.nr_pairs:,} pairs). {good:,} good, "
-                f"{self.nr_empty:,} empty, {self.nr_short:,} short, "
-                f"{self.nr_invalid:,} invalid. (success {rate:.0f}%)")
+    def snapshot(self):
+        out = ReadStats()
+        out.__dict__.update(self.__dict__)
+        return out
+
+    def summary(self, chrom="", since=None):
+        """Per-chromosome summary; `since` subtracts an earlier snapshot so
+        multi-chromosome runs report per-chromosome counts like the
+        reference's per-process patter does (ref: patter.cpp:298-316)."""
+        d = dict(self.__dict__)
+        if since is not None:
+            d = {k: v - since.__dict__[k] for k, v in d.items()}
+        good = d["nr_lines"] - d["nr_empty"] - d["nr_invalid"]
+        rate = (100.0 * (1 - d["nr_invalid"] / d["nr_lines"])
+                if d["nr_lines"] else 0)
+        return (f"[ {chrom} ] finished {d['nr_lines']:,} lines. "
+                f"({d['nr_pairs']:,} pairs). {good:,} good, "
+                f"{d['nr_empty']:,} empty, {d['nr_short']:,} short, "
+                f"{d['nr_invalid']:,} invalid. (success {rate:.0f}%)")
 
 
 def clean_cigar(seq: bytes, cigar) -> bytes:
