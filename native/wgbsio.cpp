@@ -342,3 +342,67 @@ int bgzf_decompress_mt(const uint8_t* data, int64_t len, const int64_t* in_offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BAM record scan (columnar)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+// Count records in a decompressed BAM buffer starting at `off` (first record).
+int64_t bam_count(const uint8_t* buf, int64_t len, int64_t off) {
+    int64_t n = 0;
+    while (off + 4 <= len) {
+        int32_t bs;
+        memcpy(&bs, buf + off, 4);
+        if (bs < 32 || off + 4 + bs > len) break;
+        off += 4 + bs;
+        n++;
+    }
+    return n;
+}
+
+// Fill columnar arrays for n records:
+//   cols: int32 [n, 8] = ref_id, pos, flag, mapq, l_seq, n_cigar,
+//                        first_cigar_word, block_end_offset_low32 (unused=0)
+//   offs: int64 [n, 5] = qname_off, cigar_off, seq_off, qual_off, tags_off
+//   (tags end at the next record's start - can be derived from offs[n+1])
+// Returns number scanned.
+int64_t bam_scan(const uint8_t* buf, int64_t len, int64_t off, int64_t n,
+                 int32_t* cols, int64_t* offs, int64_t* rec_end) {
+    int64_t i = 0;
+    while (i < n && off + 4 <= len) {
+        int32_t bs;
+        memcpy(&bs, buf + off, 4);
+        if (bs < 32 || off + 4 + bs > len) break;
+        const uint8_t* p = buf + off + 4;
+        int32_t ref_id, pos, l_seq;
+        memcpy(&ref_id, p, 4);
+        memcpy(&pos, p + 4, 4);
+        uint8_t l_qname = p[8];
+        uint8_t mapq = p[9];
+        uint16_t n_cigar, flag;
+        memcpy(&n_cigar, p + 12, 2);
+        memcpy(&flag, p + 14, 2);
+        memcpy(&l_seq, p + 16, 4);
+        int64_t qname_off = off + 4 + 32;
+        int64_t cigar_off = qname_off + l_qname;
+        int64_t seq_off = cigar_off + 4LL * n_cigar;
+        int64_t qual_off = seq_off + (l_seq + 1) / 2;
+        int64_t tags_off = qual_off + l_seq;
+        int32_t first_cigar = 0;
+        if (n_cigar > 0) memcpy(&first_cigar, buf + cigar_off, 4);
+        int32_t* c = cols + i * 8;
+        c[0] = ref_id; c[1] = pos; c[2] = flag; c[3] = mapq;
+        c[4] = l_seq; c[5] = n_cigar; c[6] = first_cigar; c[7] = l_qname;
+        int64_t* o = offs + i * 5;
+        o[0] = qname_off; o[1] = cigar_off; o[2] = seq_off; o[3] = qual_off;
+        o[4] = tags_off;
+        rec_end[i] = off + 4 + bs;
+        off += 4 + bs;
+        i++;
+    }
+    return i;
+}
+
+}  // extern "C"

@@ -30,7 +30,7 @@ def main(argv):
         out = open(args.out_path, "w") if args.out_path else sys.stdout
         try:
             view_beta_text(args.input_file, genome, region=args.region,
-                           sites=args.sites, out=out)
+                           sites=args.sites, bed_file=args.bed_file, out=out)
         finally:
             if args.out_path:
                 out.close()

@@ -58,8 +58,11 @@ def view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
     return frags
 
 
-def view_beta_text(beta_path, genome, region=None, sites=None, out=None):
-    """beta -> text rows `chr  loc-1  loc+1  meth  cov`."""
+def view_beta_text(beta_path, genome, region=None, sites=None, bed_file=None,
+                   out=None):
+    """beta -> text rows `chr  loc-1  loc+1  meth  cov`, optionally
+    restricted to bed regions (replaces the reference's
+    `| bedtools intersect` post-filter, ref: view.py:47-50)."""
     out = out or sys.stdout
     gr = GenomicRegion(region=region, sites=sites, genome=genome)
     idx = genome.index
@@ -71,8 +74,23 @@ def view_beta_text(beta_path, genome, region=None, sites=None, out=None):
     loci = idx.loci[s - 1 : e - 1]
     cids = idx.site2chrom_id(np.arange(s, e))
     names = idx.chrom_names
+    keep = None
+    if bed_file is not None:
+        blocks = load_blocks(bed_file)
+        valid = blocks["startCpG"] >= 0
+        bstart = blocks["startCpG"][valid]
+        bend = blocks["endCpG"][valid]
+        order = np.argsort(bstart, kind="stable")
+        bstart, bend = bstart[order], bend[order]
+        site_ids = np.arange(s, e)
+        j = np.searchsorted(bstart, site_ids, side="right") - 1
+        jc = np.clip(j, 0, max(len(bstart) - 1, 0))
+        be_max = np.maximum.accumulate(bend) if len(bend) else bend
+        keep = (j >= 0) & (len(bend) > 0) & (site_ids < be_max[jc])
     lines = []
     for i in range(e - s):
+        if keep is not None and not keep[i]:
+            continue
         loc = int(loci[i])
         lines.append(
             f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{data[i, 0]}\t{data[i, 1]}"

@@ -50,6 +50,8 @@ def get_lib():
     lib.bgzf_compress_mt.restype = i64
     lib.bgzf_scan_blocks.restype = i64
     lib.bgzf_decompress_mt.restype = ctypes.c_int
+    lib.bam_count.restype = i64
+    lib.bam_scan.restype = i64
     _LIB = lib
     return _LIB
 
@@ -135,6 +137,33 @@ def bgzf_compress_native(data: bytes, n_threads=None):
     if w < 0:
         return None
     return out.raw[:w]
+
+
+def bam_scan_native(buf: bytes, records_off: int):
+    """Columnar scan of a decompressed BAM record region.
+
+    Returns (cols int32 [n, 8], offs int64 [n, 5], rec_end int64 [n]) where
+    cols = [ref_id, pos, flag, mapq, l_seq, n_cigar, first_cigar, l_qname]
+    and offs = [qname, cigar, seq, qual, tags] byte offsets, or None.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = lib.bam_count(buf, ctypes.c_int64(len(buf)),
+                      ctypes.c_int64(records_off))
+    if n < 0:
+        return None
+    n = int(n)
+    cols = np.zeros((max(n, 1), 8), dtype=np.int32)
+    offs = np.zeros((max(n, 1), 5), dtype=np.int64)
+    rec_end = np.zeros(max(n, 1), dtype=np.int64)
+    got = lib.bam_scan(buf, ctypes.c_int64(len(buf)),
+                       ctypes.c_int64(records_off), ctypes.c_int64(n),
+                       _ptr(cols, ctypes.c_int32), _ptr(offs, ctypes.c_int64),
+                       _ptr(rec_end, ctypes.c_int64))
+    if got != n:
+        return None
+    return cols[:n], offs[:n], rec_end[:n]
 
 
 def bgzf_decompress_native(data: bytes, n_threads=None):

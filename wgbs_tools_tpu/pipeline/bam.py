@@ -138,6 +138,42 @@ class BamReader:
         self._records_off = pos
 
     def __iter__(self):
+        # columnar native scan when available (one C pass instead of
+        # per-record struct.unpack)
+        try:
+            from ..native import bam_scan_native
+
+            scanned = bam_scan_native(self._buf, self._records_off)
+        except Exception:
+            scanned = None
+        if scanned is not None:
+            yield from self._iter_scanned(*scanned)
+            return
+        yield from self._iter_python()
+
+    def _iter_scanned(self, cols, offs, rec_end):
+        buf = self._buf
+        ops = CIGAR_OPS
+        unpack_from = struct.unpack_from
+        for i in range(cols.shape[0]):
+            (ref_id, rpos, flag, mapq, l_seq, n_cigar, first_cigar,
+             l_qname) = cols[i]
+            qo, co, so, uo, to = offs[i]
+            qname = buf[qo : qo + l_qname - 1].decode()
+            if n_cigar == 1:
+                v = int(np.uint32(first_cigar))
+                cigar = [(ops[v & 0xF], v >> 4)]
+            else:
+                cigar = [
+                    (ops[v & 0xF], v >> 4)
+                    for v in unpack_from(f"<{n_cigar}I", buf, co)
+                ]
+            seq = _decode_seq(buf[so:uo], int(l_seq))
+            yield BamRecord(qname, int(flag), int(ref_id), int(rpos),
+                            int(mapq), cigar, seq, buf[uo:to],
+                            buf[to : rec_end[i]])
+
+    def _iter_python(self):
         unpack_from = struct.unpack_from
         buf = self._buf
         n = len(buf)
