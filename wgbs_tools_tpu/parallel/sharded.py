@@ -52,26 +52,36 @@ def _segment_cost_local(counts, loci, W, max_bp, pc):
     """(S, W) float32 cost rows (ascending-k order) from local counts.
 
     counts: (S, 2) int32 — local-sample partial counts; the caller psums the
-    returned rows over the samples axis before the DP.
+    returned rows over the samples axis before the DP. Window prefix values
+    come from gather-free Hankel skews (see models/segment.py — TPU gathers
+    were 40x slower).
     """
+    from ..models.segment import _hankel
+
     S = counts.shape[0]
     ps = jnp.concatenate(
         [jnp.zeros((1, 2), jnp.int32), jnp.cumsum(counts, axis=0,
                                                   dtype=jnp.int32)], axis=0
     )
-    I = jnp.arange(S, dtype=jnp.int32)[:, None]
-    Wv = (W - 1) - jnp.arange(W, dtype=jnp.int32)[None, :]
-    Kk = I - Wv
-    valid = Kk >= 0
-    Kc = jnp.where(valid, Kk, 0)
-    nm = (ps[I + 1, 0] - ps[Kc, 0]).astype(jnp.float32)
-    nt = (ps[I + 1, 1] - ps[Kc, 1]).astype(jnp.float32)
+    valid = (
+        jnp.arange(S, dtype=jnp.int32)[:, None]
+        - (W - 1) + jnp.arange(W, dtype=jnp.int32)[None, :]
+    ) >= 0
+
+    def window_vals(vec, fill):
+        pad = jnp.full(W - 1, fill, dtype=vec.dtype)
+        return _hankel(jnp.concatenate([pad, vec]), S, W)
+
+    nm = (ps[1:, 0][:, None] - window_vals(ps[: S + 1, 0], 0)).astype(
+        jnp.float32)
+    nt = (ps[1:, 1][:, None] - window_vals(ps[: S + 1, 1], 0)).astype(
+        jnp.float32)
     pcf = jnp.float32(pc)
     p = (nm + pcf) / (nt + 2 * pcf)
     ll = nm * _log2s(p) + (nt - nm) * _log2s(1.0 - p)
     ll = jnp.where(nt == 0, 0.0, ll)
     if max_bp:
-        dist = loci[I] - loci[Kc]
+        dist = loci[:, None] - window_vals(loci, loci[0])
         ll = jnp.where(dist > max_bp, -jnp.inf, ll)
     return jnp.where(valid, ll, -jnp.inf)
 
