@@ -1,0 +1,108 @@
+"""find_markers conformance vs the reference Python implementation.
+
+The reference's marker scan needs no external tools (it reads blocks and
+beta files directly), so it runs as-is with PYTHONPATH pointed at
+/root/reference/src/python and serves as a full-pipeline oracle.
+"""
+
+import os
+import os.path as op
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from wgbs_tools_tpu.formats.beta import save_beta
+from wgbs_tools_tpu.models.markers import MarkerParams, find_markers
+
+REF_PY = "/root/reference/src/python"
+
+
+@pytest.fixture(scope="module")
+def marker_data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("markers")
+    rng = np.random.default_rng(77)
+    n_sites = 5000
+    n_blocks = 120
+    bounds = np.sort(rng.choice(np.arange(2, n_sites - 1), size=n_blocks + 1,
+                                replace=False))
+    starts, ends = bounds[:-1], bounds[1:]
+    with open(d / "blocks.bed", "w") as f:
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            f.write(f"chr1\t{s * 20}\t{e * 20}\t{s}\t{e}\n")
+
+    # two groups; group B hypermethylated in a subset of blocks
+    hyper = rng.random(n_blocks) < 0.3
+    site_block = np.searchsorted(starts, np.arange(1, n_sites + 1),
+                                 side="right") - 1
+    in_hyper = (site_block >= 0) & hyper[np.clip(site_block, 0, n_blocks - 1)]
+    betas = []
+    rows = ["name,group"]
+    for gi, gname in ((0, "A"), (1, "B")):
+        for k in range(3):
+            base = rng.random(n_sites) * 0.2 + (0.1 if gi == 0 else 0.1)
+            p = np.where(in_hyper & (gi == 1), 0.85, base)
+            cov = rng.integers(5, 30, size=n_sites)
+            meth = rng.binomial(cov, p)
+            name = f"s{gname}{k}"
+            path = str(d / f"{name}.beta")
+            save_beta(path, np.stack([meth, cov], axis=1))
+            betas.append(path)
+            rows.append(f"{name},{gname}")
+    (d / "groups.csv").write_text("\n".join(rows) + "\n")
+    return d, betas
+
+
+ARGS = [
+    "--delta_means", "0.2", "-c", "3", "--pval", "0.05",
+    "--na_rate_tg", "0.5", "--na_rate_bg", "0.5", "--test_type", "t",
+]
+
+
+def run_reference(d, betas, out_dir):
+    env = dict(os.environ, PYTHONPATH=REF_PY)
+    cmd = [sys.executable, op.join(REF_PY, "find_markers.py"),
+           "--blocks_path", str(d / "blocks.bed"),
+           "--groups_file", str(d / "groups.csv"),
+           "--betas"] + betas + ["-o", out_dir] + ARGS
+    p = subprocess.run(cmd, env=env, capture_output=True)
+    if p.returncode != 0:
+        pytest.skip(f"reference find_markers unavailable: "
+                    f"{p.stderr.decode()[:300]}")
+    return out_dir
+
+
+def load_markers(path):
+    rows = {}
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        for line in f:
+            t = dict(zip(header, line.rstrip("\n").split("\t")))
+            key = (t["startCpG"], t["endCpG"], t["direction"])
+            rows[key] = t
+    return rows
+
+
+def test_find_markers_matches_reference(marker_data, tmp_path):
+    d, betas = marker_data
+    ref_out = run_reference(d, betas, str(tmp_path / "ref"))
+
+    params = MarkerParams(
+        delta_means=0.2, min_cov=3, pval=0.05, na_rate_tg=0.5,
+        na_rate_bg=0.5, test_type="t", out_dir=str(tmp_path / "mine"),
+    )
+    find_markers(params, betas, blocks_path=str(d / "blocks.bed"),
+                 groups_file=str(d / "groups.csv"))
+
+    for group in ("A", "B"):
+        ref = load_markers(op.join(ref_out, f"Markers.{group}.bed"))
+        mine = load_markers(str(tmp_path / "mine" / f"Markers.{group}.bed"))
+        assert set(mine) == set(ref), (
+            f"group {group}: marker sets differ "
+            f"(mine-only={set(mine)-set(ref)}, ref-only={set(ref)-set(mine)})"
+        )
+        for key in ref:
+            for col in ("tg_mean", "bg_mean", "delta_means", "ttest"):
+                a, b = float(mine[key][col]), float(ref[key][col])
+                assert abs(a - b) < 2e-3, (group, key, col, a, b)
