@@ -25,6 +25,13 @@ sys.path.insert(0, op.dirname(op.abspath(__file__)))
 
 import numpy as np
 
+# persistent compile cache (a no-op if the PJRT backend can't serialize
+# executables; saves the multi-minute remote compile when it can)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    op.join(op.dirname(op.abspath(__file__)), ".jax_cache"),
+)
+
 N_FRAGS = int(os.environ.get("BENCH_FRAGS", 2_000_000))
 N_SITES = int(os.environ.get("BENCH_SITES", 4_000_000))
 MAX_LEN = 24
