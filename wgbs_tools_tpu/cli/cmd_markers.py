@@ -102,9 +102,9 @@ def main_test_bimodal(argv):
     pvals = []
     rows = []
     for s, e in regions:
-        frags = view_pat(args.pat, g, sites=f"{s}-{e}", strict=True,
-                         min_len=args.min_len)
-        res = test_bimodal_region(frags, s, e, max_iter=args.max_iter)
+        frags = view_pat(args.pat, g, sites=f"{s}-{e}")
+        res = test_bimodal_region(frags, s, e, max_iter=args.max_iter,
+                                  strict=True, min_len=args.min_len)
         rows.append((s, e, res))
         pvals.append(res["pval"])
     # BH correction across regions (ref: test_bimodal.py multiple-testing)

@@ -12,29 +12,50 @@ import numpy as np
 from ..formats.pat import CODE_C, CODE_T
 
 
-def frags_to_matrix(frags, start, end):
+def frags_to_matrix(frags, start, end, strict=True, min_len=1):
     """Expand fragments into a (reads, cpgs) call matrix with repeats.
 
-    Values: CODE_C / CODE_T kept; everything else -> 3 (missing).
+    Exact reference semantics (ref: test_bimodal.py:25-69): reads ending at
+    or before `start` are dropped; strict mode clips to [start, end) and
+    min_len gates on the CLIPPED length; the matrix spans from the first
+    kept read's (clipped) start to the max PRE-clip read end — both the
+    trailing all-missing columns and all-missing rows are retained because
+    they enter the chi^2 degrees of freedom / per-read mixture terms.
     """
-    n_cpgs = end - start
-    total_reads = int(frags.count.sum())
-    mat = np.full((total_reads, n_cpgs), 3, dtype=np.uint8)
-    row = 0
+    entries = []  # (clipped_start, codes, count)
+    first_ind = None
+    max_ind = 0
     for i in range(frags.nr_frags):
-        s = int(frags.start[i]) - start
+        s = int(frags.start[i])
         ln = int(frags.length[i])
-        lo = max(s, 0)
-        hi = min(s + ln, n_cpgs)
-        if hi <= lo:
+        codes = frags.codes[i, :ln]
+        cur_end = s + ln
+        if cur_end <= start:
             continue
-        codes = frags.codes[i, lo - s : hi - s]
-        for _ in range(int(frags.count[i])):
-            mat[row, lo:hi] = codes
+        if strict:
+            if s < start:
+                codes = codes[start - s :]
+                s = start
+            if s + len(codes) > end:
+                codes = codes[: end - s]
+        if len(codes) < min_len:
+            continue
+        if first_ind is None:
+            first_ind = s
+        max_ind = max(max_ind, cur_end)
+        entries.append((s, codes, int(frags.count[i])))
+    if first_ind is None:
+        return np.zeros((0, 0), dtype=np.uint8)
+    n_cpgs = max_ind - first_ind
+    total = sum(c for _, _, c in entries)
+    mat = np.full((total, n_cpgs), 3, dtype=np.uint8)
+    row = 0
+    for s, codes, count in entries:
+        col = s - first_ind
+        for _ in range(count):
+            mat[row, col : col + len(codes)] = codes
             row += 1
-    mat = mat[:row]
-    informative = ((mat == CODE_C) | (mat == CODE_T)).any(axis=1)
-    return mat[informative]
+    return mat
 
 
 def _initial_ll(is_c, is_t):
@@ -87,11 +108,12 @@ def _em(is_c, is_t, max_iter=100):
     return ll, theta
 
 
-def test_bimodal_region(frags, start, end, max_iter=100):
+def test_bimodal_region(frags, start, end, max_iter=100, strict=True,
+                        min_len=1):
     """Returns {pval, nr_reads, theta1, theta2, ll0, ll1}."""
     from scipy import stats
 
-    mat = frags_to_matrix(frags, start, end)
+    mat = frags_to_matrix(frags, start, end, strict=strict, min_len=min_len)
     if mat.shape[0] == 0:
         return dict(pval=1.0, nr_reads=0, theta1=np.nan, theta2=np.nan,
                     ll0=np.nan, ll1=np.nan)
