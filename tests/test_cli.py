@@ -236,3 +236,30 @@ def test_bad_command(capsys):
     assert cli_main(["segmnt"]) == 1
     err = capsys.readouterr().err
     assert "did you mean" in err
+
+
+def test_pat_fig_cli(workdir, mini_genome):
+    idx = mini_genome.index
+    s1, _ = idx.chrom_site_bounds("chr1")
+    out = str(workdir / "fig.png")
+    assert cli_main(["pat_fig", str(workdir / "sample.pat.gz"),
+                     "-s", f"{s1}-{s1+40}", "-o", out]) == 0
+    assert op.isfile(out)
+
+
+def test_set_default_ref_switch(mini_genome, capsys):
+    assert cli_main(["set_default_ref", "-ls"]) == 0
+    out = capsys.readouterr().out
+    assert "mini *" in out
+    assert cli_main(["set_default_ref", "mini"]) == 0
+
+
+def test_pat2pairs_cli(workdir, mini_genome):
+    assert cli_main(["pat2pairs", str(workdir / "sample.pat.gz"),
+                     "-o", str(workdir), "-f"]) == 0
+    import numpy as np
+
+    pairs = np.fromfile(str(workdir / "sample.pairs"),
+                        dtype=np.uint32).reshape(-1, 4)
+    assert pairs.shape[0] == mini_genome.get_nr_sites()
+    assert pairs.sum() > 0
