@@ -148,3 +148,15 @@ def test_mask_sites_vs_oracle(tmp_path, rng):
     expect = run_oracle("mask_pat", [bed], frags_to_bytes(frags))
     got = mask_sites(frags, bs, be)
     assert norm(frags_to_bytes(got)) == norm(expect)
+
+
+@pytest.mark.parametrize("inclusive", [False, True])
+def test_homog_jax_backend_matches_numpy(tmp_path, rng, inclusive):
+    frags = random_frags(rng, 900, 4000, max_len=12, dot_rate=0.1,
+                         meth_rate=0.5, h_rate=0.05)
+    bs, be = make_blocks(rng, 25, 4000, min_len=3, max_len=30)
+    rvec = [0.0, 0.34, 0.66, 1.0]
+    a = homog_counts(frags, bs, be, rvec, min_cpgs=4, inclusive=inclusive)
+    b = homog_counts(frags, bs, be, rvec, min_cpgs=4, inclusive=inclusive,
+                     backend="jax")
+    assert (a == b).all()

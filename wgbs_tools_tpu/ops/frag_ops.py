@@ -123,7 +123,7 @@ def filter_by_blocks(frags: PatFrags, bstart, bend, strict=False, strip=False,
 
 
 def homog_counts(frags: PatFrags, bstart, bend, ranges, min_cpgs=5,
-                 inclusive=False):
+                 inclusive=False, backend="numpy"):
     """Per-block counts of reads binned by their methylation fraction.
 
     ranges: monotone float boundaries starting at 0 and ending at 1, e.g.
@@ -131,8 +131,14 @@ def homog_counts(frags: PatFrags, bstart, bend, ranges, min_cpgs=5,
     (ref: homog.cpp:154-196): H counts as C; nrC+nrT >= min_cpgs; bin b where
     ranges[b] <= nrC/(nrC+nrT) < ranges[b+1], last bin right-inclusive.
 
+    backend="jax" runs the per-pair clip/count/bin/scatter on device
+    (segment-sum over (read, block) overlap pairs).
+
     Returns int64 (n_blocks, len(ranges)-1).
     """
+    if backend == "jax":
+        return _homog_counts_jax(frags, bstart, bend, ranges, min_cpgs,
+                                 inclusive)
     ranges = np.asarray(ranges, dtype=np.float32)
     if ranges[0] != 0 or ranges[-1] != 1 or (np.diff(ranges) <= 0).any():
         raise IllegalArgumentError("Invalid range - must start with 0, end with 1")
@@ -183,6 +189,85 @@ def homog_counts(frags: PatFrags, bstart, bend, ranges, min_cpgs=5,
     flat = bi[keep] * nbins + bins
     np.add.at(out.reshape(-1), flat, frags.count[fi][keep])
     return out
+
+
+def _homog_kernel_jax():
+    """Build (once) the jitted device kernel for homog counting."""
+    global _HOMOG_KERNEL
+    if _HOMOG_KERNEL is not None:
+        return _HOMOG_KERNEL
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n_blocks", "n_bins"))
+    def kernel(codes, off, length, len_gate, counts, bi, ranges, min_cpgs,
+               n_blocks, n_bins):
+        L = codes.shape[1]
+        cols = jnp.arange(L)[None, :]
+        in_clip = (cols >= off[:, None]) & (cols < (off + length)[:, None])
+        is_c = ((codes == CODE_C) | (codes == CODE_H)) & in_clip
+        is_t = (codes == CODE_T) & in_clip
+        nrC = is_c.sum(axis=1).astype(jnp.float32)
+        nrT = is_t.sum(axis=1).astype(jnp.float32)
+        informative = nrC + nrT
+        keep = ((len_gate >= min_cpgs) & (informative >= min_cpgs)
+                & (informative > 0))
+        meth = nrC / jnp.maximum(informative, 1.0)
+        bins = jnp.searchsorted(ranges, meth, side="right") - 1
+        bins = jnp.minimum(bins, n_bins - 1)
+        flat = jnp.where(keep, bi * n_bins + bins, n_blocks * n_bins)
+        return jax.ops.segment_sum(
+            jnp.where(keep, counts, 0), flat,
+            num_segments=n_blocks * n_bins + 1,
+        )[: n_blocks * n_bins].reshape(n_blocks, n_bins)
+
+    _HOMOG_KERNEL = kernel
+    return kernel
+
+
+_HOMOG_KERNEL = None
+
+
+def _homog_counts_jax(frags, bstart, bend, ranges, min_cpgs, inclusive):
+    """Device path of homog_counts: identical semantics, jnp reductions +
+    segment-sum scatter over the (read, block) pairs."""
+    import jax.numpy as jnp
+
+    ranges = np.asarray(ranges, dtype=np.float32)
+    nbins = ranges.shape[0] - 1
+    B = len(np.asarray(bstart))
+    if frags.nr_frags == 0 or B == 0:
+        return np.zeros((B, nbins), dtype=np.int64)
+    fi, bi = overlap_pairs(frags, bstart, bend)
+    if fi.shape[0] == 0:
+        return np.zeros((B, nbins), dtype=np.int64)
+    bstart = np.asarray(bstart, dtype=np.int64)
+    bend = np.asarray(bend, dtype=np.int64)
+    s = frags.start.astype(np.int64)[fi]
+    ln = frags.length.astype(np.int64)[fi]
+    if inclusive:
+        off = np.zeros_like(s)
+        length = ln
+        len_gate = ln
+    else:
+        os_ = np.maximum(s, bstart[bi])
+        oe = np.minimum(s + ln, bend[bi])
+        off = os_ - s
+        length = oe - os_
+        len_gate = length
+
+    kernel = _homog_kernel_jax()
+    out = kernel(
+        jnp.asarray(frags.codes[fi]), jnp.asarray(off.astype(np.int32)),
+        jnp.asarray(length.astype(np.int32)),
+        jnp.asarray(len_gate.astype(np.int32)),
+        jnp.asarray(frags.count[fi].astype(np.int32)),
+        jnp.asarray(bi.astype(np.int32)), jnp.asarray(ranges),
+        np.int32(min_cpgs), B, int(nbins),
+    )
+    return np.asarray(out, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
