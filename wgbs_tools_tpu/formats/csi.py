@@ -1,0 +1,172 @@
+"""CSI (coordinate-sorted index) writer/reader for pat.gz files.
+
+The reference indexes pat files with external `tabix -C -b 2 -e 2`
+(ref: src/python/index.py:126-139). This module emits the same .csi sidecar
+natively (htslib CSI v1 layout, min_shift=14, depth=5, tabix aux header) so
+external htslib/tabix/wgbstools installations can random-access our output;
+internally the .cdx sidecar remains the fast path.
+
+Each pat record covers the single base [start-1, start) of its startCpG
+column (tabix preset: TBX_GENERIC, seq col 1, begin/end col 2).
+"""
+
+import struct
+
+import numpy as np
+
+from .bgzf import BgzfWriter
+
+MIN_SHIFT = 14
+DEPTH = 5
+TBX_PRESET = 0  # generic
+CSI_MAGIC = b"CSI\x01"
+
+
+def reg2bin(beg, end):
+    """htslib hts_reg2bin for min_shift=14, depth=5 (vectorized)."""
+    beg = np.asarray(beg, dtype=np.int64)
+    end = np.asarray(end, dtype=np.int64) - 1
+    out = np.zeros(beg.shape, dtype=np.int64)
+    done = np.zeros(beg.shape, dtype=bool)
+    s = MIN_SHIFT
+    t = ((1 << (DEPTH * 3)) - 1) // 7
+    for l in range(DEPTH, 0, -1):
+        hit = (~done) & ((beg >> s) == (end >> s))
+        out[hit] = t + (beg[hit] >> s)
+        done |= hit
+        s += 3
+        t -= 1 << ((l - 1) * 3)
+    return out
+
+
+def write_csi(path, chrom_names, rec_chrom_ids, rec_begs, rec_voffs,
+              rec_voff_ends):
+    """Write <path> (BGZF-wrapped CSI).
+
+    rec_chrom_ids: int per record (index into chrom_names, grouped);
+    rec_begs: 0-based begin coordinate per record; rec_voffs/_ends: virtual
+    offset range of each record's bytes in the data file.
+    """
+    n_ref = len(chrom_names)
+    rec_chrom_ids = np.asarray(rec_chrom_ids)
+    rec_begs = np.asarray(rec_begs, dtype=np.int64)
+    bins_per_rec = reg2bin(rec_begs, rec_begs + 1)
+
+    body = bytearray()
+    body += CSI_MAGIC
+    body += struct.pack("<ii", MIN_SHIFT, DEPTH)
+    names_blob = b"".join(c.encode() + b"\x00" for c in chrom_names)
+    aux = struct.pack("<7i", TBX_PRESET, 1, 2, 2, ord("#"), 0,
+                      len(names_blob)) + names_blob
+    body += struct.pack("<i", len(aux)) + aux
+    body += struct.pack("<i", n_ref)
+
+    for rid in range(n_ref):
+        sel = rec_chrom_ids == rid
+        if not sel.any():
+            body += struct.pack("<i", 0)
+            continue
+        rbins = bins_per_rec[sel]
+        rvo = rec_voffs[sel]
+        rve = rec_voff_ends[sel]
+        order = np.argsort(rbins, kind="stable")
+        rbins, rvo, rve = rbins[order], rvo[order], rve[order]
+        # group into bins; records within a bin stay in file order, so
+        # adjacent chunks merge when contiguous
+        uniq, starts_idx = np.unique(rbins, return_index=True)
+        body += struct.pack("<i", len(uniq))
+        bounds = list(starts_idx) + [len(rbins)]
+        for bi, b in enumerate(uniq):
+            vo = rvo[bounds[bi] : bounds[bi + 1]]
+            ve = rve[bounds[bi] : bounds[bi + 1]]
+            chunks = []
+            cs, ce = int(vo[0]), int(ve[0])
+            for k in range(1, vo.shape[0]):
+                if int(vo[k]) == ce:
+                    ce = int(ve[k])
+                else:
+                    chunks.append((cs, ce))
+                    cs, ce = int(vo[k]), int(ve[k])
+            chunks.append((cs, ce))
+            body += struct.pack("<IQi", int(b), int(vo.min()), len(chunks))
+            for cs, ce in chunks:
+                body += struct.pack("<QQ", cs, ce)
+
+    with BgzfWriter(path) as w:
+        w.write(bytes(body))
+    return path
+
+
+def read_csi(path):
+    """Parse a CSI file back into python structures (for tests/queries)."""
+    from .bgzf import decompress_file
+
+    buf = decompress_file(path)
+    assert buf[:4] == CSI_MAGIC, "not a CSI file"
+    min_shift, depth = struct.unpack_from("<ii", buf, 4)
+    (l_aux,) = struct.unpack_from("<i", buf, 12)
+    aux = buf[16 : 16 + l_aux]
+    preset, sc, bc, ec, meta, skip, l_nm = struct.unpack_from("<7i", aux, 0)
+    names = [n.decode() for n in aux[28 : 28 + l_nm].split(b"\x00") if n]
+    pos = 16 + l_aux
+    (n_ref,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        bins = {}
+        for _ in range(n_bin):
+            b, loff, n_chunk = struct.unpack_from("<IQi", buf, pos)
+            pos += 16
+            chunks = []
+            for _ in range(n_chunk):
+                cs, ce = struct.unpack_from("<QQ", buf, pos)
+                pos += 16
+                chunks.append((cs, ce))
+            bins[b] = (loff, chunks)
+        refs.append(bins)
+    return dict(min_shift=min_shift, depth=depth, names=names, refs=refs,
+                cols=(sc, bc, ec))
+
+
+def reg2bins(beg, end):
+    """All bins overlapping [beg, end) (query side)."""
+    out = [0]
+    end -= 1
+    s = MIN_SHIFT + DEPTH * 3
+    t = 0
+    for l in range(1, DEPTH + 1):
+        s -= 3
+        t += 1 << ((l - 1) * 3)
+        out.extend(range(t + (beg >> s), t + (end >> s) + 1))
+    return out
+
+
+def csi_query(data_path, csi, chrom, beg, end):
+    """Return the raw lines of records whose begin coordinate is in
+    [beg, end) (0-based), using the index chunks."""
+    from .bgzf import BgzfReader
+
+    if chrom not in csi["names"]:
+        return []
+    rid = csi["names"].index(chrom)
+    bins = csi["refs"][rid]
+    chunks = []
+    for b in reg2bins(beg, end):
+        if b in bins:
+            chunks.extend(bins[b][1])
+    chunks.sort()
+    out = []
+    with BgzfReader(data_path) as r:
+        for cs, ce in chunks:
+            r.seek_virtual(cs)
+            while r.virtual_offset < ce:
+                line = r.readline()
+                if not line:
+                    break
+                tokens = line.split(b"\t")
+                v = int(tokens[1]) - 1
+                if beg <= v < end:
+                    out.append(line)
+    return out

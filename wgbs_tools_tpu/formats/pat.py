@@ -332,8 +332,10 @@ def _read_region_indexed(path, idx, region_sites, keep_extras):
     return frags.slice_sites(s, e)
 
 
-def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE):
-    """Write fragments as a BGZF pat.gz (+ .cdx random-access sidecar).
+def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE,
+              csi=True):
+    """Write fragments as a BGZF pat.gz (+ .cdx sidecar and a
+    tabix-compatible .csi index).
 
     Fast path: native multi-threaded block compression of the serialized
     text, with index voffsets recovered from the block table.
@@ -353,13 +355,27 @@ def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE):
             f.write(comp)
         if index and frags.nr_frags:
             starts = frags.start
-            idx_rows = np.arange(0, frags.nr_frags, stride)
-            offs = _line_offsets(text, idx_rows)
+            all_rows = np.arange(frags.nr_frags)
+            offs_all = np.concatenate(
+                [_line_offsets(text, all_rows), [len(text)]]
+            )
             coffs, uoffs = _bgzf_block_table(comp)
-            blk = np.searchsorted(uoffs, offs, side="right") - 1
-            voffs = (coffs[blk] << 16) | (offs - uoffs[blk])
+            blk = np.searchsorted(uoffs, offs_all, side="right") - 1
+            voffs_all = (coffs[blk] << 16) | (offs_all - uoffs[blk])
+            idx_rows = all_rows[::stride]
             samples_sites = starts[idx_rows].astype(np.int64)
-            samples_voff = voffs.astype(np.int64)
+            samples_voff = voffs_all[idx_rows].astype(np.int64)
+            if csi:
+                from .csi import write_csi
+
+                write_csi(
+                    path + ".csi",
+                    frags.chrom_names,
+                    frags.chrom_id,
+                    starts.astype(np.int64) - 1,
+                    voffs_all[:-1],
+                    voffs_all[1:],
+                )
     else:
         with BgzfWriter(path, level=level) as w:
             starts = frags.start.tolist()
@@ -425,12 +441,14 @@ def load_pat_index(path):
     return z["sites"], z["voffsets"], int(z["max_len"])
 
 
-def index_pat(path, stride=INDEX_STRIDE):
-    """Build the .cdx sidecar for an existing BGZF pat.gz (ref cmd: index)."""
+def index_pat(path, stride=INDEX_STRIDE, csi=True):
+    """Build the .cdx sidecar (and a tabix-compatible .csi) for an existing
+    BGZF pat.gz (ref cmd: index, src/python/index.py)."""
     if not is_gzip(path):
         raise IllegalArgumentError(f"pat index requires a bgzipped file: {path}")
     reader = BgzfReader(path)
     sites, voffs = [], []
+    all_sites, all_voffs, chrom_per_line = [], [], []
     max_len = 1
     i = 0
     while True:
@@ -444,8 +462,13 @@ def index_pat(path, stride=INDEX_STRIDE):
         if i % stride == 0:
             sites.append(int(tokens[1]))
             voffs.append(voff)
+        if csi:
+            all_sites.append(int(tokens[1]))
+            all_voffs.append(voff)
+            chrom_per_line.append(tokens[0])
         max_len = max(max_len, len(tokens[2]))
         i += 1
+    end_voff = reader.virtual_offset
     reader.close()
     np.savez(
         path + PAT_INDEX_SUFFIX,
@@ -453,4 +476,19 @@ def index_pat(path, stride=INDEX_STRIDE):
         voffsets=np.asarray(voffs, dtype=np.int64),
         max_len=np.int64(max_len),
     )
+    if csi and all_sites:
+        from .csi import write_csi
+
+        chrom_names = []
+        lookup = {}
+        ids = np.empty(len(chrom_per_line), dtype=np.int32)
+        for k, c in enumerate(chrom_per_line):
+            name = c.decode()
+            if name not in lookup:
+                lookup[name] = len(chrom_names)
+                chrom_names.append(name)
+            ids[k] = lookup[name]
+        va = np.asarray(all_voffs + [end_voff], dtype=np.int64)
+        write_csi(path + ".csi", chrom_names, ids,
+                  np.asarray(all_sites, dtype=np.int64) - 1, va[:-1], va[1:])
     return path + PAT_INDEX_SUFFIX
