@@ -188,11 +188,7 @@ def bench_tpu(frags, n_sites, iters=5):
     return dt, out
 
 
-def main():
-    rng = np.random.default_rng(20260817)
-    frags = make_frags(rng, N_FRAGS, N_SITES, MAX_LEN)
-    F = frags.nr_frags
-
+def _measure(frags):
     if KERNEL == "v2":
         try:
             tpu_dt, _ = bench_tpu_v2(frags, N_SITES)
@@ -200,6 +196,44 @@ def main():
             tpu_dt, _ = bench_tpu(frags, N_SITES)
     else:
         tpu_dt, _ = bench_tpu(frags, N_SITES)
+    return tpu_dt
+
+
+def _measure_with_watchdog(frags):
+    """Run the device measurement in a child process with a hard timeout —
+    the axon-tunneled device can wedge (executions hang indefinitely), and a
+    hung benchmark is worse than a failed one."""
+    budget = int(os.environ.get("BENCH_TIMEOUT", 2400))
+    if os.environ.get("BENCH_CHILD"):
+        return _measure(frags)
+    env = dict(os.environ, BENCH_CHILD="1")
+    try:
+        p = subprocess.run(
+            [sys.executable, op.abspath(__file__)],
+            env=env, timeout=budget, stdout=subprocess.PIPE,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"[bench] device measurement exceeded {budget}s "
+            "(wedged TPU tunnel?); aborting", file=sys.stderr,
+        )
+        sys.exit(1)
+    if p.returncode != 0:
+        sys.exit(p.returncode)
+    sys.stdout.buffer.write(p.stdout)
+    sys.exit(0)
+
+
+def main():
+    rng = np.random.default_rng(20260817)
+    frags = make_frags(rng, N_FRAGS, N_SITES, MAX_LEN)
+    F = frags.nr_frags
+
+    if not os.environ.get("BENCH_CHILD") and os.environ.get(
+            "BENCH_WATCHDOG", "1") == "1":
+        _measure_with_watchdog(frags)  # execs the child and exits
+
+    tpu_dt = _measure(frags)
     tpu_rate = F / tpu_dt
 
     ref_dt = bench_reference(frags, N_SITES)
