@@ -91,6 +91,41 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     """
     g = genome if genome is not None else Genome(None)
     idx = g.index
+
+    # columnar fast path: no per-record python objects (native scan +
+    # vectorized decode); falls back for nanopore / m-bias / region-filter /
+    # blueprint runs
+    columnar = None
+    if (mbias_prefix is None and not blueprint and not whitelist
+            and not blacklist):
+        from .bam_columnar import scan_bam_columnar
+
+        columnar = scan_bam_columnar(bam_path)
+    if columnar is not None:
+        from .bam import parse_tag
+        from .bam_columnar import process_chrom_columnar
+
+        buf, header_text, ref_names, ref_lengths, cols, offs, rec_end = \
+            columnar
+        mapped = (cols[:, 2] & FUNMAP == 0) & (cols[:, 0] >= 0)
+        first = np.nonzero(mapped)[0]
+        paired = bool(cols[first[0], 2] & FPAIRED) if first.size else False
+        detected_np = "PL:ONT" in header_text
+        if first.size and not detected_np:
+            r = first[0]
+            tags = bytes(buf[offs[r, 4] : rec_end[r]])
+            detected_np = (parse_tag(tags, b"MM") is not None
+                           or parse_tag(tags, b"Mm") is not None)
+        if nanopore is None:
+            nanopore = detected_np
+        if not nanopore:
+            return _bam2pat_columnar(
+                bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
+                paired, min_mapq,
+                exclude_flags if exclude_flags is not None else EXCLUDE_FLAGS,
+                clip, min_cpg, include_chroms, write_output, with_qname)
+        # nanopore: fall through to the record path below
+
     paired, detected_np = detect_layout(bam_path)
     if nanopore is None:
         nanopore = detected_np
@@ -197,4 +232,51 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
                     frags.nr_frags)
     if mbias_prefix and mbias is not None:
         mbias.dump(mbias_prefix)
+    return frags, out_path, stats
+
+
+def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
+                      paired, min_mapq, exclude_flags, clip, min_cpg,
+                      include_chroms, write_output, with_qname):
+    from .bam_columnar import process_chrom_columnar
+
+    bufarr = np.frombuffer(buf, dtype=np.uint8)
+    flag = cols[:, 2]
+    keep = ((flag & FUNMAP) == 0) & (cols[:, 0] >= 0) \
+        & (cols[:, 3] >= min_mapq) & ((flag & exclude_flags) == 0)
+    ref_id = cols[:, 0]
+    stats = ReadStats()
+    parts = []
+    chroms = include_chroms or idx.chrom_names
+    name_to_rid = {n: i for i, n in enumerate(ref_names)}
+    for chrom in chroms:
+        rid = name_to_rid.get(chrom)
+        if rid is None:
+            continue
+        rows = np.nonzero(keep & (ref_id == rid))[0]
+        if rows.size == 0:
+            continue
+        site_base, _ = idx.chrom_site_bounds(chrom)
+        loci = idx.chrom_loci(chrom)
+        before = stats.snapshot()
+        starts, patterns, qnames = process_chrom_columnar(
+            buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
+            clip, min_cpg, stats, with_qname)
+        frags = rows_to_frags(starts, patterns, chrom, qnames)
+        if frags.nr_frags:
+            parts.append(frags.sort().collapse())
+        logger.info("bam2pat: %s", stats.summary(chrom, since=before))
+
+    if parts:
+        from ..cli.cmd_pat import _concat_frags
+
+        frags = _concat_frags(parts)
+    else:
+        frags = empty_frags()
+    out_path = None
+    if write_output:
+        out_path = op.join(out_dir, pretty_name(bam_path) + ".pat.gz")
+        write_pat(frags, out_path)
+        logger.info("bam2pat: wrote %s (%d fragments)", out_path,
+                    frags.nr_frags)
     return frags, out_path, stats

@@ -1,0 +1,187 @@
+"""Columnar bam2pat fast path.
+
+Decodes and calls reads without per-record Python objects: the native C++
+scan (native/wgbsio.cpp::bam_scan) yields columnar arrays, sequences are
+materialized with one fancy gather + 4-bit LUT expansion, qname pairing uses
+np.unique over fixed-width name bytes, and calling/merging go through the
+existing batch kernels. Reads with non-trivial CIGARs fall back to the
+per-read normalizer; the whole path is skipped for nanopore / m-bias runs.
+"""
+
+import numpy as np
+
+from ..utils.log import logger
+from .bam import _PAIR_LUT, CIGAR_OPS, FUNMAP
+from .calling import (
+    ReadStats,
+    call_reads_batch,
+    clean_cigar,
+    merge_pe_batch,
+)
+
+
+def scan_bam_columnar(path):
+    """(buf, header info, cols, offs, rec_end) or None when unavailable."""
+    try:
+        from ..native import bam_scan_native, bgzf_decompress_native
+    except Exception:
+        return None
+    import struct
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    buf = bgzf_decompress_native(raw) if raw[:2] == b"\x1f\x8b" else raw
+    if buf is None or buf[:4] != b"BAM\x01":
+        return None
+    (l_text,) = struct.unpack_from("<i", buf, 4)
+    header_text = buf[8 : 8 + l_text].decode(errors="replace")
+    pos = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    ref_names, ref_lengths = [], []
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", buf, pos)
+        pos += 4
+        ref_names.append(buf[pos : pos + l_name - 1].decode())
+        pos += l_name
+        ref_lengths.append(struct.unpack_from("<i", buf, pos)[0])
+        pos += 4
+    scanned = bam_scan_native(buf, pos)
+    if scanned is None:
+        return None
+    cols, offs, rec_end = scanned
+    return buf, header_text, ref_names, ref_lengths, cols, offs, rec_end
+
+
+_M_OP = CIGAR_OPS.index("M")
+
+
+def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
+                           chrom_name, paired, clip, min_cpg, stats,
+                           with_qname):
+    """Call + pair one chromosome's reads (row indices into cols/offs)."""
+    sub_cols = cols[idx_rows]
+    sub_offs = offs[idx_rows]
+    order = np.argsort(sub_cols[:, 1], kind="stable")
+    sub_cols = sub_cols[order]
+    sub_offs = sub_offs[order]
+    R = sub_cols.shape[0]
+    stats.nr_lines += R
+
+    l_seq = sub_cols[:, 4].astype(np.int64)
+    n_cigar = sub_cols[:, 5]
+    first_cigar = sub_cols[:, 6].astype(np.int64) & 0xFFFFFFFF
+    simple = (n_cigar == 1) & ((first_cigar & 0xF) == _M_OP) & (
+        (first_cigar >> 4) == l_seq
+    )
+
+    # sequence matrix: vectorized decode for simple reads
+    nb = (l_seq + 1) // 2
+    NBmax = max(int(nb.max(initial=1)), 1)
+    gidx = np.minimum(sub_offs[:, 2][:, None] + np.arange(NBmax)[None, :],
+                      bufarr.shape[0] - 1)
+    chars = _PAIR_LUT[bufarr[gidx]].view(np.uint8).reshape(R, 2 * NBmax)
+    lens = l_seq.copy()
+
+    # complex CIGARs: per-read normalization (rare)
+    complex_rows = np.nonzero(~simple)[0]
+    widened = None
+    bad = np.zeros(R, dtype=bool)
+    for r in complex_rows:
+        n_c = int(n_cigar[r])
+        co = int(sub_offs[r, 1])
+        cigar_words = np.frombuffer(buf, dtype="<u4", count=n_c, offset=co)
+        cigar = [(CIGAR_OPS[w & 0xF], int(w) >> 4) for w in cigar_words]
+        raw = chars[r, : l_seq[r]].tobytes()
+        try:
+            adj = clean_cigar(raw, cigar)
+        except Exception:
+            stats.nr_invalid += 1
+            bad[r] = True
+            lens[r] = 0
+            continue
+        lens[r] = len(adj)
+        if len(adj) > chars.shape[1]:
+            if widened is None:
+                widened = {}
+            widened[r] = adj
+        else:
+            chars[r, : len(adj)] = np.frombuffer(adj, dtype=np.uint8)
+            chars[r, len(adj) : max(int(l_seq[r]), len(adj))] = 0
+    if widened:
+        newL = max(len(a) for a in widened.values())
+        grow = np.zeros((R, newL), dtype=np.uint8)
+        grow[:, : chars.shape[1]] = chars
+        chars = grow
+        for r, adj in widened.items():
+            chars[r, : len(adj)] = np.frombuffer(adj, dtype=np.uint8)
+
+    cols_mask = np.arange(chars.shape[1])[None, :]
+    chars[cols_mask >= lens[:, None]] = 0
+
+    flags = sub_cols[:, 2].astype(np.int64)
+    pos1 = sub_cols[:, 1].astype(np.int64) + 1
+    results = call_reads_batch(None, pos1, flags, paired, loci, site_base,
+                               clip=clip, seqmat=chars, lens=lens)
+    for r in range(R):
+        if results[r] is None and not bad[r]:
+            stats.nr_empty += 1
+
+    # qnames (needed for pairing / --long output)
+    need_names = paired or with_qname
+    qnames = None
+    if need_names:
+        lq = sub_cols[:, 7].astype(np.int64)
+        LQ = max(int(lq.max(initial=1)), 1)
+        qidx = np.minimum(sub_offs[:, 0][:, None] + np.arange(LQ)[None, :],
+                          bufarr.shape[0] - 1)
+        qmat = bufarr[qidx].copy()
+        qmat[np.arange(LQ)[None, :] >= (lq - 1)[:, None]] = 0
+        qbytes = qmat.view(f"S{LQ}").ravel()
+        qnames = qbytes
+
+    starts_out, patterns_out, qnames_out = [], [], []
+
+    def emit(res, q):
+        if res is None:
+            return
+        if len(res[1]) < min_cpg:
+            stats.nr_short += 1
+            return
+        starts_out.append(res[0])
+        patterns_out.append(res[1])
+        if with_qname:
+            qnames_out.append(q.decode() if isinstance(q, bytes) else q)
+
+    if not paired:
+        for r in range(R):
+            emit(results[r], qnames[r] if qnames is not None else None)
+    else:
+        _, inv, counts = np.unique(qnames, return_inverse=True,
+                                   return_counts=True)
+        # mates: first two occurrences of each qname pair up (same as the
+        # streaming qname-dict in the record path)
+        first_of = {}
+        pair_list = []
+        singles = []
+        for r in range(R):
+            q = int(inv[r])
+            if q in first_of:
+                mate = first_of.pop(q)
+                pair_list.append((mate, r))
+                stats.nr_pairs += 1
+            else:
+                first_of[q] = r
+        merged = merge_pe_batch(
+            [(results[a], results[b]) for a, b in pair_list]
+        )
+        for (a, b), m in zip(pair_list, merged):
+            if isinstance(m, ValueError):
+                stats.nr_invalid += 2
+            else:
+                emit(m, qnames[b])
+        for q, r in first_of.items():
+            emit(results[r], qnames[r])
+
+    return (np.array(starts_out, dtype=np.int64), patterns_out,
+            qnames_out if with_qname else None)

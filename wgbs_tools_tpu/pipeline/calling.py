@@ -360,22 +360,31 @@ def call_read_nanopore(rec, loci, site_base, clip=0, np_thresh=0.667,
 
 
 def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
-                     clip=0):
+                     clip=0, seqmat=None, lens=None):
     """Vectorized calling of many CIGAR-normalized reads at once.
 
     Exactly equivalent to per-read `call_read` (same masks/rules), but all
     (read, CpG) pairs are processed in one numpy pass — the batched analogue
-    of patter's per-base scan. seqs_adj: list of bytes; returns a list of
+    of patter's per-base scan. seqs_adj: list of bytes (or pass a prebuilt
+    zero-padded `seqmat` uint8 (R, Lmax) + `lens`); returns a list of
     (start_site, pattern bytes) | None entries.
     """
-    R = len(seqs_adj)
+    if seqmat is not None:
+        R = seqmat.shape[0]
+        lens = np.asarray(lens, dtype=np.int64)
+    else:
+        R = len(seqs_adj)
+        if R == 0:
+            return []
+        lens = np.fromiter((len(s) for s in seqs_adj), dtype=np.int64,
+                           count=R)
+        Lmax = max(int(lens.max()), 1)
+        seqmat = np.zeros((R, Lmax), dtype=np.uint8)
+        for r, s in enumerate(seqs_adj):
+            seqmat[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
     if R == 0:
         return []
-    lens = np.fromiter((len(s) for s in seqs_adj), dtype=np.int64, count=R)
-    Lmax = max(int(lens.max()), 1)
-    seqmat = np.zeros((R, Lmax), dtype=np.uint8)
-    for r, s in enumerate(seqs_adj):
-        seqmat[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    Lmax = seqmat.shape[1]
     pos1 = np.asarray(positions, dtype=np.int64)  # 1-based start locus
     flags = np.asarray(flags, dtype=np.int64)
     if paired:
