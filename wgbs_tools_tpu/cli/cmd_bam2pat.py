@@ -22,6 +22,11 @@ def main(argv):
     p.add_argument("-F", "--exclude_flags", type=int, default=None,
                    help=f"samtools-style exclusion flags [{EXCLUDE_FLAGS}]")
     p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
+    import os as _os
+
+    p.add_argument("-@", "--threads", type=int,
+                   default=_os.cpu_count() or 1,
+                   help="worker processes (one per chromosome)")
     p.add_argument("--clip", type=int, default=0,
                    help="clip first/last bases of each read")
     p.add_argument("--min_cpg", type=int, default=1)
@@ -69,7 +74,7 @@ def main(argv):
                 nanopore=args.nanopore, np_thresh=args.np_thresh,
                 cpc_call=args.cpc_call, combine_mods=args.combine_mods,
                 whitelist=args.whitelist, blacklist=args.blacklist,
-                blueprint=args.blueprint,
+                blueprint=args.blueprint, threads=args.threads,
             )
             if mb:
                 try:

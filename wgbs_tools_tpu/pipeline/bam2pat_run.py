@@ -84,7 +84,7 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
             include_chroms=None, force=True, write_output=True,
             with_qname=False, nanopore=None, np_thresh=0.667, cpc_call="C",
             combine_mods=False, whitelist=None, blacklist=None,
-            blueprint=False):
+            blueprint=False, threads=1):
     """Convert a BAM to a sorted/collapsed PatFrags batch (and pat.gz file).
 
     Returns (frags, out_path or None, stats).
@@ -123,7 +123,8 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
                 bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
                 paired, min_mapq,
                 exclude_flags if exclude_flags is not None else EXCLUDE_FLAGS,
-                clip, min_cpg, include_chroms, write_output, with_qname)
+                clip, min_cpg, include_chroms, write_output, with_qname,
+                threads)
         # nanopore: fall through to the record path below
 
     paired, detected_np = detect_layout(bam_path)
@@ -235,11 +236,35 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     return frags, out_path, stats
 
 
-def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
-                      paired, min_mapq, exclude_flags, clip, min_cpg,
-                      include_chroms, write_output, with_qname):
+# fork-shared state for the chromosome workers: the decompressed BAM buffer
+# and columnar arrays are inherited copy-on-write instead of being pickled
+# per task (the analogue of each reference patter process re-reading its own
+# slice)
+_SHARED = {}
+
+
+def _columnar_chrom_worker(args):
+    """Per-chromosome worker (numpy-only; safe under fork)."""
+    (rows, loci, site_base, chrom, paired, clip, min_cpg, with_qname) = args
     from .bam_columnar import process_chrom_columnar
 
+    buf = _SHARED["buf"]
+    bufarr = _SHARED["bufarr"]
+    cols = _SHARED["cols"]
+    offs = _SHARED["offs"]
+    stats = ReadStats()
+    starts, patterns, qnames = process_chrom_columnar(
+        buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
+        clip, min_cpg, stats, with_qname)
+    frags = rows_to_frags(starts, patterns, chrom, qnames)
+    if frags.nr_frags:
+        frags = frags.sort().collapse()
+    return chrom, frags, stats
+
+
+def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
+                      paired, min_mapq, exclude_flags, clip, min_cpg,
+                      include_chroms, write_output, with_qname, threads=1):
     bufarr = np.frombuffer(buf, dtype=np.uint8)
     flag = cols[:, 2]
     keep = ((flag & FUNMAP) == 0) & (cols[:, 0] >= 0) \
@@ -249,6 +274,7 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
     parts = []
     chroms = include_chroms or idx.chrom_names
     name_to_rid = {n: i for i, n in enumerate(ref_names)}
+    jobs = []
     for chrom in chroms:
         rid = name_to_rid.get(chrom)
         if rid is None:
@@ -258,14 +284,29 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
             continue
         site_base, _ = idx.chrom_site_bounds(chrom)
         loci = idx.chrom_loci(chrom)
-        before = stats.snapshot()
-        starts, patterns, qnames = process_chrom_columnar(
-            buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
-            clip, min_cpg, stats, with_qname)
-        frags = rows_to_frags(starts, patterns, chrom, qnames)
+        jobs.append((rows, loci, site_base, chrom, paired, clip, min_cpg,
+                     with_qname))
+
+    _SHARED.update(buf=buf, bufarr=bufarr, cols=cols, offs=offs)
+    try:
+        if threads > 1 and len(jobs) > 1:
+            import multiprocessing as mp
+
+            # fork: workers inherit _SHARED copy-on-write; they are
+            # numpy-only so an initialized jax backend in the parent is safe
+            with mp.get_context("fork").Pool(min(threads, len(jobs))) as pool:
+                results = pool.map(_columnar_chrom_worker, jobs)
+        else:
+            results = [_columnar_chrom_worker(j) for j in jobs]
+    finally:
+        _SHARED.clear()
+
+    for chrom, frags, cstats in results:
+        for k in cstats.__dict__:
+            stats.__dict__[k] += cstats.__dict__[k]
         if frags.nr_frags:
-            parts.append(frags.sort().collapse())
-        logger.info("bam2pat: %s", stats.summary(chrom, since=before))
+            parts.append(frags)
+        logger.info("bam2pat: %s", cstats.summary(chrom))
 
     if parts:
         from ..cli.cmd_pat import _concat_frags
