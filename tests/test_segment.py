@@ -121,3 +121,36 @@ def test_segment_ranges_with_stitching(beta_fixture, mini_genome):
     # stitching is a heuristic: demand strong agreement with the one-shot DP
     inter = np.intersect1d(np.concatenate([starts, ends]), whole)
     assert len(inter) >= 0.9 * len(whole)
+
+
+def test_segment_windows_fast_matches_per_chunk(beta_fixture):
+    from wgbs_tools_tpu.models.segment import segment_windows_fast
+
+    paths, datas, loci = beta_fixture
+    n = 1000
+    windows = [(0, n), (n, 2 * n), (2 * n, 3 * n)]
+    batched = segment_windows_fast(
+        np.stack([datas[:, s:e] for s, e in windows]),
+        np.stack([loci[s:e] for s, e in windows]),
+        max_cpg=200, max_bp=2000, pseudo_count=15.0,
+    )
+    for (s, e), rel in zip(windows, batched):
+        single = segment_borders(datas[:, s:e], loci[s:e], 200, 2000, 15.0,
+                                 mode="fast")
+        assert rel.tolist() == single.tolist()
+
+
+def test_segment_ranges_fast_batched(beta_fixture):
+    paths, datas, loci = beta_fixture
+    n = datas.shape[1]
+
+    class FakeIndex:
+        pass
+
+    fake = FakeIndex()
+    fake.loci = loci.astype(np.int32)
+    cfg_fast = SegmentConfig(max_cpg=200, max_bp=2000, pseudo_count=15.0,
+                             chunk_size=700, mode="fast")
+    starts, ends = segment_ranges(paths, [(1, n + 1)], fake, cfg_fast)
+    assert starts[0] == 1 and ends[-1] == n + 1
+    assert (starts[1:] == ends[:-1]).all()

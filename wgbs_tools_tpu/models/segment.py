@@ -287,6 +287,49 @@ def _dp_fast_jax(Crev, W):
     return jnp.concatenate([jnp.zeros(1, dtype=jnp.int32), ks])
 
 
+@partial(jax.jit, static_argnames=("W", "max_bp", "B"))
+def _segment_windows_fast(pm, pt, loci, W, max_bp, pc, B=128):
+    """vmapped fast-mode segmentation of many equal-size windows at once.
+
+    pm/pt: int32 (nw, K, n+1); loci: int32 (nw, n). Returns T (nw, n+1).
+    """
+
+    def one(pm_w, pt_w, loci_w):
+        Crev = _cost_fast_jax(pm_w, pt_w, loci_w, W, max_bp, pc)
+        return _dp_fast_blocked(Crev, W, B)
+
+    return jax.vmap(one)(pm, pt, loci)
+
+
+def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
+                         pseudo_count=15.0):
+    """Batch-segment many equal-size windows (fast float32 mode).
+
+    datas: (nw, K, n, 2) int counts; locis: (nw, n). Returns a list of
+    relative border arrays — the chunk axis maps onto the device in one
+    program launch instead of per-chunk dispatches.
+    """
+    datas = np.asarray(datas)
+    nw, K, n, _ = datas.shape
+    W = int(min(max_cpg, n))
+    pms, pts = [], []
+    for w in range(nw):
+        pm, pt = _prefix_sums(datas[w])
+        pms.append(pm)
+        pts.append(pt)
+    T = np.asarray(
+        _segment_windows_fast(
+            jnp.asarray(np.stack(pms), dtype=jnp.int32),
+            jnp.asarray(np.stack(pts), dtype=jnp.int32),
+            jnp.asarray(np.asarray(locis), dtype=jnp.int32),
+            W,
+            int(max_bp) if max_bp else 0,
+            float(pseudo_count),
+        )
+    ).astype(np.int64)
+    return [_traceback(T[w], n) for w in range(nw)]
+
+
 # ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
@@ -391,7 +434,30 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
         beta_paths, sites, index, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count,
         cfg.mode,
     )
-    results = [seg(c) for c in chunks]
+    results = [None] * len(chunks)
+    if cfg.mode == "fast":
+        # batch all equal-size chunks into single device launches
+        by_size = {}
+        for i, (s, e) in enumerate(chunks):
+            by_size.setdefault(e - s, []).append(i)
+        for n, idxs in by_size.items():
+            if n <= 1 or len(idxs) == 1:
+                continue
+            datas = np.stack([
+                np.stack([load_beta(b, sites=chunks[i])
+                          for b in beta_paths]) for i in idxs
+            ])
+            locis = np.stack([
+                index.loci[chunks[i][0] - 1 : chunks[i][1] - 1] for i in idxs
+            ])
+            borders = segment_windows_fast(
+                datas, locis, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count
+            )
+            for i, rel in zip(idxs, borders):
+                results[i] = rel + chunks[i][0]
+    for i, c in enumerate(chunks):
+        if results[i] is None:
+            results[i] = seg(c)
 
     all_starts, all_ends = [], []
     for tag in dict.fromkeys(tags):  # preserve order, unique
