@@ -68,3 +68,30 @@ def test_halo_crossing_reads(rng):
     )
     expect = pileup_xla(starts, lengths, counts, codes, 1, n_sites)
     assert (np.asarray(out) == expect).all()
+
+
+def test_segment_windows_sharded_matches_single_device(rng):
+    """Window-sharded fast segmentation == per-window single-device result,
+    including the pad-to-device-count path (5 windows on 8 devices)."""
+    from wgbs_tools_tpu.models.segment import segment_borders
+    from wgbs_tools_tpu.parallel.sharded import segment_windows_sharded
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    n, K, nw = 600, 2, 5
+    datas = np.zeros((nw, K, n, 2), dtype=np.int64)
+    locis = np.zeros((nw, n), dtype=np.int64)
+    for w in range(nw):
+        cov = rng.integers(1, 20, size=(K, n))
+        meth = rng.binomial(cov, rng.random((K, 1)))
+        datas[w, :, :, 0] = meth
+        datas[w, :, :, 1] = cov
+        locis[w] = np.cumsum(rng.integers(2, 100, size=n)) + 50
+    mesh = make_mesh(8, samples_axis=2)
+    got = segment_windows_sharded(mesh, datas, locis, max_cpg=150,
+                                  max_bp=2000, pseudo_count=15.0)
+    assert len(got) == nw
+    for w in range(nw):
+        single = segment_borders(datas[w], locis[w], 150, 2000, 15.0,
+                                 mode="fast")
+        assert got[w].tolist() == single.tolist()

@@ -154,3 +154,21 @@ def test_segment_ranges_fast_batched(beta_fixture):
     starts, ends = segment_ranges(paths, [(1, n + 1)], fake, cfg_fast)
     assert starts[0] == 1 and ends[-1] == n + 1
     assert (starts[1:] == ends[:-1]).all()
+
+
+@pytest.mark.parametrize("n,W", [(37, 3), (200, 64), (513, 129), (1000, 300)])
+def test_blocked_dp_matches_scan_dp(n, W):
+    """The blocked max-plus DP must equal the sequential scan DP for any
+    window size, including W smaller than the block size B=128 (the
+    staircase-skew edge-matrix construction)."""
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.models.segment import _dp_fast_blocked, _dp_fast_jax
+
+    rng = np.random.default_rng(n * 1000 + W)
+    C = rng.normal(size=(n, W)).astype(np.float32)
+    valid = (np.arange(n)[:, None] - (W - 1) + np.arange(W)[None, :]) >= 0
+    C = np.where(valid, C, -np.inf).astype(np.float32)
+    a = np.asarray(_dp_fast_blocked(jnp.asarray(C), W))
+    b = np.asarray(_dp_fast_jax(jnp.asarray(C), W))
+    assert a.tolist() == b.tolist()

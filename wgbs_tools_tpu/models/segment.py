@@ -212,9 +212,9 @@ def _dp_fast_blocked(Crev, W, B=128):
     n_pad = n_blocks * B
     Cp = jnp.pad(Crev, ((0, n_pad - n), (0, 0)), constant_values=NEG)
 
-    # in-block edge matrix A[p, q] = Cp[b0+q-1, W-(q-p)] — extracted from the
-    # flattened cost rows with a reshape skew (flat idx = q*(W-1)+p) instead
-    # of a gather
+    # in-block edge matrix A[p, q] = Cp[b0+q-1, W-(q-p)] — a per-row
+    # staircase skew (row u shifted right by u), extracted with a
+    # pad+reshape instead of a gather; valid for any W vs B
     P = jnp.arange(B + 1)[:, None]
     Q = jnp.arange(B + 1)[None, :]
     a_valid = (Q > P) & (P >= 1) & (Q - P <= W)
@@ -235,12 +235,13 @@ def _dp_fast_blocked(Crev, W, B=128):
         H = jnp.max(jnp.where(h_valid, gat + rows, NEG), axis=1)  # (B,)
         v = jnp.concatenate([Mwin[-1][None], H])  # (B+1,) border b0..b0+B
 
-        # in-block closure: A[p, q] = rows_flat[q*(W-1) + p]
-        rows_flat = jnp.concatenate(
-            [rows.reshape(-1), jnp.full(2 * W, NEG)]
-        )
-        skew = rows_flat[: (B + 1) * (W - 1)].reshape(B + 1, W - 1)
-        A = jnp.where(a_valid, skew[:, : B + 1].T, NEG)
+        # in-block closure: Bmat[u, p] = rows[u, p + W-1-u] via the
+        # staircase reshape (flat idx u*(W+B)+c lands at F[u, c-u])
+        F = jnp.concatenate([rows, jnp.full((B, B + 1), NEG)], axis=1)
+        S2 = F.reshape(-1)[: B * (W + B)].reshape(B, W + B)
+        Bmat = S2[:, W - 1 : W + B]  # (B, B+1)
+        A = jnp.concatenate([jnp.full((B + 1, 1), NEG), Bmat.T], axis=1)
+        A = jnp.where(a_valid, A, NEG)
         S = jnp.where(P == Q, 0.0, A)  # I (+) A
 
         def sq(S, _):

@@ -164,6 +164,64 @@ def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
     return jax.jit(sharded)
 
 
+def build_segment_windows_step(mesh, W, max_bp=0, pc=15.0, B=128):
+    """Data-parallel batched fast segmentation over a device mesh.
+
+    The genome is already decomposed into independent equal-size windows by
+    the chunk+stitch scheme (models/segment.py, replacing the reference's
+    process-per-chunk Pool in segment.py:96-110); here the window axis is
+    sharded over EVERY device of the mesh (all axes flattened into the batch
+    dimension), so the whole-genome fast-mode DP runs as one SPMD launch
+    with no collectives. Inputs: pm/pt int32 (nw, K, n+1), loci int32
+    (nw, n); nw must be a multiple of the device count (pad on host).
+    """
+    from jax.sharding import NamedSharding
+
+    from ..models.segment import _cost_fast_jax, _dp_fast_blocked
+
+    def fn(pm, pt, loci):
+        def one(pm_w, pt_w, loci_w):
+            Crev = _cost_fast_jax(pm_w, pt_w, loci_w, W, max_bp, pc)
+            return _dp_fast_blocked(Crev, W, B)
+
+        return jax.vmap(one)(pm, pt, loci)
+
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return jax.jit(fn, in_shardings=(sh, sh, sh), out_shardings=sh)
+
+
+def segment_windows_sharded(mesh, datas, locis, max_cpg=1000, max_bp=2000,
+                            pseudo_count=15.0):
+    """Host wrapper: pad the window batch to the device count, run the
+    sharded step, return per-window relative border arrays."""
+    from ..models.segment import _prefix_sums, _traceback
+
+    datas = np.asarray(datas)
+    nw, K, n, _ = datas.shape
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    pad = (-nw) % ndev
+    W = int(min(max_cpg, n))
+    pms, pts = [], []
+    for w in range(nw):
+        pm, pt = _prefix_sums(datas[w])
+        pms.append(pm)
+        pts.append(pt)
+    for _ in range(pad):
+        pms.append(pms[0])
+        pts.append(pts[0])
+    locis = np.asarray(locis)
+    locis_p = np.concatenate([locis, np.repeat(locis[:1], pad, axis=0)]) \
+        if pad else locis
+    step = build_segment_windows_step(
+        mesh, W, int(max_bp) if max_bp else 0, float(pseudo_count))
+    T = np.asarray(step(
+        jnp.asarray(np.stack(pms), dtype=jnp.int32),
+        jnp.asarray(np.stack(pts), dtype=jnp.int32),
+        jnp.asarray(locis_p, dtype=jnp.int32),
+    )).astype(np.int64)
+    return [_traceback(T[w], n) for w in range(nw)]
+
+
 def bucket_fragments(start, length, count, codes, n_sites, n_shards,
                      max_len=None):
     """Host-side: assign fragments to site shards, pad to equal counts, and
