@@ -118,4 +118,7 @@ def print_frags(frags, out=None):
         with open(out, mode) as f:
             f.write(data)
     else:
-        out.write(data)
+        try:
+            out.write(data)
+        except TypeError:  # text-mode stream (e.g. StringIO)
+            out.write(data.decode())

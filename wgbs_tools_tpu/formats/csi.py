@@ -61,6 +61,8 @@ def write_csi(path, chrom_names, rec_chrom_ids, rec_begs, rec_voffs,
     body += struct.pack("<i", len(aux)) + aux
     body += struct.pack("<i", n_ref)
 
+    rec_voffs = np.asarray(rec_voffs, dtype=np.uint64)
+    rec_voff_ends = np.asarray(rec_voff_ends, dtype=np.uint64)
     for rid in range(n_ref):
         sel = rec_chrom_ids == rid
         if not sel.any():
@@ -72,25 +74,38 @@ def write_csi(path, chrom_names, rec_chrom_ids, rec_begs, rec_voffs,
         order = np.argsort(rbins, kind="stable")
         rbins, rvo, rve = rbins[order], rvo[order], rve[order]
         # group into bins; records within a bin stay in file order, so
-        # adjacent chunks merge when contiguous
-        uniq, starts_idx = np.unique(rbins, return_index=True)
-        body += struct.pack("<i", len(uniq))
-        bounds = list(starts_idx) + [len(rbins)]
-        for bi, b in enumerate(uniq):
-            vo = rvo[bounds[bi] : bounds[bi + 1]]
-            ve = rve[bounds[bi] : bounds[bi + 1]]
-            chunks = []
-            cs, ce = int(vo[0]), int(ve[0])
-            for k in range(1, vo.shape[0]):
-                if int(vo[k]) == ce:
-                    ce = int(ve[k])
-                else:
-                    chunks.append((cs, ce))
-                    cs, ce = int(vo[k]), int(ve[k])
-            chunks.append((cs, ce))
-            body += struct.pack("<IQi", int(b), int(vo.min()), len(chunks))
-            for cs, ce in chunks:
-                body += struct.pack("<QQ", cs, ce)
+        # adjacent chunks merge when contiguous. Every CSI record (bin
+        # header and chunk alike) is 16 bytes, so the whole ref section is
+        # assembled as one (n_bins + n_chunks, 16) byte matrix.
+        uniq, bin_start = np.unique(rbins, return_index=True)
+        n_bins = uniq.shape[0]
+        body += struct.pack("<i", n_bins)
+        new_bin = np.zeros(rbins.shape[0], dtype=bool)
+        new_bin[bin_start] = True
+        chunk_start = new_bin | np.concatenate(
+            [[True], rvo[1:] != rve[:-1]])
+        cs_idx = np.nonzero(chunk_start)[0]
+        ce_idx = np.concatenate([cs_idx[1:] - 1, [rbins.shape[0] - 1]])
+        n_chunk = np.add.reduceat(chunk_start.astype(np.int64), bin_start)
+
+        hdr = np.zeros(n_bins, dtype=np.dtype(
+            [("bin", "<u4"), ("loff", "<u8"), ("n", "<i4")]))
+        hdr["bin"] = uniq
+        hdr["loff"] = rvo[bin_start]
+        hdr["n"] = n_chunk
+        chunks = np.zeros(cs_idx.shape[0], dtype=np.dtype(
+            [("cs", "<u8"), ("ce", "<u8")]))
+        chunks["cs"] = rvo[cs_idx]
+        chunks["ce"] = rve[ce_idx]
+
+        rows = np.empty((n_bins + chunks.shape[0], 16), dtype=np.uint8)
+        hdr_pos = np.arange(n_bins) + np.concatenate(
+            [[0], np.cumsum(n_chunk)[:-1]])
+        rows[hdr_pos] = hdr.view(np.uint8).reshape(n_bins, 16)
+        mask = np.ones(rows.shape[0], dtype=bool)
+        mask[hdr_pos] = False
+        rows[mask] = chunks.view(np.uint8).reshape(-1, 16)
+        body += rows.tobytes()
 
     with BgzfWriter(path) as w:
         w.write(bytes(body))
