@@ -24,7 +24,7 @@ def revcomp(seq: bytes) -> bytes:
 
 
 def parse_mm_sections(mm_str):
-    """MM tag -> {mod_char: (skips list, np_dot, section_index)}.
+    """MM tag -> {mod_char: (skips array, np_dot, section_index)}.
 
     Section headers look like C+m, C+m., C+m?, C+h, C+C?
     (ref: ont.cpp:310-333,361-416).
@@ -37,9 +37,10 @@ def parse_mm_sections(mm_str):
         mod = part[2]
         header = part.split(",", 1)[0]
         np_dot = not (len(header) > 3 and header[3] == "?")
-        skips = (
-            [int(x) for x in part.split(",")[1:]] if "," in part else []
-        )
+        if "," in part:
+            skips = np.array(part.split(",")[1:], dtype=np.int64)
+        else:
+            skips = np.zeros(0, dtype=np.int64)
         if mod not in sections:
             sections[mod] = (skips, np_dot, idx)
     return sections
@@ -47,28 +48,24 @@ def parse_mm_sections(mm_str):
 
 def mm_positions(skips):
     """Cumulative skip counts -> C-ordinal positions (ref: ont.cpp:302-308)."""
-    out = []
-    pos = 0
-    for v in skips:
-        pos += v
-        out.append(pos)
-        pos += 1
-    return out
+    skips = np.asarray(skips, dtype=np.int64)
+    return np.cumsum(skips) + np.arange(skips.shape[0], dtype=np.int64)
 
 
 def slice_ml(ml_vals, section_idx, n, total_sections_n):
     """ML is a flat array; slice the block for this section
     (ref: ont.cpp:395-415). Missing ML (Biomodal) -> all 255."""
     if ml_vals is None:
-        return [255] * n
+        return np.full(n, 255, dtype=np.int64)
     if n == 0:
-        return []
+        return np.zeros(0, dtype=np.int64)
     if len(ml_vals) % n != 0:
         raise IllegalArgumentError("Unsupported MM field (ML not modulo)")
     lo = section_idx * n
     if len(ml_vals) >= lo + n:
-        return list(ml_vals[lo : lo + n])
-    return [255] * n
+        return np.frombuffer(bytes(ml_vals[lo : lo + n]),
+                             dtype=np.uint8).astype(np.int64)
+    return np.full(n, 255, dtype=np.int64)
 
 
 class NanoporeCalls:
@@ -77,8 +74,8 @@ class NanoporeCalls:
     def __init__(self, mm_str, ml_vals, cpc_call="C", combine_mods=False):
         secs = parse_mm_sections(mm_str) if mm_str else {}
         self.np_dot = False
-        m_pos, m_ml = [], []
-        h_pos, h_ml = [], []
+        zero = np.zeros(0, dtype=np.int64)
+        m_pos = m_ml = h_pos = h_ml = zero
         if "h" in secs:
             skips, _, idx = secs["h"]
             h_pos = mm_positions(skips)
@@ -92,73 +89,82 @@ class NanoporeCalls:
             skips, _, idx = secs["C"]
             c_pos = mm_positions(skips)
             tgt_pos, tgt_ml = (h_pos, h_ml) if cpc_call == "H" else (m_pos, m_ml)
-            existing = set(tgt_pos)
-            for p in c_pos:
-                if p not in existing:
-                    k = int(np.searchsorted(np.array(tgt_pos, dtype=np.int64), p))
-                    tgt_pos.insert(k, p)
-                    tgt_ml.insert(k, 255)
+            new = c_pos[~np.isin(c_pos, tgt_pos)]
+            k = np.searchsorted(tgt_pos, new)
+            tgt_pos = np.insert(tgt_pos, k, new)
+            tgt_ml = np.insert(tgt_ml, k, 255)
+            if cpc_call == "H":
+                h_pos, h_ml = tgt_pos, tgt_ml
+            else:
+                m_pos, m_ml = tgt_pos, tgt_ml
         self.m_pos, self.m_ml = m_pos, m_ml
         self.h_pos, self.h_ml = h_pos, h_ml
         self.combine_mods = combine_mods
 
     @property
     def empty(self):
-        return not self.m_pos and not self.h_pos and not self.np_dot
+        return not len(self.m_pos) and not len(self.h_pos) and not self.np_dot
+
+
+def _prep_section(pos, ml, n_c):
+    """Emulate the reference's advancing-pointer match (ref: ont.cpp:40-78):
+    ordinals must be strictly increasing to keep matching; a non-increasing
+    ordinal wedges the pointer, blocking all later entries. Ordinals beyond
+    the read's C count never match."""
+    pos = np.asarray(pos, dtype=np.int64)
+    ml = np.asarray(ml, dtype=np.int64)
+    if pos.size:
+        bad = np.nonzero(np.diff(pos) <= 0)[0]
+        if bad.size:
+            pos, ml = pos[: bad[0] + 1], ml[: bad[0] + 1]
+        keep = pos < n_c
+        pos, ml = pos[keep], ml[keep]
+    return pos, ml
 
 
 def make_meth_mask(orig_seq: bytes, calls: NanoporeCalls, np_thresh=0.667):
     """Per-base status mask over the as-sequenced read
-    (ref: ont.cpp:22-87). E=not called, M/H/U/N as documented."""
-    mask = bytearray(b"E" * len(orig_seq))
-    c_counter = 0
-    mi = hi = 0
-    m_pos, m_ml = calls.m_pos, calls.m_ml
-    h_pos, h_ml = calls.h_pos, calls.h_ml
-    hi_thresh = 255 * np_thresh
-    lo_thresh = 255 * (1 - np_thresh)
-    for i, b in enumerate(orig_seq):
-        if b != B_C:
-            continue
-        if calls.combine_mods:
-            h_prob = m_prob = 0
-            has_h = hi < len(h_pos) and c_counter == h_pos[hi]
-            has_m = mi < len(m_pos) and c_counter == m_pos[mi]
-            if has_h:
-                h_prob = h_ml[hi]
-                hi += 1
-            if has_m:
-                m_prob = m_ml[mi]
-                mi += 1
-            if has_h or has_m:
-                combined = min(h_prob + m_prob, 255)
-                st = ord("N")
-                if combined > hi_thresh:
-                    st = ord("M")
-                elif combined < lo_thresh:
-                    st = ord("U")
-                mask[i] = st
-        else:
-            st = ord("N")
-            if hi < len(h_pos) and c_counter == h_pos[hi]:
-                if h_ml[hi] > hi_thresh:
-                    st = ord("H")
-                elif h_ml[hi] < lo_thresh:
-                    st = ord("U")
-                mask[i] = st
-                hi += 1
-            if mi < len(m_pos) and c_counter == m_pos[mi]:
-                if m_ml[mi] > hi_thresh:
-                    st = ord("M")
-                elif m_ml[mi] < lo_thresh:
-                    if st != ord("H"):
-                        st = ord("U")
-                elif st != ord("H"):
-                    st = ord("N")
-                mask[i] = st
-                mi += 1
-        c_counter += 1
-    return bytes(mask)
+    (ref: ont.cpp:22-87). E=not called, M/H/U/N as documented.
+
+    Vectorized: C ordinals are materialized once, each MM section scatters
+    its thresholded status onto them, and the per-ordinal statuses scatter
+    back to base positions.
+    """
+    seq = np.frombuffer(orig_seq, dtype=np.uint8)
+    c_idx = np.nonzero(seq == B_C)[0]
+    n_c = c_idx.shape[0]
+    hi_t = 255 * np_thresh
+    lo_t = 255 * (1 - np_thresh)
+    m_pos, m_ml = _prep_section(calls.m_pos, calls.m_ml, n_c)
+    h_pos, h_ml = _prep_section(calls.h_pos, calls.h_ml, n_c)
+    status = np.full(n_c, ord("E"), dtype=np.uint8)
+    if calls.combine_mods:
+        comb = np.zeros(n_c, dtype=np.int64)
+        has = np.zeros(n_c, dtype=bool)
+        comb[h_pos] += h_ml
+        has[h_pos] = True
+        comb[m_pos] += m_ml
+        has[m_pos] = True
+        np.minimum(comb, 255, out=comb)
+        st = np.full(n_c, ord("N"), dtype=np.uint8)
+        st[comb > hi_t] = ord("M")
+        st[comb < lo_t] = ord("U")
+        status[has] = st[has]
+    else:
+        st_h = np.full(h_pos.shape, ord("N"), dtype=np.uint8)
+        st_h[h_ml > hi_t] = ord("H")
+        st_h[h_ml < lo_t] = ord("U")
+        status[h_pos] = st_h
+        st_m = np.full(m_pos.shape, ord("N"), dtype=np.uint8)
+        st_m[m_ml > hi_t] = ord("M")
+        st_m[m_ml < lo_t] = ord("U")
+        # an H call survives unless the m section upgrades to M
+        prev = status[m_pos]
+        st_m = np.where((prev == ord("H")) & (st_m != ord("M")), prev, st_m)
+        status[m_pos] = st_m
+    mask = np.full(seq.shape, ord("E"), dtype=np.uint8)
+    mask[c_idx] = status
+    return mask.tobytes()
 
 
 def np_call_read(seq_adj: bytes, mask_adj: bytes, start_locus: int,
@@ -173,40 +179,28 @@ def np_call_read(seq_adj: bytes, mask_adj: bytes, start_locus: int,
     loop_start = -1 if bottom else 0
     k0 = int(np.searchsorted(loci, start_locus + loop_start, side="left"))
     k1 = int(np.searchsorted(loci, start_locus + n, side="left"))
-    calls = []
-    first_k = -1
-    for k in range(k0, k1):
-        i = int(loci[k]) - start_locus
-        di = i + 1 if bottom else i
-        if di >= len(mask_adj) or di < 0:
-            cur = ord(".")
-        else:
-            st = mask_adj[di]
-            if st == ord("N"):
-                cur = ord(".")
-            elif st == ord("E"):
-                has_base = di < len(seq_adj) and (
-                    seq_adj[di] == (B_G if bottom else B_C)
-                )
-                cur = ord("T") if (np_dot and has_base) else ord(".")
-            elif st == ord("M"):
-                cur = ord("C")
-            elif st == ord("U"):
-                cur = ord("T")
-            elif st == ord("H"):
-                cur = ord("H")
-            else:
-                cur = ord(".")
+    if k1 <= k0:
+        return None
+    maskarr = np.frombuffer(mask_adj, dtype=np.uint8)
+    seqarr = np.frombuffer(seq_adj, dtype=np.uint8)
+    i = loci[k0:k1].astype(np.int64) - start_locus
+    di = i + 1 if bottom else i
+    in_range = (di >= 0) & (di < maskarr.shape[0])
+    dic = np.clip(di, 0, max(maskarr.shape[0] - 1, 0))
+    st = np.where(in_range, maskarr[dic] if maskarr.size else 0, 0)
+    cur = np.full(di.shape, ord("."), dtype=np.uint8)
+    cur[st == ord("M")] = ord("C")
+    cur[st == ord("U")] = ord("T")
+    cur[st == ord("H")] = ord("H")
+    if np_dot:
+        has_base = in_range & (
+            (seqarr[dic] if seqarr.size else 0) == (B_G if bottom else B_C))
+        cur[(st == ord("E")) & has_base] = ord("T")
+    if clip > 0:
         clip_pos = di if bottom else i
-        if clip > 0 and not (clip_pos >= clip and clip_pos < n - clip):
-            cur = ord(".")
-        if first_k < 0 and cur != ord("."):
-            first_k = k
-        if first_k >= 0:
-            calls.append(cur)
-    if first_k < 0:
+        cur[(clip_pos < clip) | (clip_pos >= n - clip)] = ord(".")
+    nz = np.nonzero(cur != ord("."))[0]
+    if nz.size == 0:
         return None
-    pattern = bytes(calls).rstrip(b".")
-    if not pattern:
-        return None
-    return site_base + first_k, pattern
+    pattern = cur[nz[0] : nz[-1] + 1].tobytes()
+    return site_base + k0 + int(nz[0]), pattern
