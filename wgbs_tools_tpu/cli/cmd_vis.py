@@ -187,7 +187,7 @@ def beta_color_dict(scheme=16):
 
 
 def render_beta(paths, gr, min_cov=1, no_color=False, heatmap=False,
-                blocks=None, color_scheme=16, out=None):
+                blocks=None, color_scheme=16, out=None, colorbar=False):
     out = out or sys.stdout
     cdict = beta_color_dict(color_scheme)
     s, e = gr.sites
@@ -214,6 +214,16 @@ def render_beta(paths, gr, min_cov=1, no_color=False, heatmap=False,
                 line = re.sub(r"\.", " ", line)
         out.write(pretty_name(fpath)[:fname_len].ljust(fname_len) + ": "
                   + line + "\n")
+    if colorbar:
+        digits = "0123456789"
+        out.write("colorbar\n")
+        bar = digits if no_color else color_text(digits, cdict,
+                                                 scheme=color_scheme)
+        if not no_color and heatmap:
+            bar = re.sub("m[0-9]", "m" + FULL_SQUARE, bar)
+        out.write(bar + "\n")
+        if heatmap:
+            out.write(digits + "\n")
 
 
 # ---------------------------------------------------------------- CLI
@@ -237,31 +247,88 @@ def main(argv):
     p.add_argument("--heatmap", action="store_true")
     p.add_argument("--color_scheme", type=int, default=16, choices=[16, 256])
     p.add_argument("--blocks_path", default=None)
+    p.add_argument("--shuffle", action="store_true",
+                   help="randomize read order within the same start site "
+                        "(ref: cview.py:45 `sort -k2,2n -k3,3R`)")
+    p.add_argument("-t", "--title", default=None,
+                   help="text printed before the results")
+    p.add_argument("--colorbar", action="store_true",
+                   help="beta vis: print the 0-9 color scale")
+    p.add_argument("--plot", action="store_true",
+                   help="beta vis: render a matplotlib heatmap")
+    p.add_argument("--output", default=None,
+                   help="beta vis: save the --plot figure to a file")
     args = p.parse_args(argv)
     validate_file_list(args.input_files)
     g = Genome(args.genome)
     gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
     if gr.is_whole():
         raise IllegalArgumentError("vis requires a region (-r or -s)")
+    if args.title:
+        print(args.title)
     print(gr)
     blocks = load_blocks(args.blocks_path) if args.blocks_path else None
 
     if args.input_files[0].endswith((".beta", ".lbeta")):
         render_beta(args.input_files, gr, min_cov=args.min_cov,
                     no_color=args.no_color, heatmap=args.heatmap,
-                    blocks=blocks, color_scheme=args.color_scheme)
+                    blocks=blocks, color_scheme=args.color_scheme,
+                    colorbar=args.colorbar)
+        if args.plot:
+            plot_beta(args.input_files, gr, blocks=blocks,
+                      title=args.title, output=args.output)
         return 0
     for pat in args.input_files:
         print(pretty_name(pat))
         frags = view_pat(pat, g, sites=f"{gr.sites[0]}-{gr.sites[1]}",
                          strict=args.strict, strip=args.strip,
-                         min_len=args.min_len, sub_sample=args.sub_sample,
-                         seed=args.seed)
+                         min_len=args.min_len, no_gaps=args.no_gaps,
+                         sub_sample=args.sub_sample, seed=args.seed)
+        if args.shuffle:
+            frags = _shuffle_within_start(frags, args.seed)
         render_pat(frags, gr, blocks=blocks, no_color=args.no_color,
                    text=args.text, strike=args.strike, yebl=args.yebl,
                    max_reps=args.max_reps, no_dense=args.no_dense,
                    uxm=args.uxm, hmc=args.hmc)
     return 0
+
+
+def _shuffle_within_start(frags, seed=None):
+    """Random order of patterns sharing a start site
+    (ref: cview.py:43-46: `sort -k2,2n -k3,3R` when --shuffle)."""
+    rng = np.random.default_rng(seed)
+    key = rng.random(frags.nr_frags)
+    order = np.lexsort((key, np.asarray(frags.start)))
+    return frags.take(order) if hasattr(frags, "take") else frags.reorder(order)
+
+
+def plot_beta(beta_paths, gr, blocks=None, title=None, output=None):
+    """Matplotlib heatmap of per-site methylation means
+    (ref: beta_vis.py:90-110)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..formats.beta import beta2vec, load_beta
+
+    s, e = gr.sites
+    rows = []
+    for fpath in beta_paths:
+        data = load_beta(fpath, sites=(s, e))
+        rows.append(beta2vec(data).reshape(1, -1))
+    r = np.concatenate(rows)
+    plt.imshow(1 - r, cmap="RdYlGn")
+    borders = _borders_in_window(blocks, s, e) if blocks is not None else \
+        np.array([])
+    if borders.size:
+        plt.vlines(borders - 0.5, -0.5, len(beta_paths) - 0.5)
+    plt.yticks(np.arange(len(beta_paths)),
+               [pretty_name(f) for f in beta_paths])
+    if title:
+        plt.title(title)
+    if output is not None:
+        plt.savefig(output)
+    plt.close()
 
 
 def main_pat_fig(argv):
