@@ -55,17 +55,22 @@ def marker_data(tmp_path_factory):
 
 
 ARGS = [
-    "--delta_means", "0.2", "-c", "3", "--pval", "0.05",
-    "--na_rate_tg", "0.5", "--na_rate_bg", "0.5", "--test_type", "t",
+    "--delta_means", "0.2", "-c", "3",
+    "--na_rate_tg", "0.5", "--na_rate_bg", "0.5",
 ]
 
+# Mann-Whitney with 3v3 samples cannot reach p<=0.05 (min two-sided p=0.1),
+# so mw runs with a looser threshold to produce comparable marker sets
+PVAL = {"t": "0.05", "mw": "0.3", "m_t": "0.05"}
 
-def run_reference(d, betas, out_dir):
+
+def run_reference(d, betas, out_dir, test_type="t"):
     env = dict(os.environ, PYTHONPATH=REF_PY)
     cmd = [sys.executable, op.join(REF_PY, "find_markers.py"),
            "--blocks_path", str(d / "blocks.bed"),
            "--groups_file", str(d / "groups.csv"),
-           "--betas"] + betas + ["-o", out_dir] + ARGS
+           "--betas"] + betas + ["-o", out_dir] + ARGS + \
+        ["--test_type", test_type, "--pval", PVAL[test_type]]
     p = subprocess.run(cmd, env=env, capture_output=True)
     if p.returncode != 0:
         pytest.skip(f"reference find_markers unavailable: "
@@ -84,13 +89,15 @@ def load_markers(path):
     return rows
 
 
-def test_find_markers_matches_reference(marker_data, tmp_path):
+@pytest.mark.parametrize("test_type", ["t", "mw", "m_t"])
+def test_find_markers_matches_reference(marker_data, tmp_path, test_type):
     d, betas = marker_data
-    ref_out = run_reference(d, betas, str(tmp_path / "ref"))
+    ref_out = run_reference(d, betas, str(tmp_path / "ref"), test_type)
 
     params = MarkerParams(
-        delta_means=0.2, min_cov=3, pval=0.05, na_rate_tg=0.5,
-        na_rate_bg=0.5, test_type="t", out_dir=str(tmp_path / "mine"),
+        delta_means=0.2, min_cov=3, pval=float(PVAL[test_type]),
+        na_rate_tg=0.5, na_rate_bg=0.5, test_type=test_type,
+        out_dir=str(tmp_path / "mine"),
     )
     find_markers(params, betas, blocks_path=str(d / "blocks.bed"),
                  groups_file=str(d / "groups.csv"))
@@ -103,6 +110,9 @@ def test_find_markers_matches_reference(marker_data, tmp_path):
             f"(mine-only={set(mine)-set(ref)}, ref-only={set(ref)-set(mine)})"
         )
         for key in ref:
-            for col in ("tg_mean", "bg_mean", "delta_means", "ttest"):
+            for col in ("tg_mean", "bg_mean", "delta_means", "ttest",
+                        "mw_test", "mvalue_ttest"):
+                if col not in ref[key] or ref[key][col] in ("NA", "nan", ""):
+                    continue
                 a, b = float(mine[key][col]), float(ref[key][col])
                 assert abs(a - b) < 2e-3, (group, key, col, a, b)
