@@ -303,32 +303,44 @@ def _segment_windows_fast(pm, pt, loci, W, max_bp, pc, B=128):
 
 
 def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
-                         pseudo_count=15.0):
+                         pseudo_count=15.0, batch=8):
     """Batch-segment many equal-size windows (fast float32 mode).
 
     datas: (nw, K, n, 2) int counts; locis: (nw, n). Returns a list of
-    relative border arrays — the chunk axis maps onto the device in one
-    program launch instead of per-chunk dispatches.
+    relative border arrays. Windows run `batch` at a time (one fixed
+    compiled shape; the tail is padded with window 0 and dropped) with all
+    launches dispatched before the single sync — whole-genome memory stays
+    bounded at one (batch, n, W) cost tensor per launch.
     """
     datas = np.asarray(datas)
+    locis = np.asarray(locis)
     nw, K, n, _ = datas.shape
     W = int(min(max_cpg, n))
+    batch = max(1, min(batch, nw))
+    max_bp = int(max_bp) if max_bp else 0
+    pc = float(pseudo_count)
     pms, pts = [], []
     for w in range(nw):
         pm, pt = _prefix_sums(datas[w])
         pms.append(pm)
         pts.append(pt)
-    T = np.asarray(
-        _segment_windows_fast(
-            jnp.asarray(np.stack(pms), dtype=jnp.int32),
-            jnp.asarray(np.stack(pts), dtype=jnp.int32),
-            jnp.asarray(np.asarray(locis), dtype=jnp.int32),
-            W,
-            int(max_bp) if max_bp else 0,
-            float(pseudo_count),
-        )
-    ).astype(np.int64)
-    return [_traceback(T[w], n) for w in range(nw)]
+    outs = []
+    for lo in range(0, nw, batch):
+        sel = list(range(lo, min(lo + batch, nw)))
+        pad = batch - len(sel)
+        sel = sel + [sel[0]] * pad
+        outs.append(_segment_windows_fast(
+            jnp.asarray(np.stack([pms[w] for w in sel]), dtype=jnp.int32),
+            jnp.asarray(np.stack([pts[w] for w in sel]), dtype=jnp.int32),
+            jnp.asarray(locis[sel], dtype=jnp.int32),
+            W, max_bp, pc,
+        ))
+    Ts = [np.asarray(o).astype(np.int64) for o in outs]
+    res = []
+    for li, lo in enumerate(range(0, nw, batch)):
+        for j in range(min(batch, nw - lo)):
+            res.append(_traceback(Ts[li][j], n))
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -191,35 +191,41 @@ def build_segment_windows_step(mesh, W, max_bp=0, pc=15.0, B=128):
 
 
 def segment_windows_sharded(mesh, datas, locis, max_cpg=1000, max_bp=2000,
-                            pseudo_count=15.0):
-    """Host wrapper: pad the window batch to the device count, run the
-    sharded step, return per-window relative border arrays."""
+                            pseudo_count=15.0, per_device_batch=2):
+    """Host wrapper: run the window-sharded step in fixed-size launches of
+    (n_devices * per_device_batch) windows (tail padded with window 0), all
+    dispatched before one sync; returns per-window relative border arrays.
+    Fixed launch shape = one compile; bounded per-device memory."""
     from ..models.segment import _prefix_sums, _traceback
 
     datas = np.asarray(datas)
+    locis = np.asarray(locis)
     nw, K, n, _ = datas.shape
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    pad = (-nw) % ndev
     W = int(min(max_cpg, n))
+    launch = ndev * max(1, per_device_batch)
     pms, pts = [], []
     for w in range(nw):
         pm, pt = _prefix_sums(datas[w])
         pms.append(pm)
         pts.append(pt)
-    for _ in range(pad):
-        pms.append(pms[0])
-        pts.append(pts[0])
-    locis = np.asarray(locis)
-    locis_p = np.concatenate([locis, np.repeat(locis[:1], pad, axis=0)]) \
-        if pad else locis
     step = build_segment_windows_step(
         mesh, W, int(max_bp) if max_bp else 0, float(pseudo_count))
-    T = np.asarray(step(
-        jnp.asarray(np.stack(pms), dtype=jnp.int32),
-        jnp.asarray(np.stack(pts), dtype=jnp.int32),
-        jnp.asarray(locis_p, dtype=jnp.int32),
-    )).astype(np.int64)
-    return [_traceback(T[w], n) for w in range(nw)]
+    outs = []
+    for lo in range(0, nw, launch):
+        sel = list(range(lo, min(lo + launch, nw)))
+        sel = sel + [sel[0]] * (launch - len(sel))
+        outs.append(step(
+            jnp.asarray(np.stack([pms[w] for w in sel]), dtype=jnp.int32),
+            jnp.asarray(np.stack([pts[w] for w in sel]), dtype=jnp.int32),
+            jnp.asarray(locis[sel], dtype=jnp.int32),
+        ))
+    res = []
+    for li, lo in enumerate(range(0, nw, launch)):
+        T = np.asarray(outs[li]).astype(np.int64)
+        for j in range(min(launch, nw - lo)):
+            res.append(_traceback(T[j], n))
+    return res
 
 
 def bucket_fragments(start, length, count, codes, n_sites, n_shards,
