@@ -253,10 +253,9 @@ def _columnar_chrom_worker(args):
     cols = _SHARED["cols"]
     offs = _SHARED["offs"]
     stats = ReadStats()
-    starts, patterns, qnames = process_chrom_columnar(
+    frags = process_chrom_columnar(
         buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
         clip, min_cpg, stats, with_qname)
-    frags = rows_to_frags(starts, patterns, chrom, qnames)
     if frags.nr_frags:
         frags = frags.sort().collapse()
     return chrom, frags, stats

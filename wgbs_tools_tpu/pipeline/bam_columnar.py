@@ -14,9 +14,10 @@ from ..utils.log import logger
 from .bam import _PAIR_LUT, CIGAR_OPS, FUNMAP
 from .calling import (
     ReadStats,
-    call_reads_batch,
+    call_reads_mat,
     clean_cigar,
     merge_pe_batch,
+    merge_pe_mat,
 )
 
 
@@ -121,24 +122,109 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
 
     flags = sub_cols[:, 2].astype(np.int64)
     pos1 = sub_cols[:, 1].astype(np.int64) + 1
-    results = call_reads_batch(None, pos1, flags, paired, loci, site_base,
-                               clip=clip, seqmat=chars, lens=lens)
-    for r in range(R):
-        if results[r] is None and not bad[r]:
-            stats.nr_empty += 1
+    starts, patmat, span = call_reads_mat(pos1, flags, paired, loci,
+                                          site_base, chars, lens, clip=clip)
+    has = starts >= 0
+    stats.nr_empty += int((~has & ~bad).sum())
 
     # qnames (needed for pairing / --long output)
-    need_names = paired or with_qname
     qnames = None
-    if need_names:
+    if paired or with_qname:
         lq = sub_cols[:, 7].astype(np.int64)
         LQ = max(int(lq.max(initial=1)), 1)
         qidx = np.minimum(sub_offs[:, 0][:, None] + np.arange(LQ)[None, :],
                           bufarr.shape[0] - 1)
         qmat = bufarr[qidx].copy()
         qmat[np.arange(LQ)[None, :] >= (lq - 1)[:, None]] = 0
-        qbytes = qmat.view(f"S{LQ}").ravel()
-        qnames = qbytes
+        qnames = qmat.view(f"S{LQ}").ravel()
+
+    if with_qname:
+        return _emit_with_qnames(starts, patmat, span, qnames, paired,
+                                 min_cpg, stats, chrom_name)
+
+    if not paired:
+        out_starts, out_pat, out_span = (starts[has], patmat[has], span[has])
+    else:
+        # mates: first two occurrences of each qname pair up, in row order
+        # (same as the streaming qname-dict of the record path); a trailing
+        # odd occurrence stays single
+        _, inv = np.unique(qnames, return_inverse=True)
+        ordq = np.argsort(inv, kind="stable")
+        inv_s = inv[ordq]
+        newgrp = np.empty(R, dtype=bool)
+        newgrp[0] = True
+        newgrp[1:] = inv_s[1:] != inv_s[:-1]
+        pos_in = np.arange(R) - np.maximum.accumulate(
+            np.where(newgrp, np.arange(R), 0))
+        second = (pos_in & 1) == 1
+        b_rows = ordq[second]
+        a_rows = ordq[np.nonzero(second)[0] - 1]
+        stats.nr_pairs += int(b_rows.size)
+        nxt_new = np.empty(R, dtype=bool)
+        nxt_new[:-1] = newgrp[1:]
+        nxt_new[-1] = True
+        single_rows = ordq[~second & nxt_new]
+
+        hasA, hasB = has[a_rows], has[b_rows]
+        both = hasA & hasB
+        am, bm = a_rows[both], b_rows[both]
+        m_starts, m_pat, m_span, too_long = merge_pe_mat(
+            starts[am], patmat[am], span[am],
+            starts[bm], patmat[bm], span[bm])
+        stats.nr_invalid += 2 * int(too_long.sum())
+        ok = m_starts >= 0
+        one_rows = np.concatenate([
+            a_rows[hasA & ~hasB],
+            b_rows[~hasA & hasB],
+            single_rows[has[single_rows]],
+        ])
+        W = max(m_pat.shape[1], patmat.shape[1], 1)
+
+        def padW(p):
+            if p.shape[1] == W:
+                return p
+            out = np.full((p.shape[0], W), ord("."), dtype=np.uint8)
+            out[:, : p.shape[1]] = p
+            return out
+
+        out_starts = np.concatenate([m_starts[ok], starts[one_rows]])
+        out_pat = np.vstack([padW(m_pat[ok]), padW(patmat[one_rows])])
+        out_span = np.concatenate([m_span[ok], span[one_rows]])
+
+    if min_cpg > 1:
+        short = out_span < min_cpg
+        stats.nr_short += int(short.sum())
+        keep = ~short
+        out_starts, out_pat, out_span = (out_starts[keep], out_pat[keep],
+                                         out_span[keep])
+    return _mat_to_frags(out_starts, out_pat, out_span, chrom_name)
+
+
+def _mat_to_frags(starts, patmat, span, chrom_name):
+    from ..formats.pat import _ENCODE_LUT, PatFrags, empty_frags
+
+    n = starts.shape[0]
+    if n == 0:
+        return empty_frags()
+    return PatFrags(
+        starts.astype(np.int32),
+        span.astype(np.int32),
+        np.ones(n, dtype=np.int32),
+        _ENCODE_LUT[patmat],
+        np.zeros(n, dtype=np.int16),
+        [chrom_name],
+    )
+
+
+def _emit_with_qnames(starts, patmat, span, qnames, paired, min_cpg, stats,
+                      chrom_name):
+    """--long output path: per-read tuples so each row keeps its qname."""
+    from .calling import rows_to_frags
+
+    R = starts.shape[0]
+    results = [None] * R
+    for r in np.nonzero(starts >= 0)[0]:
+        results[r] = (int(starts[r]), bytes(patmat[r, : span[r]]))
 
     starts_out, patterns_out, qnames_out = [], [], []
 
@@ -150,25 +236,19 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
             return
         starts_out.append(res[0])
         patterns_out.append(res[1])
-        if with_qname:
-            qnames_out.append(q.decode() if isinstance(q, bytes) else q)
+        qnames_out.append(q.decode() if isinstance(q, bytes) else q)
 
     if not paired:
         for r in range(R):
-            emit(results[r], qnames[r] if qnames is not None else None)
+            emit(results[r], qnames[r])
     else:
-        _, inv, counts = np.unique(qnames, return_inverse=True,
-                                   return_counts=True)
-        # mates: first two occurrences of each qname pair up (same as the
-        # streaming qname-dict in the record path)
+        _, inv = np.unique(qnames, return_inverse=True)
         first_of = {}
         pair_list = []
-        singles = []
         for r in range(R):
             q = int(inv[r])
             if q in first_of:
-                mate = first_of.pop(q)
-                pair_list.append((mate, r))
+                pair_list.append((first_of.pop(q), r))
                 stats.nr_pairs += 1
             else:
                 first_of[q] = r
@@ -183,5 +263,5 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
         for q, r in first_of.items():
             emit(results[r], qnames[r])
 
-    return (np.array(starts_out, dtype=np.int64), patterns_out,
-            qnames_out if with_qname else None)
+    return rows_to_frags(np.array(starts_out, dtype=np.int64), patterns_out,
+                         chrom_name, qnames_out)

@@ -236,6 +236,68 @@ def merge_pe_batch(pairs):
     return out
 
 
+def merge_pe_mat(s1, pat1, sp1, s2, pat2, sp2):
+    """Array-native mate merging; same rules as `merge_pe` per row.
+
+    Both sides must be present (start >= 0). Inputs are call matrices as
+    returned by `call_reads_mat`, subset to the paired rows. Returns
+    (start int64[n] (-1 = merged read all-unknown), patmat uint8[n, W]
+    '.'-padded, span int64[n], too_long bool[n]); too_long rows are invalid
+    (ref: patter_utils.cpp:292-342) and carry no pattern.
+    """
+    n = s1.shape[0]
+    dot = ord(".")
+    if n == 0:
+        return (np.zeros(0, np.int64), np.zeros((0, 1), np.uint8),
+                np.zeros(0, np.int64), np.zeros(0, bool))
+    S = max(pat1.shape[1], pat2.shape[1], 1)
+
+    def pad(p):
+        if p.shape[1] == S:
+            return p
+        out = np.full((p.shape[0], S), dot, dtype=np.uint8)
+        out[:, : p.shape[1]] = p
+        return out
+
+    p1, p2 = pad(pat1), pad(pat2)
+    swap = s1 > s2
+    a_s = np.where(swap, s2, s1)
+    b_s = np.where(swap, s1, s2)
+    a_sp = np.where(swap, sp2, sp1)
+    b_sp = np.where(swap, sp1, sp2)
+    a_p = np.where(swap[:, None], p2, p1)
+    b_p = np.where(swap[:, None], p1, p2)
+
+    last = np.maximum(a_s + a_sp, b_s + b_sp)
+    width = last - a_s
+    too_long = width > MAX_PE_PAT_LEN
+    W = int(np.minimum(width, MAX_PE_PAT_LEN).max(initial=1))
+    cols = np.arange(W)[None, :]
+    A = np.where(cols < a_sp[:, None], a_p[:, np.minimum(np.arange(W), S - 1)],
+                 dot).astype(np.uint8)
+    off = b_s - a_s
+    bidx = cols - off[:, None]
+    validB = (bidx >= 0) & (bidx < b_sp[:, None])
+    B = np.where(validB, np.take_along_axis(b_p, np.clip(bidx, 0, S - 1),
+                                            axis=1), dot).astype(np.uint8)
+    merged = np.where(A == dot, B,
+                      np.where((B != dot) & (A != B), dot, A))
+    merged[cols >= np.minimum(width, W)[:, None]] = dot
+
+    known = merged != dot
+    any_ = known.any(axis=1) & ~too_long
+    firstc = known.argmax(axis=1)
+    lastc = W - 1 - known[:, ::-1].argmax(axis=1)
+    span = np.where(any_, lastc - firstc + 1, 0)
+    starts = np.where(any_, a_s + firstc, -1)
+    Wout = int(span.max(initial=1))
+    oidx = firstc[:, None] + np.arange(Wout)[None, :]
+    out = np.where(np.arange(Wout)[None, :] < span[:, None],
+                   np.take_along_axis(merged, np.clip(oidx, 0, W - 1), axis=1),
+                   dot).astype(np.uint8)
+    return starts, out, span, too_long
+
+
 def merge_pe(r1, r2):
     """Merge two called mates (ref: patter_utils.cpp:292-342).
 
@@ -371,7 +433,6 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
     """
     if seqmat is not None:
         R = seqmat.shape[0]
-        lens = np.asarray(lens, dtype=np.int64)
     else:
         R = len(seqs_adj)
         if R == 0:
@@ -384,6 +445,31 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
             seqmat[r, : len(s)] = np.frombuffer(s, dtype=np.uint8)
     if R == 0:
         return []
+    starts, patmat, span = call_reads_mat(positions, flags, paired, loci,
+                                          site_base, seqmat, lens, clip=clip)
+    results = [None] * R
+    for r in np.nonzero(starts >= 0)[0]:
+        results[r] = (int(starts[r]), bytes(patmat[r, : span[r]]))
+    return results
+
+
+def call_reads_mat(positions, flags, paired, loci, site_base, seqmat, lens,
+                   clip=0):
+    """Array-native batched calling (no per-read Python objects).
+
+    Same rules as `call_read` (ref: patter.cpp:105-184). Inputs: zero-padded
+    `seqmat` uint8 (R, Lmax) of CIGAR-normalized read bytes + `lens`.
+    Returns (start int64[R] — global 1-based CpG index of the first known
+    call, -1 when the read has none; patmat uint8[R, S] of pattern chars,
+    '.'-padded beyond each span; span int64[R]).
+    """
+    R = seqmat.shape[0]
+    lens = np.asarray(lens, dtype=np.int64)
+    no_calls = (np.full(R, -1, dtype=np.int64),
+                np.full((R, 1), ord("."), dtype=np.uint8),
+                np.zeros(R, dtype=np.int64))
+    if R == 0:
+        return no_calls
     Lmax = seqmat.shape[1]
     pos1 = np.asarray(positions, dtype=np.int64)  # 1-based start locus
     flags = np.asarray(flags, dtype=np.int64)
@@ -397,9 +483,8 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
     k1 = np.searchsorted(loci, pos1 + lens, side="left")
     counts = k1 - k0
     P = int(counts.sum())
-    results = [None] * R
     if P == 0:
-        return results
+        return no_calls
     rid = np.repeat(np.arange(R), counts)
     kk = (np.arange(P) - np.repeat(np.cumsum(counts) - counts, counts)
           + np.repeat(k0, counts))
@@ -430,7 +515,7 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
     # per-read pattern extents over known calls
     known = calls != ord(".")
     if not known.any():
-        return results
+        return no_calls
     idx = np.arange(P)
     first = np.full(R, P + 1, dtype=np.int64)
     last = np.full(R, -1, dtype=np.int64)
@@ -438,18 +523,17 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
     np.maximum.at(last, rid[known], idx[known])
     has = last >= 0
     if not has.any():
-        return results
+        return no_calls
     span = np.zeros(R, dtype=np.int64)
     span[has] = last[has] - first[has] + 1
     maxspan = int(span.max())
     patmat = np.full((R, maxspan), ord("."), dtype=np.uint8)
     sel = has[rid] & (idx >= np.where(has, first, 0)[rid]) & (idx <= last[rid])
     patmat[rid[sel], idx[sel] - first[rid[sel]]] = calls[sel]
-    pat_trimmed = [bytes(patmat[r, : span[r]]) for r in range(R)]
     # start site = global 1-based index of the first known call's CpG
-    for r in np.nonzero(has)[0]:
-        results[r] = (int(site_base + kk[first[r]]), pat_trimmed[r])
-    return results
+    starts = np.full(R, -1, dtype=np.int64)
+    starts[has] = site_base + kk[first[has]]
+    return starts, patmat, span
 
 
 def call_records(records, loci, site_base, chrom_name, paired, clip=0,
