@@ -247,6 +247,25 @@ def test_pat_fig_cli(workdir, mini_genome):
     assert op.isfile(out)
 
 
+def test_pat_fig_cli_flags(workdir, mini_genome):
+    """col_wrap tiling of repeated pats, rename table, styling flags."""
+    idx = mini_genome.index
+    s1, _ = idx.chrom_site_bounds("chr1")
+    pat = str(workdir / "sample.pat.gz")
+    pat2 = str(workdir / "sample2.pat.gz")
+    import shutil
+
+    shutil.copy(pat, pat2)
+    names = workdir / "names.csv"
+    names.write_text("sample,renamedA\nsample2,renamedB\n")
+    out = str(workdir / "fig2.pdf")
+    assert cli_main(["pat_fig", pat, pat2, "-s", f"{s1}-{s1+40}", "-o", out,
+                     "--col_wrap", "1", "--black_white", "--top", "20",
+                     "--name_table", str(names), "--circle_size", "1.2",
+                     "--uxm", "0.7", "--title", "demo"]) == 0
+    assert op.isfile(out)
+
+
 def test_set_default_ref_switch(mini_genome, capsys):
     assert cli_main(["set_default_ref", "-ls"]) == 0
     out = capsys.readouterr().out

@@ -331,47 +331,197 @@ def plot_beta(beta_paths, gr, blocks=None, title=None, output=None):
     plt.close()
 
 
-def main_pat_fig(argv):
-    """Publication-style matplotlib figure of pat visualization
-    (ref: src/python/pat_fig.py)."""
-    p = argparse.ArgumentParser(prog="pat_fig")
-    p.add_argument("input_files", nargs="+")
-    p.add_argument("-o", "--outpath", required=True)
-    add_gr_args(p)
-    p.add_argument("--max_reps", type=int, default=10)
-    p.add_argument("--top", type=int, default=30, help="max reads per sample")
-    args = p.parse_args(argv)
+# pat_fig int codes (ref: pat_vis.py:19 str2int order '',' ','.','C','T',...)
+_FIG_CODES = {0: 0, ord(" "): 1, ord("."): 2, ord("C"): 3, ord("T"): 4,
+              ord("U"): 5, ord("X"): 6, ord("M"): 7, ord("c"): 8,
+              ord("t"): 9, ord("g"): 10, ord("a"): 11, ord("H"): 12}
+_FIG_LUT = np.ones(256, dtype=np.int64)
+for _k, _v in _FIG_CODES.items():
+    _FIG_LUT[_k] = _v
+
+
+def _fig_pad(table, height=None, width=None):
+    """Zero-pad a table up to (height, width) (ref: pat_fig.py:137-151)."""
+    height = table.shape[0] if height is None else height
+    width = table.shape[1] if width is None else width
+    if height < table.shape[0] or width < table.shape[1]:
+        raise IllegalArgumentError(
+            f"unable to pad table with shape {table.shape}")
+    padz = np.zeros((height, width), dtype=np.int64)
+    padz[: table.shape[0], : table.shape[1]] = table
+    return padz
+
+
+def _strikes_coords(kf):
+    """Horizontal extents of covered runs per row (ref: pat_fig.py:57-63)."""
+    kf = kf.copy()
+    kf[kf < 2] = 0
+    kf[kf > 1] = 1
+    z = np.zeros((kf.shape[0], 1))
+    dif = np.diff(np.hstack([z, kf, z]))
+    return np.hstack(
+        [np.argwhere(dif == 1), np.argwhere(dif == -1)]
+    )[:, [0, 1, 3]].T
+
+
+def _plot_fig_table(tf, headers, gr, args):
+    """Circles/strikes rendering (ref: pat_fig.py:65-115)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    height, width = tf.shape
+    fig = plt.figure(
+        figsize=(args.fig_height * (width / height), args.fig_height),
+        facecolor="none")
+    ax = fig.add_subplot(111)
+    ax.set_ylim((-1, height + 1 + 3))
+    ax.set_xlim((-1, width + 1))
+
+    hly, xmins, xmaxs = _strikes_coords(tf)
+    bbox = ax.get_window_extent().transformed(
+        fig.dpi_scale_trans.inverted())
+    msize = (bbox.width / width * 43) * args.circle_size
+    lw = msize / 5 * args.line_width
+    ax.hlines(height - hly, xmin=xmins - .5, xmax=xmaxs - .5, lw=lw,
+              color="black", zorder=-1)
+
+    def plot_circles(simb, color):
+        if not (tf == simb).any():
+            return
+        x, y = np.argwhere(tf == simb).T[::-1]
+        ax.plot(x, height - y, "o", markersize=msize, markeredgewidth=lw,
+                markeredgecolor="black", c=color)
+
+    meth_color = "black" if args.black_white else args.meth_color
+    unmeth_color = "white" if args.black_white else args.unmeth_color
+    plot_circles(3, meth_color)
+    plot_circles(4, unmeth_color)
+
+    fsize = msize * 1.5 * args.font_size
+    for trio in headers:
+        ax.text(*trio, color="black", fontsize=fsize)
+    title = args.title or str(gr).replace("\t", " ")
+    plt.title(title, size=fsize * 1.2)
+    plt.axis("off")
+    plt.savefig(args.outpath, transparent=True)
+    plt.close(fig)
+
+
+def main_pat_fig(argv):
+    """Publication-style matplotlib figure of pat visualization
+    (ref: src/python/pat_fig.py: per-pat packed tables padded and tiled
+    col_wrap per row, strikethrough runs + C/T circles)."""
+    p = argparse.ArgumentParser(prog="pat_fig")
+    p.add_argument("pats", nargs="+")
+    add_gr_args(p)
+    add_view_args(p, out_path=False)
+    p.add_argument("--max_name_chars", "-K", type=int, default=50,
+                   help="trim file names at K characters")
+    p.add_argument("-o", "--outpath", required=True)
+    p.add_argument("--top", type=int, default=1000,
+                   help="at most TOP reads per pat file")
+    p.add_argument("--max_reps", "-m", type=int, default=10)
+    p.add_argument("--no_dense", action="store_true")
+    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--uxm", type=float, default=None)
+    p.add_argument("--col_wrap", type=int, default=5)
+    p.add_argument("--space_cols", type=int, default=1)
+    p.add_argument("--space_rows", type=int, default=4)
+    p.add_argument("--circle_size", type=float, default=1.0)
+    p.add_argument("--line_width", type=float, default=1.0)
+    p.add_argument("--font_size", type=float, default=1.0)
+    p.add_argument("--title")
+    p.add_argument("--fig_height", type=int, default=20)
+    p.add_argument("--blocks_path")
+    p.add_argument("--name_table",
+                   help="csv (no header): original pat name -> new name")
+    p.add_argument("--black_white", action="store_true")
+    p.add_argument("--meth_color", "-M", default="yellow")
+    p.add_argument("--unmeth_color", "-U", default="blue")
+    args = p.parse_args(argv)
+    validate_file_list(args.pats)
+    for name in ("col_wrap", "space_rows", "space_cols", "circle_size",
+                 "font_size", "line_width", "top"):
+        if getattr(args, name) <= 0:
+            raise IllegalArgumentError(f"Invalid {name} flag: must be "
+                                       "positive")
+
     g = Genome(args.genome)
     gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
-    n = len(args.input_files)
-    fig, axes = plt.subplots(n, 1, figsize=(10, 2.2 * n), squeeze=False)
-    for ax, pat in zip(axes[:, 0], args.input_files):
-        frags = view_pat(pat, g, sites=f"{gr.sites[0]}-{gr.sites[1]}")
+    if gr.is_whole():
+        raise IllegalArgumentError("pat_fig requires a region (-r or -s)")
+
+    # de-dup, keeping order; optional rename table filter
+    pats = list(dict.fromkeys(args.pats))
+    dnames = {}
+    if args.name_table:
+        try:
+            import csv
+
+            with open(args.name_table) as f:
+                dnames = {row[0]: row[1] for row in csv.reader(f) if row}
+        except Exception:
+            print(f"[wt pat_fig] failed loading names table "
+                  f"{args.name_table}. using original file names",
+                  file=sys.stderr)
+        if dnames:
+            pats = [q for q in pats if pretty_name(q) in dnames]
+            if not pats:
+                print(f"[wt pat_fig] ERROR: no pat files found in "
+                      f"{args.name_table}", file=sys.stderr)
+                return 1
+
+    tables = []
+    for pat in pats:
+        frags = view_pat(pat, g, sites=f"{gr.sites[0]}-{gr.sites[1]}",
+                         strict=args.strict, strip=args.strip,
+                         min_len=args.min_len, no_gaps=args.no_gaps,
+                         sub_sample=args.sub_sample, seed=args.seed,
+                         no_sort=args.no_sort)
+        if args.shuffle:
+            frags = _shuffle_within_start(frags, args.seed)
         packed = pack_reads_to_table(frags, gr.sites[0], gr.sites[1],
-                                     max_reps=args.max_reps)
-        ax.set_title(pretty_name(pat), fontsize=9)
-        ax.set_xlim(-1, gr.sites[1] - gr.sites[0] + 1)
-        ax.invert_yaxis()
-        ax.axis("off")
+                                     max_reps=args.max_reps,
+                                     no_dense=args.no_dense, uxm=args.uxm)
         if packed is None:
-            continue
-        chars, first, _, _ = packed
-        for r in range(min(chars.shape[0], args.top)):
-            for c in range(chars.shape[1]):
-                ch = chr(chars[r, c])
-                x = c - (gr.sites[0] - first)
-                if ch == "C":
-                    ax.plot(x, r, "o", color="black", ms=4)
-                elif ch == "T":
-                    ax.plot(x, r, "o", mfc="white", mec="black", ms=4)
-                elif ch == "H":
-                    ax.plot(x, r, "o", color="orange", ms=4)
-    fig.tight_layout()
-    fig.savefig(args.outpath)
+            t = np.zeros((0, 0), dtype=np.int64)
+        else:
+            chars = packed[0][: args.top, ]
+            t = _FIG_LUT[chars]
+        nr_sites = gr.sites[1] - gr.sites[0]
+        width = max(nr_sites + 1, t.shape[1]) + args.space_cols
+        tables.append(_fig_pad(t, args.top + args.space_rows, width))
+
+    # tile col_wrap tables per figure row, trimming trailing empty lines
+    tmp = []
+    nr_pats = len(pats)
+    step = min(args.col_wrap, nr_pats)
+    for i in range(0, nr_pats, step):
+        row = np.hstack(tables[i:i + step])
+        nr_lines = int(np.argmin(row.sum(axis=1))) + args.space_rows
+        tmp.append(row[:nr_lines, :])
+    max_width = max(t.shape[1] for t in tmp)
+    table = np.vstack([_fig_pad(t, None, max_width) for t in tmp])
+
+    # header (sample name) positions
+    headers = []
+    shifty = shiftx = s = 0
+    for i in range(nr_pats):
+        name = pretty_name(pats[i])
+        name = dnames.get(name, name)[: args.max_name_chars]
+        headers.append((shiftx, table.shape[0] - shifty + 2, name))
+        shiftx += tables[i].shape[1]
+        if step == 1 or ((i + 1) % step == 0 and i > 0):
+            shifty += tmp[s].shape[0]
+            shiftx = 0
+            s += 1
+
+    if table.sum() == 0:
+        print(f"[wt vis] WARNING: empty table for region {gr}",
+              file=sys.stderr)
+        return 0
+    _plot_fig_table(table, headers, gr, args)
     print(f"[wt pat_fig] saved {args.outpath}")
     return 0
