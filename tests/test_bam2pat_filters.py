@@ -71,3 +71,69 @@ def test_blueprint_in_pipeline(mini_genome, tmp_path):
                           blueprint=True)
     assert s2.nr_bad_conv >= 50  # all unconverted reads dropped
     assert filt.count.sum() < plain.count.sum()
+
+
+def test_strand_filters_partition(mini_genome, tmp_path):
+    """--top_strand/--bottom_strand split a PE BAM into OT/OB reads."""
+    rng = np.random.default_rng(57)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=200, paired=True)
+    bam = dump_bam(reads, seqs, str(tmp_path / "st.bam"))
+
+    all_f, _, all_s = bam2pat(bam, genome=mini_genome, write_output=False)
+    top_f, _, top_s = bam2pat(bam, genome=mini_genome, write_output=False,
+                              top_strand=True)
+    bot_f, _, bot_s = bam2pat(bam, genome=mini_genome, write_output=False,
+                              bottom_strand=True)
+    assert top_s.nr_lines > 0 and bot_s.nr_lines > 0
+    assert top_s.nr_lines + bot_s.nr_lines == all_s.nr_lines
+    assert top_f.count.sum() + bot_f.count.sum() == all_f.count.sum()
+    # exact-FLAG whitelists (ref: bam2pat.py:159-168)
+    top_flags = {r.flag for r in reads if r.flag in (99, 147)}
+    assert top_flags == {99, 147}
+
+
+def test_include_flags_filter(mini_genome, tmp_path):
+    """--include_flags requires FLAG bits (samtools view -f)."""
+    rng = np.random.default_rng(58)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=150, paired=False)
+    bam = dump_bam(reads, seqs, str(tmp_path / "inc.bam"))
+    n_rev = sum(1 for r in reads if r.flag & 16)
+    assert 0 < n_rev < len(reads)
+    _, _, s_all = bam2pat(bam, genome=mini_genome, write_output=False)
+    _, _, s_rev = bam2pat(bam, genome=mini_genome, write_output=False,
+                          include_flags=16)
+    assert s_all.nr_lines == len(reads)
+    assert s_rev.nr_lines == n_rev
+
+
+def test_read_group_filter(mini_genome, tmp_path):
+    """--read_group keeps only reads whose RG:Z tag matches."""
+    from wgbs_tools_tpu.pipeline.bam import BamRecord, write_bam
+
+    rng = np.random.default_rng(59)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=120, paired=False)
+    ref_names = list(seqs.keys())
+    ref_lengths = [len(s) for s in seqs.values()]
+    order = sorted(range(len(reads)),
+                   key=lambda i: (ref_names.index(reads[i].chrom),
+                                  reads[i].pos0))
+    records, n_a = [], 0
+    for k, i in enumerate(order):
+        rd = reads[i]
+        rg = b"grpA" if k % 2 == 0 else b"grpB"
+        n_a += rg == b"grpA"
+        records.append(BamRecord(rd.qname, rd.flag,
+                                 ref_names.index(rd.chrom), rd.pos0, rd.mapq,
+                                 rd.cigar_list(), rd.seq, b"",
+                                 b"RGZ" + rg + b"\x00"))
+    bam = str(tmp_path / "rg.bam")
+    write_bam(bam, ref_names, ref_lengths, records)
+
+    _, _, s_all = bam2pat(bam, genome=mini_genome, write_output=False)
+    _, _, s_a = bam2pat(bam, genome=mini_genome, write_output=False,
+                        read_group="grpA")
+    assert s_all.nr_lines == len(reads)
+    assert s_a.nr_lines == n_a

@@ -82,7 +82,7 @@ def test_beta_to_table_matches_reference(table_data, tmp_path, grouped):
                              groups=grouped)
     mine_path = str(tmp_path / "mine.tsv")
     argv = [str(d / "blocks.bed"), "--betas"] + betas + \
-        ["-c", "4", "-o", mine_path]
+        ["-c", "4", "-o", mine_path, "--digits", "3", "--chunk_size", "40"]
     if grouped:
         argv += ["-g", str(d / "groups.csv")]
     main_beta_to_table(argv)

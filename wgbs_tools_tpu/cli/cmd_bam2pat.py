@@ -21,7 +21,22 @@ def main(argv):
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("-F", "--exclude_flags", type=int, default=None,
                    help=f"samtools-style exclusion flags [{EXCLUDE_FLAGS}]")
+    p.add_argument("--include_flags", type=int, default=None,
+                   help="required FLAG bits (samtools view -f). "
+                        "Default: 3 for paired-end, none for single-end")
     p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
+    strands = p.add_mutually_exclusive_group()
+    strands.add_argument("--top_strand", action="store_true",
+                         help="only use reads from the top (OT) strand")
+    strands.add_argument("--bottom_strand", action="store_true",
+                         help="only use reads from the bottom (OB) strand")
+    p.add_argument("-rg", "--read_group", default=None,
+                   help="only use reads with this RG:Z read-group tag")
+    p.add_argument("-T", "--temp_dir", default=None,
+                   help="(compat; unused — sorting is in-memory, not unix "
+                        "sort)")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
     import os as _os
 
     p.add_argument("-@", "--threads", type=int,
@@ -51,6 +66,10 @@ def main(argv):
                         "(genome default when no path given)")
     add_gr_args(p)
     args = p.parse_args(argv)
+    if args.verbose or args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
     g = Genome(args.genome)
     include = None
     if args.region:
@@ -61,7 +80,9 @@ def main(argv):
     for bam in args.bam:
         try:
             validate_single_file(bam)
-            out_pat = op.join(args.out_dir, pretty_name(bam) + ".pat.gz")
+            suff = f".{args.read_group}" if args.read_group else ""
+            out_pat = op.join(args.out_dir,
+                              pretty_name(bam) + suff + ".pat.gz")
             if not delete_or_skip(out_pat, args.force):
                 continue
             mb = (op.join(args.out_dir, pretty_name(bam) + ".mbias")
@@ -75,7 +96,19 @@ def main(argv):
                 cpc_call=args.cpc_call, combine_mods=args.combine_mods,
                 whitelist=args.whitelist, blacklist=args.blacklist,
                 blueprint=args.blueprint, threads=args.threads,
+                include_flags=args.include_flags,
+                top_strand=args.top_strand, bottom_strand=args.bottom_strand,
+                read_group=args.read_group,
             )
+            if args.read_group and pat_path and op.isfile(pat_path):
+                # ref: bam2pat.py:406-407 — suffix the pat with the RG name
+                import os
+
+                os.replace(pat_path, out_pat)
+                for ext in (".cdx", ".csi"):
+                    if op.isfile(pat_path + ext):
+                        os.replace(pat_path + ext, out_pat + ext)
+                pat_path = out_pat
             if mb:
                 try:
                     from .cmd_misc import plot_mbias
@@ -103,14 +136,40 @@ def main_add_cpg_counts(argv):
     p.add_argument("--suffix", default="counts")
     p.add_argument("--add_pat", action="store_true",
                    help="also add the pat string as an XP:Z tag")
+    p.add_argument("--drop_singles", action="store_true",
+                   help="paired-end: keep only reads whose mate is present")
     p.add_argument("--min_cpg", type=int, default=1)
     p.add_argument("--clip", type=int, default=0)
     p.add_argument("-F", "--exclude_flags", type=int, default=EXCLUDE_FLAGS)
+    p.add_argument("--include_flags", type=int, default=None)
     p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
     p.add_argument("-f", "--force", action="store_true")
-    p.add_argument("--genome", default=None)
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the decode/call path is vectorized)")
+    p.add_argument("-L", "--bed_file", default=None,
+                   help="only annotate reads overlapping this bed")
+    add_gr_args(p)
     args = p.parse_args(argv)
+    if args.verbose or args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
     g = Genome(args.genome)
+    regions = None
+    if args.bed_file:
+        from ..pipeline.bam2pat_run import _load_region_bed
+
+        regions = _load_region_bed(args.bed_file)
+    elif args.region or args.sites:
+        import numpy as np
+
+        from ..genome.region import GenomicRegion
+
+        gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+        lo, hi = gr.bp_tuple
+        regions = {gr.chrom: (np.array([lo - 1]), np.array([hi]))}
     for bam in args.bam:
         validate_single_file(bam)
         out = op.join(args.out_dir,
@@ -119,7 +178,9 @@ def main_add_cpg_counts(argv):
             continue
         add_cpg_counts_bam(bam, out, genome=g, min_mapq=args.mapq,
                            exclude_flags=args.exclude_flags, clip=args.clip,
-                           add_pat=args.add_pat)
+                           add_pat=args.add_pat, min_cpg=args.min_cpg,
+                           drop_singles=args.drop_singles, regions=regions,
+                           include_flags=args.include_flags)
     return 0
 
 
@@ -137,8 +198,18 @@ def main_split_by_allele(argv):
     p.add_argument("--snp_qual", type=int, default=0)
     p.add_argument("--no_pat", action="store_true",
                    help="do not run bam2pat on the split BAMs")
+    p.add_argument("--no_beta", action="store_true")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the split is a single vectorized pass)")
     p.add_argument("--genome", default=None)
     args = p.parse_args(argv)
+    if args.verbose or args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
     validate_single_file(args.bam)
     chrom, position = args.pos.split(":")
     let1, let2 = args.alleles.split("/")
@@ -154,8 +225,9 @@ def main_split_by_allele(argv):
 
         for bam in paths:
             _, pat_path, _ = bam2pat(bam, genome=g, out_dir=args.out_dir,
-                                     include_chroms=[chrom])
-            if pat_path:
+                                     include_chroms=[chrom],
+                                     force=args.force)
+            if pat_path and not args.no_beta:
                 pat2beta(pat_path, args.out_dir, genome=g)
     return 0
 
@@ -175,12 +247,28 @@ def main_split_by_meth(argv):
     p.add_argument("-F", "--exclude_flags", type=int, default=None)
     p.add_argument("-q", "--mapq", type=int, default=None)
     p.add_argument("-f", "--force", action="store_true")
-    p.add_argument("--genome", default=None)
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the split is a single pass)")
+    add_gr_args(p)
     args = p.parse_args(argv)
+    if args.verbose or args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
+    include = None
+    if args.region or args.sites:
+        from ..genome.region import GenomicRegion
+
+        gr = GenomicRegion(region=args.region, sites=args.sites,
+                           genome=Genome(args.genome))
+        include = gr.chrom
     for bam in args.bam:
         validate_single_file(bam)
         split_bam_by_meth(bam, out_dir=args.out_dir,
                           homog_prop=args.homog_prop, min_cpg=args.min_cpg,
                           min_mapq=args.mapq,
-                          exclude_flags=args.exclude_flags)
+                          exclude_flags=args.exclude_flags,
+                          include_chrom=include)
     return 0

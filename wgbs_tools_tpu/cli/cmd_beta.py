@@ -57,8 +57,16 @@ def main_beta_to_blocks(argv):
     p.add_argument("-l", "--lbeta", action="store_true")
     p.add_argument("--bedGraph", action="store_true")
     p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the reduction is one device segment-sum "
+                        "per file)")
     args = p.parse_args(argv)
     validate_file_list(args.input_files)
+    if args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
     blocks = load_blocks(args.blocks_file)
     for beta in args.input_files:
         name = op.splitext(op.basename(beta))[0]
@@ -148,7 +156,18 @@ def main_beta_to_table(argv):
     p.add_argument("-g", "--groups_file", default=None)
     p.add_argument("-c", "--min_cov", type=int, default=4)
     p.add_argument("-o", "--output", default=None)
+    p.add_argument("--digits", type=int, default=2,
+                   help="float precision [2]")
+    p.add_argument("--chunk_size", type=int, default=200_000,
+                   help="blocks processed per chunk (memory bound)")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; reductions are vectorized / on device)")
+    p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
+    if args.verbose:
+        from ..utils.log import set_verbose
+
+        set_verbose()
     blocks = load_blocks(args.blocks_file)
     groups = None
     if args.groups_file:
@@ -158,22 +177,33 @@ def main_beta_to_table(argv):
             missing = [m for m in members if m not in name2path]
             if missing:
                 raise IllegalArgumentError(f"group {gname}: missing betas {missing}")
-    table = build_beta_table(blocks, args.betas, groups=groups,
-                             min_cov=args.min_cov)
     out = open(args.output, "w") if args.output else sys.stdout
-    hdr = ["chr", "start", "end", "startCpG", "endCpG"] + list(table.keys())
-    out.write("\t".join(hdr) + "\n")
     B = blocks["startCpG"].shape[0]
-    colvals = list(table.values())
-    for i in range(B):
-        row = [
-            str(blocks["chr"][i]), str(blocks["start"][i]),
-            str(blocks["end"][i]), str(blocks["startCpG"][i]),
-            str(blocks["endCpG"][i]),
-        ]
-        for v in colvals:
-            row.append("NA" if np.isnan(v[i]) else f"{v[i]:.3f}")
-        out.write("\t".join(row) + "\n")
+    first = True
+    # chunked generator over the blocks axis (ref: beta_to_table.py:131-139)
+    for lo in range(0, max(B, 1), max(args.chunk_size, 1)):
+        hi = min(lo + args.chunk_size, B)
+        if lo >= hi:
+            break
+        chunk = {k: v[lo:hi] for k, v in blocks.items()}
+        table = build_beta_table(chunk, args.betas, groups=groups,
+                                 min_cov=args.min_cov)
+        if first:
+            hdr = (["chr", "start", "end", "startCpG", "endCpG"]
+                   + list(table.keys()))
+            out.write("\t".join(hdr) + "\n")
+            first = False
+        colvals = list(table.values())
+        for i in range(hi - lo):
+            row = [
+                str(chunk["chr"][i]), str(chunk["start"][i]),
+                str(chunk["end"][i]), str(chunk["startCpG"][i]),
+                str(chunk["endCpG"][i]),
+            ]
+            for v in colvals:
+                row.append("NA" if np.isnan(v[i])
+                           else f"{v[i]:.{args.digits}f}")
+            out.write("\t".join(row) + "\n")
     if args.output:
         out.close()
     return 0
@@ -189,7 +219,10 @@ def main_beta2bed(argv):
     p.add_argument("-c", "--min_cov", type=int, default=1)
     p.add_argument("--mean", action="store_true",
                    help="print mean methylation instead of meth/cov pair")
-    p.add_argument("-o", "--out_path", default=None)
+    p.add_argument("--keep_na", action="store_true",
+                   help="keep sites below min_cov (as NaN in --mean mode)")
+    p.add_argument("-o", "--out_path", "--outpath", dest="out_path",
+                   default=None)
     add_gr_args(p)
     args = p.parse_args(argv)
     g = Genome(args.genome)
@@ -201,17 +234,21 @@ def main_beta2bed(argv):
     cids = idx.site2chrom_id(np.arange(s, e))
     out = open(args.out_path, "w") if args.out_path else sys.stdout
     names = idx.chrom_names
+    # ref: beta2bed.py:11-19 — sites below min_cov are zeroed; without
+    # keep_na zero-coverage rows are dropped; --mean prints -1 for them
     for i in range(e - s):
         cov = int(data[i, 1])
+        m = int(data[i, 0])
         if cov < args.min_cov:
+            cov = m = 0
+        if cov == 0 and not args.keep_na:
             continue
         loc = int(loci[i])
         if args.mean:
-            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t"
-                      f"{data[i, 0] / cov:.3f}\n")
+            val = -1.0 if cov == 0 else m / cov
+            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{val:.3g}\n")
         else:
-            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t"
-                      f"{data[i, 0]}\t{cov}\n")
+            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{m}\t{cov}\n")
     if args.out_path:
         out.close()
     return 0
@@ -224,9 +261,13 @@ def main_beta2bw(argv):
     p.add_argument("beta_paths", nargs="+")
     p.add_argument("-c", "--min_cov", type=int, default=1)
     p.add_argument("-o", "--outdir", default=".")
-    p.add_argument("--cov", dest="with_cov", action="store_true",
-                   help="also emit a coverage track")
+    p.add_argument("--cov", "--dump_cov", dest="with_cov",
+                   action="store_true", help="also emit a coverage track")
+    p.add_argument("--keep_na", action="store_true",
+                   help="emit sites below min_cov with value -1")
     p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; tracks are written in one pass)")
     add_gr_args(p)
     args = p.parse_args(argv)
     from ..formats.bigwig import write_bigwig
@@ -246,10 +287,13 @@ def main_beta2bw(argv):
             lo, hi = idx.chrom_offsets[cid], idx.chrom_offsets[cid + 1]
             sub = data[lo:hi]
             loci = idx.loci[lo:hi].astype(np.int64)
-            keep = sub[:, 1] >= args.min_cov
+            keep = (sub[:, 1] >= args.min_cov)
+            if args.keep_na:  # NA sites emitted as -1 (ref: beta2bed.py:18)
+                keep = np.ones(sub.shape[0], dtype=bool)
             if keep.any():
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    vals = sub[keep, 0] / sub[keep, 1]
+                covd = np.maximum(sub[keep, 1], 1)
+                vals = np.where(sub[keep, 1] >= max(args.min_cov, 1),
+                                sub[keep, 0] / covd, -1.0)
                 meth_tracks[chrom] = (loci[keep] - 1, loci[keep] + 1,
                                       vals.astype(np.float32))
             covk = sub[:, 1] > 0
@@ -287,14 +331,48 @@ def main_beta_cov(argv):
                                 description="Mean coverage of beta files")
     p.add_argument("betas", nargs="+")
     p.add_argument("-L", "--bed_file", default=None)
+    p.add_argument("--plot", action="store_true",
+                   help="matplotlib histogram of per-file coverages")
+    p.add_argument("--hist", action="store_true",
+                   help="in-terminal histogram of per-file coverages")
+    p.add_argument("-o", "--out_path", default=None,
+                   help="save the --plot figure here instead of showing it")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; coverage is one vectorized reduction)")
     add_gr_args(p)
     args = p.parse_args(argv)
     g = Genome(args.genome)
     blocks = load_blocks(args.bed_file) if args.bed_file else None
+    names, covs = [], []
     for beta in args.betas:
         cov = beta_cov_value(beta, g, region=args.region, sites=args.sites,
                              blocks=blocks)
-        print(f"{pretty_name(beta)}\t{cov:.2f}")
+        names.append(pretty_name(beta))
+        covs.append(cov)
+        print(f"{names[-1]}\t{cov:.2f}")
+    if args.hist:
+        # in-terminal histogram (ref: beta_cov.py:13-17 uses plotille)
+        lo, hi = min(covs), max(covs)
+        nb = min(20, max(len(covs), 1))
+        edges = np.linspace(lo, hi + 1e-9, nb + 1)
+        counts, _ = np.histogram(covs, bins=edges)
+        peak = max(int(counts.max()), 1)
+        for k in range(nb):
+            bar = "#" * int(40 * counts[k] / peak)
+            print(f"{edges[k]:8.2f}-{edges[k + 1]:<8.2f} {bar} {counts[k]}")
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.hist(covs)
+        plt.title(f"beta coverage histogram\nmean cov:{np.mean(covs):.2f}")
+        plt.xticks(rotation=70)
+        plt.subplots_adjust(bottom=0.15)
+        out = args.out_path or "beta_cov_hist.png"
+        plt.savefig(out)
+        print(f"[wt beta_cov] saved {out}")
     return 0
 
 
@@ -303,6 +381,10 @@ def main_beta_stats(argv):
                                 description="Summary stats per beta file")
     p.add_argument("betas", nargs="+")
     p.add_argument("-c", "--min_cov", type=int, default=1)
+    p.add_argument("-w", "--width", type=int, default=120,
+                   help="(compat; output is plain TSV, never wrapped)")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; stats are one vectorized pass per file)")
     add_gr_args(p)
     args = p.parse_args(argv)
     g = Genome(args.genome)
@@ -371,7 +453,18 @@ def main_lbeta2beta(argv):
     p.add_argument("lbetas", nargs="+")
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("-o", "--out_dir", default=".")
+    p.add_argument("--genome", default=None,
+                   help="genome name for the size sanity check")
     args = p.parse_args(argv)
+    if args.genome:
+        from ..formats.beta import beta_sanity_check
+
+        nr = Genome(args.genome).index.nr_sites
+        for lb in args.lbetas:
+            if not beta_sanity_check(lb, nr):
+                raise IllegalArgumentError(
+                    f"{lb} does not match genome {args.genome} "
+                    f"({nr} sites)")
     for lb in args.lbetas:
         validate_single_file(lb, ".lbeta")
         out = op.join(args.out_dir, op.basename(lb)[: -len(".lbeta")] + ".beta")
@@ -388,7 +481,15 @@ def main_beta_to_450k(argv):
         description="beta -> Illumina 450K/EPIC array-style csv")
     p.add_argument("betas", nargs="+")
     p.add_argument("-o", "--out_path", default=None)
-    p.add_argument("-c", "--min_cov", type=int, default=1)
+    p.add_argument("-c", "--min_cov", "--cov_thresh", dest="min_cov",
+                   type=int, default=1)
+    p.add_argument("--EPIC", action="store_true",
+                   help="also emit EPIC-only probes (default: 450K subset)")
+    p.add_argument("--ref", default=None,
+                   help="one-column file of Illumina IDs to use instead of "
+                        "the genome map's default subset")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; one vectorized gather per file)")
     p.add_argument("--genome", default=None)
     args = p.parse_args(argv)
     g = Genome(args.genome)
@@ -396,14 +497,27 @@ def main_beta_to_450k(argv):
     if idict is None:
         raise IllegalArgumentError(
             "no ilmn2CpG.tsv.gz map in the genome reference dir")
-    ids, sites = [], []
+    ids, sites, is450 = [], [], []
     with gzip.open(idict, "rt") as f:
         for line in f:
             tokens = line.rstrip("\n").split("\t")
             if len(tokens) >= 2 and tokens[1].isdigit():
                 ids.append(tokens[0])
                 sites.append(int(tokens[1]))
+                # optional 3rd column marks 450K membership
+                # (ref: beta_to_450k.py:39-41 drops EPIC-only probes)
+                is450.append(len(tokens) < 3 or tokens[2] == "1")
     sites = np.array(sites, dtype=np.int64)
+    if args.ref:
+        with open(args.ref) as f:
+            wanted = {line.strip() for line in f if line.strip()}
+        keep = np.array([i in wanted for i in ids])
+    elif args.EPIC:
+        keep = np.ones(len(ids), dtype=bool)
+    else:
+        keep = np.array(is450, dtype=bool)
+    ids = [i for i, k in zip(ids, keep) if k]
+    sites = sites[keep]
     out = open(args.out_path, "w") if args.out_path else sys.stdout
     names = [pretty_name(b) for b in args.betas]
     out.write("ID_REF," + ",".join(names) + "\n")
@@ -430,6 +544,10 @@ def main_compare_betas(argv):
     p.add_argument("-c", "--min_cov", type=int, default=10)
     p.add_argument("-o", "--outpath", default=None,
                    help="save pairwise 2-D histogram figure (png/pdf)")
+    p.add_argument("--bins", type=int, default=101,
+                   help="histogram bins (resolution) [101]")
+    p.add_argument("--show", action="store_true",
+                   help="display the figure (matplotlib.pyplot.show)")
     add_gr_args(p)
     args = p.parse_args(argv)
     validate_file_list(args.betas, min_len=2)
@@ -449,10 +567,11 @@ def main_compare_betas(argv):
             rmse = float(np.sqrt(np.mean((a - b) ** 2))) if both.sum() else float("nan")
             print(f"{pretty_name(args.betas[i])}\t{pretty_name(args.betas[j])}"
                   f"\t{r:.4f}\t{rmse:.4f}\t{int(both.sum())}")
-    if args.outpath:
+    if args.outpath or args.show:
         import matplotlib
 
-        matplotlib.use("Agg")
+        if not args.show:
+            matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         fig, axes = plt.subplots(n, n, figsize=(3 * n, 3 * n))
@@ -461,15 +580,18 @@ def main_compare_betas(argv):
             for j in range(n):
                 ax = axes[i][j]
                 if i == j:
-                    ax.hist(vecs[i][~np.isnan(vecs[i])], bins=50)
+                    ax.hist(vecs[i][~np.isnan(vecs[i])], bins=args.bins)
                 else:
                     both = ~np.isnan(vecs[i]) & ~np.isnan(vecs[j])
-                    ax.hist2d(vecs[j][both], vecs[i][both], bins=50,
+                    ax.hist2d(vecs[j][both], vecs[i][both], bins=args.bins,
                               cmap="viridis", cmin=1)
                 if i == n - 1:
                     ax.set_xlabel(pretty_name(args.betas[j]))
                 if j == 0:
                     ax.set_ylabel(pretty_name(args.betas[i]))
         fig.tight_layout()
-        fig.savefig(args.outpath)
+        if args.outpath:
+            fig.savefig(args.outpath)
+        if args.show:
+            plt.show()
     return 0

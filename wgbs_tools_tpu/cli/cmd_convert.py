@@ -72,6 +72,9 @@ def main(argv):
     p.add_argument("--parsable", "-p", action="store_true")
     p.add_argument("-o", "--out_path", default=None)
     p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; conversions are vectorized searchsorted)")
     args = p.parse_args(argv)
     g = Genome(args.genome)
 

@@ -18,7 +18,14 @@ def main_init_genome(argv):
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("--no_default", action="store_true")
     p.add_argument("--no_sort", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the CpG scan is one vectorized pass)")
     args = p.parse_args(argv)
+    if args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
     init_genome(
         args.name,
         args.fasta_path,
@@ -33,6 +40,8 @@ def main_set_default_ref(argv):
     p = argparse.ArgumentParser(prog="set_default_ref")
     g = p.add_mutually_exclusive_group(required=True)
     g.add_argument("name", nargs="?", help="genome name to set as default")
+    g.add_argument("--name", dest="name_opt", default=None,
+                   help="genome name to set as default")
     g.add_argument("-ls", "--list_refs", action="store_true")
     args = p.parse_args(argv)
     if args.list_refs:
@@ -50,5 +59,5 @@ def main_set_default_ref(argv):
             mark = " *" if d == default else ""
             print(d + mark)
         return 0
-    set_default_ref(args.name)
+    set_default_ref(args.name or args.name_opt)
     return 0

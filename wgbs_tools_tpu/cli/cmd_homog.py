@@ -62,7 +62,15 @@ def main(argv):
                    help='UXM thresholds "LOW,HIGH", e.g. "0.3334,0.666"')
     p.add_argument("-l", "--rlen", type=int, default=3,
                    help="minimal read length in CpGs [3]")
+    p.add_argument("-d", "--debug", action="store_true")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; counting is one vectorized/device pass)")
     args = p.parse_args(argv)
+    if args.verbose or args.debug:
+        from ..utils.log import set_verbose
+
+        set_verbose()
 
     if args.nr_bits not in (8, 16):
         raise IllegalArgumentError("nr_bits must be in {8, 16}")

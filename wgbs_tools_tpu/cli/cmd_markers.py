@@ -74,6 +74,14 @@ def main_test_bimodal(argv):
     p.add_argument("--min_len", type=int, default=3,
                    help="min CpGs per read to include")
     p.add_argument("--max_iter", type=int, default=50)
+    p.add_argument("--strict", action="store_true",
+                   help="truncate reads to the tested region")
+    p.add_argument("-o", "--out_file", default="-",
+                   help="output file ('-' = stdout)")
+    p.add_argument("--print_all_regions", action="store_true",
+                   help="print all regions, not only the significant ones")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the EM runs as one batch)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -98,16 +106,21 @@ def main_test_bimodal(argv):
             raise IllegalArgumentError("test_bimodal requires -r/-s/-L")
         regions.append(gr.sites)
 
-    print("startCpG\tendCpG\tnr_reads\tpval\ttheta1\ttheta2")
+    import sys
+
+    out = sys.stdout if args.out_file == "-" else open(args.out_file, "w")
+    out.write("startCpG\tendCpG\tnr_reads\tpval\ttheta1\ttheta2\n")
     pvals = []
     rows = []
     for s, e in regions:
         frags = view_pat(args.pat, g, sites=f"{s}-{e}")
         res = test_bimodal_region(frags, s, e, max_iter=args.max_iter,
-                                  strict=True, min_len=args.min_len)
+                                  strict=args.strict, min_len=args.min_len)
         rows.append((s, e, res))
         pvals.append(res["pval"])
-    # BH correction across regions (ref: test_bimodal.py multiple-testing)
+    # BH correction across regions, most significant first; only regions
+    # passing FDR alpha=0.05 are printed unless --print_all_regions
+    # (ref: test_bimodal.py:195-235)
     import numpy as np
 
     pv = np.array([x if x == x else 1.0 for x in pvals])
@@ -120,7 +133,14 @@ def main_test_bimodal(argv):
         val = min(prev, pv[idx] * m / (rank_i + 1))
         bh[idx] = val
         prev = val
-    for (s, e, res), q in zip(rows, bh):
-        print(f"{s}\t{e}\t{res['nr_reads']}\t{q:.4g}\t"
-              f"{res['theta1']:.3f}\t{res['theta2']:.3f}")
+    single = len(rows) == 1 and not args.bed_file
+    for idx in order:
+        s, e, res = rows[idx]
+        q = bh[idx]
+        if not (single or args.print_all_regions) and q > 0.05:
+            continue
+        out.write(f"{s}\t{e}\t{res['nr_reads']}\t{q:.4g}\t"
+                  f"{res['theta1']:.3f}\t{res['theta2']:.3f}\n")
+    if args.out_file != "-":
+        out.close()
     return 0

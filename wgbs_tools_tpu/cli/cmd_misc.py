@@ -42,6 +42,7 @@ def main_mbias_plot(argv):
     p.add_argument("mbias_tables", nargs=2, help="<prefix>.OT.txt and .OB.txt")
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-PE", action="store_true")
+    p.add_argument("-d", "--debug", action="store_true")
     args = p.parse_args(argv)
     plot_mbias(args.mbias_tables, args.out_dir, args.PE)
     return 0

@@ -19,6 +19,7 @@ from ..formats.pat import (
     write_pat,
 )
 from ..genome.refdir import Genome
+from ..genome.region import GenomicRegion
 from ..ops.frag_ops import mask_sites
 from ..pipeline.pat2beta import pat2beta
 from ..utils import (
@@ -42,6 +43,8 @@ def main_pat2beta(argv):
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-l", "--lbeta", action="store_true")
     p.add_argument("--genome", default=None)
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the pileup is one device kernel launch)")
     args = p.parse_args(argv)
     g = Genome(args.genome)
     for pat in args.pat_paths:
@@ -59,6 +62,8 @@ def main_index(argv):
                                 description="Build random-access index (.cdx)")
     p.add_argument("input_files", nargs="+")
     p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; BGZF compression is already multithreaded)")
     args = p.parse_args(argv)
     for f in args.input_files:
         validate_single_file(f)
@@ -141,6 +146,9 @@ def main_merge(argv):
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("-l", "--lbeta", action="store_true")
     p.add_argument("--labels", nargs="+")
+    p.add_argument("-T", "--temp_dir", default=None,
+                   help="(compat; merging is in-memory, not unix sort -m)")
+    p.add_argument("-v", "--verbose", action="store_true")
     add_gr_args(p, bed_file=True)
     add_view_args(p)
     args = p.parse_args(argv)
@@ -171,12 +179,22 @@ def main_mask_pat(argv):
     p = argparse.ArgumentParser(prog="mask_pat",
                                 description="Mask CpG sites inside given blocks")
     p.add_argument("pat")
-    p.add_argument("-L", "--bed_file", required=True, help="blocks to mask")
+    p.add_argument("-b", "--sites_to_hide", "-L", "--bed_file",
+                   dest="bed_file", required=True,
+                   help="bed file with sites / blocks to mask out")
     p.add_argument("-p", "--prefix", required=True)
     p.add_argument("-f", "--force", action="store_true")
-    p.add_argument("--genome", default=None)
+    which = p.add_mutually_exclusive_group()
+    which.add_argument("--beta", action="store_true",
+                       help="create beta from the masked pat")
+    which.add_argument("--lbeta", action="store_true",
+                       help="create lbeta from the masked pat")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; masking is one vectorized pass)")
+    add_gr_args(p)
     args = p.parse_args(argv)
     validate_single_file(args.pat, ".pat.gz")
+    g = Genome(args.genome)
     out = args.prefix + ".pat.gz"
     if not delete_or_skip(out, args.force):
         return 0
@@ -185,10 +203,16 @@ def main_mask_pat(argv):
     order = np.argsort(blocks["startCpG"][keep], kind="stable")
     bstart = blocks["startCpG"][keep][order]
     bend = blocks["endCpG"][keep][order]
-    frags = read_pat(args.pat)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    if gr.is_whole():
+        frags = read_pat(args.pat)
+    else:
+        frags = read_pat(args.pat, region_sites=gr.sites)
     masked = mask_sites(frags, bstart, bend, strip=True)
     masked = masked.sort().collapse()
     write_pat(masked, out)
+    if args.beta or args.lbeta:
+        pat2beta(out, op.dirname(out) or ".", genome=g, lbeta=args.lbeta)
     return 0
 
 
@@ -204,6 +228,11 @@ def main_mix_pat(argv):
     p.add_argument("-p", "--prefix")
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-l", "--lbeta", action="store_true")
+    p.add_argument("-T", "--temp_dir", default=None,
+                   help="(compat; merging is in-memory, not unix sort)")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; repetitions run as vectorized batches)")
     add_gr_args(p, bed_file=True)
     add_view_args(p, out_path=False, sub_sample=False)  # provides --seed etc.
     args = p.parse_args(argv)
@@ -271,7 +300,14 @@ def main_frag_len(argv):
         prog="frag_len", description="Fragment length (in CpGs) histogram")
     p.add_argument("pat_paths", nargs="+")
     p.add_argument("-m", "--max_frag_size", type=int, default=30)
-    p.add_argument("-o", "--out_path", default=None)
+    p.add_argument("-o", "--outdir", default=None,
+                   help="output directory for the histogram figure(s)")
+    p.add_argument("--display", action="store_true",
+                   help="display histogram plot(s) (plt.show)")
+    p.add_argument("--out_path", default=None,
+                   help="write the histogram values to this file")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="print the histogram values to stdout")
     add_gr_args(p, bed_file=True)
     args = p.parse_args(argv)
     g = Genome(args.genome)
@@ -282,9 +318,28 @@ def main_frag_len(argv):
         sizes = np.minimum(frags.length, args.max_frag_size)
         hist = np.bincount(sizes, weights=frags.count,
                            minlength=args.max_frag_size + 1)
-        out.write(f"# {pretty_name(pat)}\n")
-        for i in range(1, args.max_frag_size + 1):
-            out.write(f"{i}\t{int(hist[i])}\n")
+        if args.out_path or args.verbose or not (args.outdir
+                                                 or args.display):
+            out.write(f"# {pretty_name(pat)}\n")
+            for i in range(1, args.max_frag_size + 1):
+                out.write(f"{i}\t{int(hist[i])}\n")
+        if args.outdir or args.display:
+            import matplotlib
+
+            if not args.display:
+                matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure()
+            plt.bar(np.arange(1, args.max_frag_size + 1),
+                    hist[1:args.max_frag_size + 1])
+            plt.title(f"fragment lengths (CpGs)\n{pretty_name(pat)}")
+            if args.outdir:
+                fpath = op.join(args.outdir, pretty_name(pat) + ".png")
+                plt.savefig(fpath)
+                logger.info("frag_len: %s", fpath)
+            if args.display:
+                plt.show()
     if args.out_path:
         out.close()
     return 0

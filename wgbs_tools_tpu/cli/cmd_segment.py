@@ -28,6 +28,9 @@ def main(argv):
     p.add_argument("--min_cpg", type=int, default=1)
     p.add_argument("--max_cpg", type=int, default=1000)
     p.add_argument("--max_bp", type=int, default=2000)
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; fast mode batches chunks on device, exact "
+                        "mode is one process)")
     p.add_argument("--mode", choices=["exact", "fast"], default="exact",
                    help="'exact' matches the reference segmentor bit-for-bit; "
                         "'fast' is the float32 TPU path")

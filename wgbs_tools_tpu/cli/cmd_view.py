@@ -18,6 +18,10 @@ def _parse(argv, prog):
     p.add_argument("input_file")
     add_gr_args(p, bed_file=True)
     add_view_args(p)
+    if prog == "cview":
+        p.add_argument("--shuffle", action="store_true",
+                       help="random order of reads sharing a start site "
+                            "(ref: cview.py:43-46, sort -k3,3R)")
     return p.parse_args(argv)
 
 
@@ -61,5 +65,9 @@ def main_cview(argv):
         seed=args.seed,
         no_sort=args.no_sort,
     )
+    if getattr(args, "shuffle", False):
+        from .cmd_vis import _shuffle_within_start
+
+        frags = _shuffle_within_start(frags, args.seed)
     print_frags(frags, args.out_path if args.out_path else sys.stdout)
     return 0

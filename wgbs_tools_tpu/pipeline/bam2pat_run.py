@@ -79,12 +79,35 @@ def _overlaps_regions(regions, chrom, start0, end0):
     return i < starts.shape[0] and starts[i] < end0
 
 
+def _strand_flags(top_strand, bottom_strand, paired):
+    """Exact-FLAG whitelists for --top_strand/--bottom_strand
+    (ref: bam2pat.py:159-168 awk '$2 == ...' filters)."""
+    if top_strand:
+        return (99, 147) if paired else (0,)
+    if bottom_strand:
+        return (83, 163) if paired else (16,)
+    return None
+
+
+def _read_group_keep(buf, offs, rec_end, rows, read_group):
+    """Row mask of reads whose RG:Z tag equals read_group
+    (ref: samtools view -r, bam2pat.py:171-172)."""
+    from .bam import parse_tag
+
+    keep = np.zeros(rows.shape[0], dtype=bool)
+    for k, r in enumerate(rows):
+        tags = bytes(buf[offs[r, 4] : rec_end[r]])
+        keep[k] = parse_tag(tags, b"RG") == read_group
+    return keep
+
+
 def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
             exclude_flags=None, clip=0, min_cpg=1, mbias_prefix=None,
             include_chroms=None, force=True, write_output=True,
             with_qname=False, nanopore=None, np_thresh=0.667, cpc_call="C",
             combine_mods=False, whitelist=None, blacklist=None,
-            blueprint=False, threads=1):
+            blueprint=False, threads=1, include_flags=None, top_strand=False,
+            bottom_strand=False, read_group=None):
     """Convert a BAM to a sorted/collapsed PatFrags batch (and pat.gz file).
 
     Returns (frags, out_path or None, stats).
@@ -124,7 +147,10 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
                 paired, min_mapq,
                 exclude_flags if exclude_flags is not None else EXCLUDE_FLAGS,
                 clip, min_cpg, include_chroms, write_output, with_qname,
-                threads)
+                threads,
+                include_flags=include_flags,
+                strand_flags=_strand_flags(top_strand, bottom_strand, paired),
+                read_group=read_group, rec_end=rec_end)
         # nanopore: fall through to the record path below
 
     paired, detected_np = detect_layout(bam_path)
@@ -148,6 +174,9 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         bl_path = g.blacklist if blacklist is True else blacklist
         bl = _load_region_bed(bl_path) if bl_path else None
 
+    required = include_flags if include_flags is not None else (
+        3 if paired else 0)
+    strand_ok = _strand_flags(top_strand, bottom_strand, paired)
     reader = BamReader(bam_path)
     ref_names = reader.ref_names
     per_chrom = {c: [] for c in idx.chrom_names}
@@ -155,6 +184,12 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         if rec.flag & FUNMAP or rec.ref_id < 0:
             continue
         if rec.mapq < min_mapq or (rec.flag & exclude_flags):
+            continue
+        if required and (rec.flag & required) != required:
+            continue
+        if strand_ok is not None and rec.flag not in strand_ok:
+            continue
+        if read_group is not None and rec.get_tag("RG") != read_group:
             continue
         chrom = ref_names[rec.ref_id]
         if chrom not in per_chrom:
@@ -263,11 +298,24 @@ def _columnar_chrom_worker(args):
 
 def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
                       paired, min_mapq, exclude_flags, clip, min_cpg,
-                      include_chroms, write_output, with_qname, threads=1):
+                      include_chroms, write_output, with_qname, threads=1,
+                      include_flags=None, strand_flags=None, read_group=None,
+                      rec_end=None):
     bufarr = np.frombuffer(buf, dtype=np.uint8)
     flag = cols[:, 2]
     keep = ((flag & FUNMAP) == 0) & (cols[:, 0] >= 0) \
         & (cols[:, 3] >= min_mapq) & ((flag & exclude_flags) == 0)
+    # required-bits filter (samtools view -f; PE default 3 — bam2pat.py:154-157)
+    required = include_flags if include_flags is not None else (
+        3 if paired else 0)
+    if required:
+        keep &= (flag & required) == required
+    if strand_flags is not None:
+        keep &= np.isin(flag, strand_flags)
+    if read_group is not None:
+        rows = np.nonzero(keep)[0]
+        sub = _read_group_keep(buf, offs, rec_end, rows, read_group)
+        keep[rows[~sub]] = False
     ref_id = cols[:, 0]
     stats = ReadStats()
     parts = []

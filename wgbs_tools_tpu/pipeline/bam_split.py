@@ -35,8 +35,17 @@ def _yi_tag(n_meth, n_unmeth, pattern=None):
 
 def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
                        exclude_flags=EXCLUDE_FLAGS, clip=0, add_pat=False,
-                       include_chroms=None):
-    """Annotate each read (pair) with its methylation counts. Returns path."""
+                       include_chroms=None, min_cpg=1, drop_singles=False,
+                       regions=None, include_flags=None):
+    """Annotate each read (pair) with its methylation counts. Returns path.
+
+    min_cpg: pairs with fewer known calls are dropped
+    (ref: add_cpg_counts.cpp:399-402); drop_singles: keep only full pairs
+    (ref: match_maker --drop_singles); regions: (chrom, start0, end0) list —
+    only overlapping reads are kept (ref: add_cpg_counts.py --bed_file).
+    """
+    from .bam2pat_run import _overlaps_regions, _ref_span
+
     g = genome if genome is not None else Genome(None)
     idx = g.index
     reader = BamReader(bam_in)
@@ -49,10 +58,15 @@ def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
             continue
         if rec.mapq < min_mapq or (rec.flag & exclude_flags):
             continue
+        if include_flags and (rec.flag & include_flags) != include_flags:
+            continue
         chrom = ref_names[rec.ref_id]
         if chrom not in idx._chrom_lookup:
             continue
         if include_chroms and chrom not in include_chroms:
+            continue
+        if regions is not None and not _overlaps_regions(
+                regions, chrom, rec.pos, rec.pos + _ref_span(rec.cigar)):
             continue
         per_chrom.setdefault(chrom, []).append(rec)
     reader.close()
@@ -83,6 +97,8 @@ def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
                 pat = merged[1]
                 nm = pat.count(ord("C"))
                 nu = pat.count(ord("T"))
+            if nm + nu < min_cpg:  # ref: add_cpg_counts.cpp:399-402
+                return
             tag = _yi_tag(nm, nu, pat if add_pat else None)
             for r in recs:
                 r.tags = (r.tags or b"") + tag
@@ -100,8 +116,9 @@ def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
                     _annotate([mate, rec], merged)
                 else:
                     pending[rec.qname] = rec
-            for rec in pending.values():
-                _annotate([rec], _call(rec))
+            if not drop_singles:
+                for rec in pending.values():
+                    _annotate([rec], _call(rec))
         else:
             for rec in records:
                 _annotate([rec], _call(rec))
@@ -128,7 +145,7 @@ def _parse_yi(tags):
 
 
 def split_bam_by_meth(bam_in, out_dir=".", homog_prop=0.75, min_cpg=1,
-                      min_mapq=None, exclude_flags=None):
+                      min_mapq=None, exclude_flags=None, include_chrom=None):
     """YI-tagged BAM -> .M.bam (meth_prop >= homog_prop) and .U.bam
     (meth_prop <= 1 - homog_prop). Returns (m_path, u_path)."""
     reader = BamReader(bam_in)
@@ -141,6 +158,10 @@ def split_bam_by_meth(bam_in, out_dir=".", homog_prop=0.75, min_cpg=1,
         if min_mapq is not None and rec.mapq < min_mapq:
             continue
         if exclude_flags is not None and (rec.flag & exclude_flags):
+            continue
+        if include_chrom is not None and (
+                rec.ref_id < 0
+                or reader.ref_names[rec.ref_id] != include_chrom):
             continue
         yi = _parse_yi(rec.tags)
         if yi is None:

@@ -22,6 +22,12 @@ def eprint(*args, **kwargs):
     print(*args, file=sys.stderr, **kwargs)
 
 
+def set_verbose():
+    """--verbose/--debug CLI flags: echo composed operations
+    (ref: bam2pat.py:205-206 prints the shell commands when verbose)."""
+    logger.setLevel(logging.DEBUG)
+
+
 @contextmanager
 def timed(label, out=None):
     """Wall-clock timer; appends (label, seconds) to `out` if given."""
