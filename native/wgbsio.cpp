@@ -209,12 +209,12 @@ int64_t pat_serialize(int64_t n_lines, int64_t max_len, const int32_t* starts,
 
 static const int64_t BGZF_BLOCK = 65280;
 
-static int64_t compress_one_block(const uint8_t* data, int64_t n,
+static int64_t compress_one_block(const uint8_t* data, int64_t n, int level,
                                   uint8_t* out) {
     // header (18B) + deflate payload + crc/isize (8B)
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
-    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    deflateInit2(&zs, level, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
     zs.next_in = (Bytef*)data;
     zs.avail_in = (uInt)n;
     zs.next_out = out + 18;
@@ -241,7 +241,7 @@ static int64_t compress_one_block(const uint8_t* data, int64_t n,
 // out must have capacity >= (len/BGZF_BLOCK + 2) * (BGZF_BLOCK + 1064).
 // Appends the 28-byte EOF marker. Returns bytes written.
 int64_t bgzf_compress_mt(const uint8_t* data, int64_t len, uint8_t* out,
-                         int n_threads) {
+                         int n_threads, int level) {
     int64_t n_blocks = (len + BGZF_BLOCK - 1) / BGZF_BLOCK;
     if (n_blocks == 0) n_blocks = 0;
     std::vector<int64_t> sizes(n_blocks, 0);
@@ -252,7 +252,7 @@ int64_t bgzf_compress_mt(const uint8_t* data, int64_t len, uint8_t* out,
         for (int64_t b = tid; b < n_blocks; b += n_threads) {
             int64_t off = b * BGZF_BLOCK;
             int64_t n = std::min(BGZF_BLOCK, len - off);
-            sizes[b] = compress_one_block(data + off, n,
+            sizes[b] = compress_one_block(data + off, n, level,
                                           scratch.data() + b * stride);
         }
     };

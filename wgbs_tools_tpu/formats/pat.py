@@ -345,7 +345,7 @@ def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE,
     try:
         from ..native import bgzf_compress_native
 
-        comp = bgzf_compress_native(text)
+        comp = bgzf_compress_native(text, level=level)
     except Exception:
         comp = None
 

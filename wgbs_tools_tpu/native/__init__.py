@@ -123,7 +123,7 @@ def serialize_pat_native(starts, lengths, counts, codes, chrom_ids,
     return out.raw[:w]
 
 
-def bgzf_compress_native(data: bytes, n_threads=None):
+def bgzf_compress_native(data: bytes, n_threads=None, level=6):
     lib = get_lib()
     if lib is None:
         return None
@@ -133,7 +133,8 @@ def bgzf_compress_native(data: bytes, n_threads=None):
     cap = (n_blocks + 2) * (65280 + 1064) + 64
     out = ctypes.create_string_buffer(cap)
     w = lib.bgzf_compress_mt(data, ctypes.c_int64(len(data)), out,
-                             ctypes.c_int(max(n_threads, 1)))
+                             ctypes.c_int(max(n_threads, 1)),
+                             ctypes.c_int(level))
     if w < 0:
         return None
     return out.raw[:w]
