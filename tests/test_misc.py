@@ -49,3 +49,46 @@ def test_mbias_tables_and_plot(tmp_path, mini_genome):
     out = plot_mbias([prefix + ".OT.txt", prefix + ".OB.txt"], str(tmp_path),
                      PE=True)
     assert op.isfile(out)
+
+
+def test_mbias_batch_equals_per_read(mini_genome):
+    """MBiasCounter.update_batch must reproduce the per-read update exactly
+    (the per-read path was verified against patter's --mbias tables)."""
+    from tests.bisim import simulate_reads
+    from wgbs_tools_tpu.genome.cpg_index import read_fasta
+    from wgbs_tools_tpu.pipeline.calling import (
+        MBiasCounter,
+        call_read,
+        call_reads_batch,
+        clean_cigar,
+    )
+
+    rng = np.random.default_rng(45)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=300, paired=True)
+    idx = mini_genome.index
+
+    mb_ref = MBiasCounter()
+    mb_batch = MBiasCounter()
+    per_chrom = {}
+    for r in reads:
+        per_chrom.setdefault(r.chrom, []).append(r)
+    for chrom, crs in per_chrom.items():
+        crs.sort(key=lambda r: r.pos0)
+        site_base, _ = idx.chrom_site_bounds(chrom)
+        loci = idx.chrom_loci(chrom)
+        seqs_adj, positions, flags = [], [], []
+        for r in crs:
+            seq = clean_cigar(r.seq, r.cigar_list())
+            call_read(seq, r.pos0 + 1, r.flag, True, loci, site_base,
+                      clip=2, mbias=mb_ref)
+            seqs_adj.append(seq)
+            positions.append(r.pos0 + 1)
+            flags.append(r.flag)
+        call_reads_batch(seqs_adj, positions, flags, True, loci, site_base,
+                         clip=2, mbias=mb_batch)
+    total = 0
+    for key in mb_ref.tables:
+        assert (mb_ref.tables[key] == mb_batch.tables[key]).all(), key
+        total += mb_ref.tables[key].sum()
+    assert total > 0

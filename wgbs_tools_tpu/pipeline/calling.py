@@ -378,6 +378,45 @@ class MBiasCounter:
                 elif c == ord("T"):
                     tab[pos, 1] += 1
 
+    def update_batch(self, flags, paired, bottom, read_lens, j, calls):
+        """Vectorized `update` over flat (read, CpG) pairs.
+
+        flags/bottom/read_lens are per-pair (already gathered by read id);
+        j/calls as in update. Same key precedence and position mapping.
+        """
+        flags = np.asarray(flags, dtype=np.int64)
+        if paired:
+            cats = [
+                (("OB", 0), (flags & 0x53) == 0x53),
+                (("OB", 1), (flags & 0xA3) == 0xA3),
+                (("OT", 0), (flags & 0x63) == 0x63),
+                (("OT", 1), (flags & 0x93) == 0x93),
+            ]
+            taken = np.zeros(flags.shape[0], dtype=bool)
+            resolved = []
+            for key, m in cats:  # same elif precedence as update()
+                m = m & ~taken
+                taken |= m
+                resolved.append((key, m))
+        else:
+            resolved = [
+                (("OB", 0), bottom),
+                (("OT", 0), ~bottom),
+            ]
+        shift = bottom.astype(np.int64)
+        i = j - shift
+        mj = np.where(bottom, read_lens - 1 - i, i)
+        valid = ((read_lens <= self.MAX_READ_LEN)
+                 & (mj >= 0) & (mj < self.MAX_READ_LEN))
+        is_c = calls == ord("C")
+        is_t = calls == ord("T")
+        for key, m in resolved:
+            tab = self.tables[key]
+            for col, mask in ((0, is_c), (1, is_t)):
+                sel = m & valid & mask
+                if sel.any():
+                    np.add.at(tab[:, col], mj[sel], 1)
+
     def dump(self, prefix):
         for strand in ("OT", "OB"):
             path = f"{prefix}.{strand}.txt"
@@ -422,7 +461,7 @@ def call_read_nanopore(rec, loci, site_base, clip=0, np_thresh=0.667,
 
 
 def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
-                     clip=0, seqmat=None, lens=None):
+                     clip=0, seqmat=None, lens=None, mbias=None):
     """Vectorized calling of many CIGAR-normalized reads at once.
 
     Exactly equivalent to per-read `call_read` (same masks/rules), but all
@@ -446,7 +485,8 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
     if R == 0:
         return []
     starts, patmat, span = call_reads_mat(positions, flags, paired, loci,
-                                          site_base, seqmat, lens, clip=clip)
+                                          site_base, seqmat, lens, clip=clip,
+                                          mbias=mbias)
     results = [None] * R
     for r in np.nonzero(starts >= 0)[0]:
         results[r] = (int(starts[r]), bytes(patmat[r, : span[r]]))
@@ -454,7 +494,7 @@ def call_reads_batch(seqs_adj, positions, flags, paired, loci, site_base,
 
 
 def call_reads_mat(positions, flags, paired, loci, site_base, seqmat, lens,
-                   clip=0):
+                   clip=0, mbias=None):
     """Array-native batched calling (no per-read Python objects).
 
     Same rules as `call_read` (ref: patter.cpp:105-184). Inputs: zero-padded
@@ -512,6 +552,9 @@ def call_reads_mat(positions, flags, paired, loci, site_base, seqmat, lens,
         calls[clipped] = ord(".")
     calls[(j < 0) | (j >= n_r)] = ord(".")
 
+    if mbias is not None:
+        mbias.update_batch(flags[rid], paired, bot, n_r, j, calls)
+
     # per-read pattern extents over known calls
     known = calls != ord(".")
     if not known.any():
@@ -559,10 +602,10 @@ def call_records(records, loci, site_base, chrom_name, paired, clip=0,
         if with_qname:
             qnames.append(qname)
 
-    # batched pre-calling (fast path): mbias still runs per read because it
-    # accumulates inside call_read
+    # batched pre-calling (fast path); m-bias accumulates vectorized inside
+    # call_reads_mat (MBiasCounter.update_batch)
     precomputed = None
-    if not nanopore and mbias is None and records:
+    if not nanopore and records:
         seqs, positions, flags, ok = [], [], [], []
         for rec in records:
             try:
@@ -577,7 +620,7 @@ def call_records(records, loci, site_base, chrom_name, paired, clip=0,
                                    rec.qname, e)
                 ok.append(False)
         batch = call_reads_batch(seqs, positions, flags, paired, loci,
-                                 site_base, clip=clip)
+                                 site_base, clip=clip, mbias=mbias)
         precomputed = {}
         bi = 0
         for rec, good in zip(records, ok):
