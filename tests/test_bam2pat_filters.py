@@ -137,3 +137,52 @@ def test_read_group_filter(mini_genome, tmp_path):
                         read_group="grpA")
     assert s_all.nr_lines == len(reads)
     assert s_a.nr_lines == n_a
+
+
+def test_whitelist_with_cigar_variants(mini_genome, tmp_path):
+    """Region filtering must use the reference-consumed span (vectorized
+    CIGAR scan), not the sequence length."""
+    from tests.bisim import add_cigar_variants
+
+    rng = np.random.default_rng(60)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=240, paired=False)
+    reads = add_cigar_variants(reads, seqs, rng, frac=0.4)
+    bam = dump_bam(reads, seqs, str(tmp_path / "wlc.bam"))
+    bed = tmp_path / "regions.bed"
+    bed.write_text("chr1\t0\t20000\nchr2\t5000\t15000\n")
+
+    all_f, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
+    wl_f, _, _ = bam2pat(bam, genome=mini_genome, write_output=False,
+                         whitelist=str(bed))
+    bl_f, _, _ = bam2pat(bam, genome=mini_genome, write_output=False,
+                         blacklist=str(bed))
+    assert wl_f.count.sum() + bl_f.count.sum() == all_f.count.sum()
+    assert 0 < wl_f.count.sum() < all_f.count.sum()
+
+
+def test_mbias_columnar_equals_record_path(mini_genome, tmp_path):
+    """--mbias tables from the columnar fast path == record path's."""
+    rng = np.random.default_rng(61)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=200, paired=True)
+    bam = dump_bam(reads, seqs, str(tmp_path / "mbc.bam"))
+
+    p1 = str(tmp_path / "col.mbias")
+    bam2pat(bam, genome=mini_genome, write_output=False, mbias_prefix=p1)
+
+    # force the record path by disabling the native scan
+    import wgbs_tools_tpu.pipeline.bam_columnar as bc
+    orig = bc.scan_bam_columnar
+    bc.scan_bam_columnar = lambda path: None
+    try:
+        p2 = str(tmp_path / "rec.mbias")
+        bam2pat(bam, genome=mini_genome, write_output=False, mbias_prefix=p2)
+    finally:
+        bc.scan_bam_columnar = orig
+
+    for strand in ("OT", "OB"):
+        a = np.loadtxt(f"{p1}.{strand}.txt", skiprows=1)
+        b = np.loadtxt(f"{p2}.{strand}.txt", skiprows=1)
+        assert (a == b).all(), strand
+    assert np.loadtxt(f"{p1}.OT.txt", skiprows=1).sum() > 0

@@ -116,11 +116,9 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     idx = g.index
 
     # columnar fast path: no per-record python objects (native scan +
-    # vectorized decode); falls back for nanopore / m-bias / region-filter /
-    # blueprint runs
+    # vectorized decode); falls back for nanopore / blueprint runs
     columnar = None
-    if (mbias_prefix is None and not blueprint and not whitelist
-            and not blacklist):
+    if not blueprint:
         from .bam_columnar import scan_bam_columnar
 
         columnar = scan_bam_columnar(bam_path)
@@ -142,6 +140,13 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
         if nanopore is None:
             nanopore = detected_np
         if not nanopore:
+            wl = bl = None
+            if whitelist:
+                wl_path = g.whitelist if whitelist is True else whitelist
+                wl = _load_region_bed(wl_path) if wl_path else None
+            elif blacklist:
+                bl_path = g.blacklist if blacklist is True else blacklist
+                bl = _load_region_bed(bl_path) if bl_path else None
             return _bam2pat_columnar(
                 bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
                 paired, min_mapq,
@@ -150,7 +155,8 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
                 threads,
                 include_flags=include_flags,
                 strand_flags=_strand_flags(top_strand, bottom_strand, paired),
-                read_group=read_group, rec_end=rec_end)
+                read_group=read_group, rec_end=rec_end,
+                wl=wl, bl=bl, mbias_prefix=mbias_prefix)
         # nanopore: fall through to the record path below
 
     paired, detected_np = detect_layout(bam_path)
@@ -280,7 +286,8 @@ _SHARED = {}
 
 def _columnar_chrom_worker(args):
     """Per-chromosome worker (numpy-only; safe under fork)."""
-    (rows, loci, site_base, chrom, paired, clip, min_cpg, with_qname) = args
+    (rows, loci, site_base, chrom, paired, clip, min_cpg, with_qname,
+     want_mbias) = args
     from .bam_columnar import process_chrom_columnar
 
     buf = _SHARED["buf"]
@@ -288,19 +295,60 @@ def _columnar_chrom_worker(args):
     cols = _SHARED["cols"]
     offs = _SHARED["offs"]
     stats = ReadStats()
+    mbias = MBiasCounter() if want_mbias else None
     frags = process_chrom_columnar(
         buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
-        clip, min_cpg, stats, with_qname)
+        clip, min_cpg, stats, with_qname, mbias=mbias)
     if frags.nr_frags:
         frags = frags.sort().collapse()
-    return chrom, frags, stats
+    return chrom, frags, stats, None if mbias is None else mbias.tables
+
+
+def _ref_spans_columnar(bufarr, cols, offs, rows):
+    """Reference-consumed span per read (vectorized CIGAR word scan)."""
+    n_cigar = cols[rows, 5].astype(np.int64)
+    spans = cols[rows, 4].astype(np.int64)  # unmapped/cigar-less: l_seq
+    total = int(n_cigar.sum())
+    if total == 0:
+        return spans
+    rid = np.repeat(np.arange(rows.shape[0]), n_cigar)
+    within = (np.arange(total)
+              - np.repeat(np.cumsum(n_cigar) - n_cigar, n_cigar))
+    addr = np.repeat(offs[rows, 1], n_cigar) + 4 * within
+    words = (bufarr[addr].astype(np.uint32)
+             | (bufarr[addr + 1].astype(np.uint32) << 8)
+             | (bufarr[addr + 2].astype(np.uint32) << 16)
+             | (bufarr[addr + 3].astype(np.uint32) << 24))
+    op = words & 0xF
+    ln = (words >> 4).astype(np.int64)
+    # ref-consuming ops: M,D,N,=,X (CIGAR_OPS indices 0,2,3,7,8)
+    consume = (op == 0) | (op == 2) | (op == 3) | (op == 7) | (op == 8)
+    out = np.zeros(rows.shape[0], dtype=np.int64)
+    np.add.at(out, rid, ln * consume)
+    has = n_cigar > 0
+    spans[has] = out[has]
+    return spans
+
+
+def _overlaps_vec(regions, chrom, start0, end0):
+    """Vectorized _overlaps_regions over read arrays for one chromosome."""
+    iv = regions.get(chrom)
+    if iv is None:
+        return np.zeros(start0.shape[0], dtype=bool)
+    starts, ends = iv
+    ends_max = np.maximum.accumulate(ends)
+    i = np.searchsorted(ends_max, start0, side="right")
+    ok = i < starts.shape[0]
+    res = np.zeros(start0.shape[0], dtype=bool)
+    res[ok] = starts[i[ok]] < end0[ok]
+    return res
 
 
 def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
                       paired, min_mapq, exclude_flags, clip, min_cpg,
                       include_chroms, write_output, with_qname, threads=1,
                       include_flags=None, strand_flags=None, read_group=None,
-                      rec_end=None):
+                      rec_end=None, wl=None, bl=None, mbias_prefix=None):
     bufarr = np.frombuffer(buf, dtype=np.uint8)
     flag = cols[:, 2]
     keep = ((flag & FUNMAP) == 0) & (cols[:, 0] >= 0) \
@@ -322,17 +370,26 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
     chroms = include_chroms or idx.chrom_names
     name_to_rid = {n: i for i, n in enumerate(ref_names)}
     jobs = []
+    want_mbias = mbias_prefix is not None
     for chrom in chroms:
         rid = name_to_rid.get(chrom)
         if rid is None:
             continue
         rows = np.nonzero(keep & (ref_id == rid))[0]
+        if rows.size and (wl is not None or bl is not None):
+            # vectorized region allow/deny (ref: bam2pat.py:173-179)
+            start0 = cols[rows, 1].astype(np.int64)
+            end0 = start0 + _ref_spans_columnar(bufarr, cols, offs, rows)
+            if wl is not None:
+                rows = rows[_overlaps_vec(wl, chrom, start0, end0)]
+            else:
+                rows = rows[~_overlaps_vec(bl, chrom, start0, end0)]
         if rows.size == 0:
             continue
         site_base, _ = idx.chrom_site_bounds(chrom)
         loci = idx.chrom_loci(chrom)
         jobs.append((rows, loci, site_base, chrom, paired, clip, min_cpg,
-                     with_qname))
+                     with_qname, want_mbias))
 
     _SHARED.update(buf=buf, bufarr=bufarr, cols=cols, offs=offs)
     try:
@@ -348,12 +405,18 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
     finally:
         _SHARED.clear()
 
-    for chrom, frags, cstats in results:
+    mbias = MBiasCounter() if want_mbias else None
+    for chrom, frags, cstats, mb_tables in results:
         for k in cstats.__dict__:
             stats.__dict__[k] += cstats.__dict__[k]
+        if mbias is not None and mb_tables is not None:
+            for key in mbias.tables:
+                mbias.tables[key] += mb_tables[key]
         if frags.nr_frags:
             parts.append(frags)
         logger.info("bam2pat: %s", cstats.summary(chrom))
+    if mbias is not None:
+        mbias.dump(mbias_prefix)
 
     if parts:
         from ..cli.cmd_pat import _concat_frags

@@ -59,7 +59,7 @@ _M_OP = CIGAR_OPS.index("M")
 
 def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
                            chrom_name, paired, clip, min_cpg, stats,
-                           with_qname):
+                           with_qname, mbias=None):
     """Call + pair one chromosome's reads (row indices into cols/offs)."""
     sub_cols = cols[idx_rows]
     sub_offs = offs[idx_rows]
@@ -123,7 +123,8 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
     flags = sub_cols[:, 2].astype(np.int64)
     pos1 = sub_cols[:, 1].astype(np.int64) + 1
     starts, patmat, span = call_reads_mat(pos1, flags, paired, loci,
-                                          site_base, chars, lens, clip=clip)
+                                          site_base, chars, lens, clip=clip,
+                                          mbias=mbias)
     has = starts >= 0
     stats.nr_empty += int((~has & ~bad).sum())
 
