@@ -405,4 +405,145 @@ int64_t bam_scan(const uint8_t* buf, int64_t len, int64_t off, int64_t n,
     return i;
 }
 
+// Locate MM/Mm:Z and ML/Ml:B,C aux tags for n records (nanopore
+// modification calls). Outputs per record:
+//   mm_off/mm_len : byte bounds of the MM string value (excl. NUL), or -1
+//                   when absent; mm_len = -9 when the aux region failed to
+//                   parse (unknown tag type) so callers can fall back.
+//   ml_off/ml_n   : offset / element count of the ML byte array, or -1;
+//                   ml_n = -9 when ML exists with a non-byte subtype.
+int64_t bam_mmml_scan(const uint8_t* buf, int64_t n,
+                      const int64_t* tags_off, const int64_t* rec_end,
+                      int64_t* mm_off, int64_t* mm_len,
+                      int64_t* ml_off, int64_t* ml_n) {
+    for (int64_t r = 0; r < n; r++) {
+        mm_off[r] = -1; mm_len[r] = -1; ml_off[r] = -1; ml_n[r] = -1;
+        int64_t i = tags_off[r], end = rec_end[r];
+        while (i + 3 <= end) {
+            uint8_t t0 = buf[i], t1 = buf[i + 1], typ = buf[i + 2];
+            i += 3;
+            int64_t sz;
+            switch (typ) {
+                case 'A': case 'c': case 'C': sz = 1; break;
+                case 's': case 'S': sz = 2; break;
+                case 'i': case 'I': case 'f': sz = 4; break;
+                case 'Z': case 'H': {
+                    int64_t j = i;
+                    while (j < end && buf[j] != 0) j++;
+                    if (t0 == 'M' && (t1 == 'M' || t1 == 'm')
+                        && mm_off[r] < 0) {
+                        mm_off[r] = i; mm_len[r] = j - i;
+                    }
+                    i = j + 1;
+                    continue;
+                }
+                case 'B': {
+                    if (i + 5 > end) { mm_len[r] = -9; i = end; continue; }
+                    uint8_t sub = buf[i];
+                    uint32_t cnt;
+                    memcpy(&cnt, buf + i + 1, 4);
+                    int64_t es =
+                        (sub == 'c' || sub == 'C') ? 1 :
+                        (sub == 's' || sub == 'S') ? 2 :
+                        (sub == 'i' || sub == 'I' || sub == 'f') ? 4 : -1;
+                    if (es < 0) { mm_len[r] = -9; i = end; continue; }
+                    if (t0 == 'M' && (t1 == 'L' || t1 == 'l')
+                        && ml_off[r] < 0) {
+                        if (es == 1) {
+                            ml_off[r] = i + 5; ml_n[r] = (int64_t)cnt;
+                        } else {
+                            ml_n[r] = -9;
+                        }
+                    }
+                    i += 5 + es * (int64_t)cnt;
+                    continue;
+                }
+                default:
+                    mm_len[r] = -9;  // unknown type: record unparseable
+                    i = end;
+                    continue;
+            }
+            i += sz;
+        }
+    }
+    return n;
+}
+
+// Pass 1 over MM strings: per record, count "C+" sections and their total
+// skip integers (commas). Records with mm_off < 0 yield zeros.
+int64_t mm_count(const uint8_t* buf, int64_t n, const int64_t* mm_off,
+                 const int64_t* mm_len, int64_t* n_sec, int64_t* n_skip) {
+    for (int64_t r = 0; r < n; r++) {
+        n_sec[r] = 0; n_skip[r] = 0;
+        if (mm_off[r] < 0 || mm_len[r] < 0) continue;
+        const uint8_t* s = buf + mm_off[r];
+        int64_t len = mm_len[r];
+        int64_t i = 0;
+        while (i < len) {
+            int64_t j = i;
+            while (j < len && s[j] != ';') j++;
+            if (j - i >= 3 && s[i] == 'C' && s[i + 1] == '+') {
+                n_sec[r]++;
+                for (int64_t k = i; k < j; k++)
+                    if (s[k] == ',') n_skip[r]++;
+            }
+            i = j + 1;
+        }
+    }
+    return 0;
+}
+
+// Pass 2: fill per-section metadata + flat skip ints, in record order.
+// Semantics mirror the Python reference parser (pipeline/nanopore.py
+// parse_mm_sections, itself after ref ont.cpp:310-416): a section is any
+// non-empty ';'-part; C+ sections record mod char (4th byte), the
+// dot-convention flag (header longer than 3 chars with a '?' 4th char
+// disables it), and the part index among ALL non-empty parts (used for ML
+// block slicing).
+int64_t mm_fill(const uint8_t* buf, int64_t n, const int64_t* mm_off,
+                const int64_t* mm_len,
+                int32_t* sec_rec, int8_t* sec_mod, int8_t* sec_npdot,
+                int32_t* sec_part_idx, int64_t* sec_nskip, int32_t* skips) {
+    int64_t S = 0, K = 0;
+    for (int64_t r = 0; r < n; r++) {
+        if (mm_off[r] < 0 || mm_len[r] < 0) continue;
+        const uint8_t* s = buf + mm_off[r];
+        int64_t len = mm_len[r];
+        int64_t i = 0;
+        int32_t part = 0;
+        while (i < len) {
+            int64_t j = i;
+            while (j < len && s[j] != ';') j++;
+            if (j == i) { i = j + 1; continue; }  // empty part: uncounted
+            if (j - i >= 3 && s[i] == 'C' && s[i + 1] == '+') {
+                int64_t h = i;
+                while (h < j && s[h] != ',') h++;
+                sec_rec[S] = (int32_t)r;
+                sec_mod[S] = (int8_t)s[i + 2];
+                sec_npdot[S] = (h - i > 3 && s[i + 3] == '?') ? 0 : 1;
+                sec_part_idx[S] = part;
+                int64_t ns = 0;
+                int64_t k = h;
+                while (k < j) {
+                    k++;  // step over the comma
+                    int32_t v = 0;
+                    int neg = 0;
+                    if (k < j && s[k] == '-') { neg = 1; k++; }
+                    while (k < j && s[k] >= '0' && s[k] <= '9') {
+                        v = v * 10 + (s[k] - '0');
+                        k++;
+                    }
+                    skips[K++] = neg ? -v : v;
+                    ns++;
+                }
+                sec_nskip[S] = ns;
+                S++;
+            }
+            part++;
+            i = j + 1;
+        }
+    }
+    return S;
+}
+
 }  // extern "C"

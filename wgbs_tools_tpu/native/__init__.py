@@ -52,6 +52,9 @@ def get_lib():
     lib.bgzf_decompress_mt.restype = ctypes.c_int
     lib.bam_count.restype = i64
     lib.bam_scan.restype = i64
+    lib.bam_mmml_scan.restype = i64
+    lib.mm_count.restype = i64
+    lib.mm_fill.restype = i64
     _LIB = lib
     return _LIB
 
@@ -165,6 +168,67 @@ def bam_scan_native(buf: bytes, records_off: int):
     if got != n:
         return None
     return cols[:n], offs[:n], rec_end[:n]
+
+
+def bam_mmml_scan_native(buf, tags_off, rec_end):
+    """Locate MM/Mm:Z + ML/Ml:B,C aux tags for each record.
+
+    Returns (mm_off, mm_len, ml_off, ml_n) int64 arrays (see wgbsio.cpp for
+    the -1 / -9 sentinel conventions), or None when the library is absent.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = tags_off.shape[0]
+    tags_off = np.ascontiguousarray(tags_off, dtype=np.int64)
+    rec_end = np.ascontiguousarray(rec_end, dtype=np.int64)
+    mm_off = np.empty(max(n, 1), dtype=np.int64)
+    mm_len = np.empty(max(n, 1), dtype=np.int64)
+    ml_off = np.empty(max(n, 1), dtype=np.int64)
+    ml_n = np.empty(max(n, 1), dtype=np.int64)
+    i64 = ctypes.c_int64
+    lib.bam_mmml_scan(buf, i64(n), _ptr(tags_off, i64), _ptr(rec_end, i64),
+                      _ptr(mm_off, i64), _ptr(mm_len, i64),
+                      _ptr(ml_off, i64), _ptr(ml_n, i64))
+    return mm_off[:n], mm_len[:n], ml_off[:n], ml_n[:n]
+
+
+def mm_parse_native(buf, mm_off, mm_len):
+    """Batch-parse all MM tag strings into a flat section table.
+
+    Returns (sec_rec int32[S], sec_mod int8[S], sec_npdot int8[S],
+    sec_part_idx int32[S], sec_nskip int64[S], skips int32[K]) where
+    sections appear in record order, or None when the library is absent.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = mm_off.shape[0]
+    mm_off = np.ascontiguousarray(mm_off, dtype=np.int64)
+    mm_len = np.ascontiguousarray(mm_len, dtype=np.int64)
+    n_sec = np.empty(max(n, 1), dtype=np.int64)
+    n_skip = np.empty(max(n, 1), dtype=np.int64)
+    i64 = ctypes.c_int64
+    lib.mm_count(buf, i64(n), _ptr(mm_off, i64), _ptr(mm_len, i64),
+                 _ptr(n_sec, i64), _ptr(n_skip, i64))
+    S = int(n_sec[:n].sum())
+    K = int(n_skip[:n].sum())
+    sec_rec = np.empty(max(S, 1), dtype=np.int32)
+    sec_mod = np.empty(max(S, 1), dtype=np.int8)
+    sec_npdot = np.empty(max(S, 1), dtype=np.int8)
+    sec_part_idx = np.empty(max(S, 1), dtype=np.int32)
+    sec_nskip = np.empty(max(S, 1), dtype=np.int64)
+    skips = np.empty(max(K, 1), dtype=np.int32)
+    got = lib.mm_fill(buf, i64(n), _ptr(mm_off, i64), _ptr(mm_len, i64),
+                      _ptr(sec_rec, ctypes.c_int32),
+                      _ptr(sec_mod, ctypes.c_int8),
+                      _ptr(sec_npdot, ctypes.c_int8),
+                      _ptr(sec_part_idx, ctypes.c_int32),
+                      _ptr(sec_nskip, i64), _ptr(skips, ctypes.c_int32))
+    if got != S:
+        return None
+    return (sec_rec[:S], sec_mod[:S], sec_npdot[:S], sec_part_idx[:S],
+            sec_nskip[:S], skips[:K])
 
 
 def bgzf_decompress_native(data: bytes, n_threads=None):

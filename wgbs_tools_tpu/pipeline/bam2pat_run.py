@@ -157,7 +157,36 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
                 strand_flags=_strand_flags(top_strand, bottom_strand, paired),
                 read_group=read_group, rec_end=rec_end,
                 wl=wl, bl=bl, mbias_prefix=mbias_prefix)
-        # nanopore: fall through to the record path below
+        # nanopore columnar path: requires every record's aux region to
+        # native-parse (one cheap pass); otherwise the record path below
+        # reports unparseable reads invalid, like the reference patter
+        if paired:
+            raise IllegalArgumentError(
+                "Unrecognized bam format: paired end and nanopore")
+        from .bam_columnar_ont import scan_mmml
+
+        if scan_mmml(buf, offs, rec_end) is not None:
+            wl = bl = None
+            if whitelist:
+                wl_path = g.whitelist if whitelist is True else whitelist
+                wl = _load_region_bed(wl_path) if wl_path else None
+            elif blacklist:
+                bl_path = g.blacklist if blacklist is True else blacklist
+                bl = _load_region_bed(bl_path) if bl_path else None
+            return _bam2pat_columnar(
+                bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
+                False, min_mapq,
+                exclude_flags if exclude_flags is not None
+                else EXCLUDE_FLAGS_NANOPORE,
+                clip, min_cpg, include_chroms, write_output, with_qname,
+                threads,
+                include_flags=include_flags,
+                strand_flags=_strand_flags(top_strand, bottom_strand, False),
+                read_group=read_group, rec_end=rec_end,
+                wl=wl, bl=bl, mbias_prefix=mbias_prefix,
+                ont=dict(np_thresh=np_thresh, cpc_call=cpc_call,
+                         combine_mods=combine_mods))
+        # fall through to the record path below
 
     paired, detected_np = detect_layout(bam_path)
     if nanopore is None:
@@ -287,8 +316,7 @@ _SHARED = {}
 def _columnar_chrom_worker(args):
     """Per-chromosome worker (numpy-only; safe under fork)."""
     (rows, loci, site_base, chrom, paired, clip, min_cpg, with_qname,
-     want_mbias) = args
-    from .bam_columnar import process_chrom_columnar
+     want_mbias, ont) = args
 
     buf = _SHARED["buf"]
     bufarr = _SHARED["bufarr"]
@@ -296,9 +324,18 @@ def _columnar_chrom_worker(args):
     offs = _SHARED["offs"]
     stats = ReadStats()
     mbias = MBiasCounter() if want_mbias else None
-    frags = process_chrom_columnar(
-        buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
-        clip, min_cpg, stats, with_qname, mbias=mbias)
+    if ont is not None:
+        from .bam_columnar_ont import process_chrom_columnar_ont
+
+        frags = process_chrom_columnar_ont(
+            buf, bufarr, cols, offs, _SHARED["rec_end"], rows, loci,
+            site_base, chrom, clip, min_cpg, stats, with_qname, **ont)
+    else:
+        from .bam_columnar import process_chrom_columnar
+
+        frags = process_chrom_columnar(
+            buf, bufarr, cols, offs, rows, loci, site_base, chrom, paired,
+            clip, min_cpg, stats, with_qname, mbias=mbias)
     if frags.nr_frags:
         frags = frags.sort().collapse()
     return chrom, frags, stats, None if mbias is None else mbias.tables
@@ -348,7 +385,8 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
                       paired, min_mapq, exclude_flags, clip, min_cpg,
                       include_chroms, write_output, with_qname, threads=1,
                       include_flags=None, strand_flags=None, read_group=None,
-                      rec_end=None, wl=None, bl=None, mbias_prefix=None):
+                      rec_end=None, wl=None, bl=None, mbias_prefix=None,
+                      ont=None):
     bufarr = np.frombuffer(buf, dtype=np.uint8)
     flag = cols[:, 2]
     keep = ((flag & FUNMAP) == 0) & (cols[:, 0] >= 0) \
@@ -389,9 +427,10 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
         site_base, _ = idx.chrom_site_bounds(chrom)
         loci = idx.chrom_loci(chrom)
         jobs.append((rows, loci, site_base, chrom, paired, clip, min_cpg,
-                     with_qname, want_mbias))
+                     with_qname, want_mbias, ont))
 
-    _SHARED.update(buf=buf, bufarr=bufarr, cols=cols, offs=offs)
+    _SHARED.update(buf=buf, bufarr=bufarr, cols=cols, offs=offs,
+                   rec_end=rec_end)
     try:
         if threads > 1 and len(jobs) > 1:
             import multiprocessing as mp

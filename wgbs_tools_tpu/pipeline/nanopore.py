@@ -73,6 +73,18 @@ class NanoporeCalls:
 
     def __init__(self, mm_str, ml_vals, cpc_call="C", combine_mods=False):
         secs = parse_mm_sections(mm_str) if mm_str else {}
+        self._init_from_sections(secs, ml_vals, cpc_call, combine_mods)
+
+    @classmethod
+    def from_sections(cls, secs, ml_vals, cpc_call="C", combine_mods=False):
+        """Build from a pre-parsed sections dict
+        {mod: (skips, np_dot, part_idx)} (the columnar path's native MM
+        parser produces these without the Python string split)."""
+        self = cls.__new__(cls)
+        self._init_from_sections(secs, ml_vals, cpc_call, combine_mods)
+        return self
+
+    def _init_from_sections(self, secs, ml_vals, cpc_call, combine_mods):
         self.np_dot = False
         zero = np.zeros(0, dtype=np.int64)
         m_pos = m_ml = h_pos = h_ml = zero
@@ -122,17 +134,10 @@ def _prep_section(pos, ml, n_c):
     return pos, ml
 
 
-def make_meth_mask(orig_seq: bytes, calls: NanoporeCalls, np_thresh=0.667):
-    """Per-base status mask over the as-sequenced read
-    (ref: ont.cpp:22-87). E=not called, M/H/U/N as documented.
-
-    Vectorized: C ordinals are materialized once, each MM section scatters
-    its thresholded status onto them, and the per-ordinal statuses scatter
-    back to base positions.
-    """
-    seq = np.frombuffer(orig_seq, dtype=np.uint8)
-    c_idx = np.nonzero(seq == B_C)[0]
-    n_c = c_idx.shape[0]
+def ordinal_status(calls: NanoporeCalls, n_c: int, np_thresh=0.667):
+    """Status byte (M/H/U/N/E) per C-ordinal of the as-sequenced read
+    (the section-scatter half of make_meth_mask, reusable by the columnar
+    path which scatters onto stored-orientation positions itself)."""
     hi_t = 255 * np_thresh
     lo_t = 255 * (1 - np_thresh)
     m_pos, m_ml = _prep_section(calls.m_pos, calls.m_ml, n_c)
@@ -162,6 +167,20 @@ def make_meth_mask(orig_seq: bytes, calls: NanoporeCalls, np_thresh=0.667):
         prev = status[m_pos]
         st_m = np.where((prev == ord("H")) & (st_m != ord("M")), prev, st_m)
         status[m_pos] = st_m
+    return status
+
+
+def make_meth_mask(orig_seq: bytes, calls: NanoporeCalls, np_thresh=0.667):
+    """Per-base status mask over the as-sequenced read
+    (ref: ont.cpp:22-87). E=not called, M/H/U/N as documented.
+
+    Vectorized: C ordinals are materialized once, each MM section scatters
+    its thresholded status onto them, and the per-ordinal statuses scatter
+    back to base positions.
+    """
+    seq = np.frombuffer(orig_seq, dtype=np.uint8)
+    c_idx = np.nonzero(seq == B_C)[0]
+    status = ordinal_status(calls, c_idx.shape[0], np_thresh)
     mask = np.full(seq.shape, ord("E"), dtype=np.uint8)
     mask[c_idx] = status
     return mask.tobytes()
@@ -175,14 +194,22 @@ def np_call_read(seq_adj: bytes, mask_adj: bytes, start_locus: int,
     seq_adj / mask_adj: CIGAR-normalized forward-oriented read and status
     mask. Returns (start_site, pattern bytes) or None.
     """
-    n = len(seq_adj)
+    return np_call_read_arr(np.frombuffer(seq_adj, dtype=np.uint8),
+                            np.frombuffer(mask_adj, dtype=np.uint8),
+                            start_locus, bottom, np_dot, loci, site_base,
+                            clip=clip)
+
+
+def np_call_read_arr(seqarr, maskarr, start_locus: int, bottom: bool,
+                     np_dot: bool, loci: np.ndarray, site_base: int,
+                     clip: int = 0):
+    """Array-input form of np_call_read (columnar path)."""
+    n = seqarr.shape[0]
     loop_start = -1 if bottom else 0
     k0 = int(np.searchsorted(loci, start_locus + loop_start, side="left"))
     k1 = int(np.searchsorted(loci, start_locus + n, side="left"))
     if k1 <= k0:
         return None
-    maskarr = np.frombuffer(mask_adj, dtype=np.uint8)
-    seqarr = np.frombuffer(seq_adj, dtype=np.uint8)
     i = loci[k0:k1].astype(np.int64) - start_locus
     di = i + 1 if bottom else i
     in_range = (di >= 0) & (di < maskarr.shape[0])
