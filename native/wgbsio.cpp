@@ -447,6 +447,11 @@ int64_t bam_mmml_scan(const uint8_t* buf, int64_t n,
                         (sub == 's' || sub == 'S') ? 2 :
                         (sub == 'i' || sub == 'I' || sub == 'f') ? 4 : -1;
                     if (es < 0) { mm_len[r] = -9; i = end; continue; }
+                    if (i + 5 + es * (int64_t)cnt > end) {
+                        // truncated B-array: reject the record rather than
+                        // letting ml_off/ml_n point past its end
+                        mm_len[r] = -9; ml_n[r] = -9; i = end; continue;
+                    }
                     if (t0 == 'M' && (t1 == 'L' || t1 == 'l')
                         && ml_off[r] < 0) {
                         if (es == 1) {
@@ -535,6 +540,11 @@ int64_t mm_fill(const uint8_t* buf, int64_t n, const int64_t* mm_off,
                     }
                     skips[K++] = neg ? -v : v;
                     ns++;
+                    // skip any trailing junk up to the next comma so the
+                    // number of entries written always equals mm_count's
+                    // comma count (a stray non-digit char must not mint an
+                    // extra entry — that would overflow the skips buffer)
+                    while (k < j && s[k] != ',') k++;
                 }
                 sec_nskip[S] = ns;
                 S++;

@@ -39,8 +39,38 @@ def _skips(ordinals):
     return out
 
 
+def _complex_fwd_read(ref, pos, rng, core=280):
+    """Forward-oriented SEQ with soft-clips, an insertion and a D or N gap.
+
+    Returns (fwd_seq, cigar_str). Covers the general CIGAR branch of
+    bam_columnar_ont._normalize_cigar (the one-op fast path only sees xM)."""
+    a = int(rng.integers(50, 101))
+    c = int(rng.integers(50, 101))
+    e = core - a - c
+    b = int(rng.integers(1, 6))  # insertion length
+    d = int(rng.integers(1, 6))  # deletion / ref-skip length
+    s1 = int(rng.integers(0, 8))
+    s2 = int(rng.integers(0, 8))
+    gap = "N" if rng.integers(2) else "D"
+    alpha = np.frombuffer(b"ACGT", dtype=np.uint8)
+    sc1 = bytes(alpha[rng.integers(0, 4, s1)])
+    sc2 = bytes(alpha[rng.integers(0, 4, s2)])
+    ins = bytes(alpha[rng.integers(0, 4, b)])
+    fwd_seq = (sc1 + bytes(ref[pos : pos + a]) + ins
+               + bytes(ref[pos + a : pos + a + c])
+               + bytes(ref[pos + a + c + d : pos + a + c + d + e]) + sc2)
+    cigar = ""
+    if s1:
+        cigar += f"{s1}S"
+    cigar += f"{a}M{b}I{c}M{d}{gap}{e}M"
+    if s2:
+        cigar += f"{s2}S"
+    return fwd_seq, cigar
+
+
 def simulate_np_reads(seqs, rng, n_reads=200, read_len=300, conv="?",
-                      with_h=False, meth_rate=0.6, call_rate=0.8):
+                      with_h=False, meth_rate=0.6, call_rate=0.8,
+                      complex_cigar=False):
     reads = []
     chroms = list(seqs.keys())
     for r in range(n_reads):
@@ -50,7 +80,12 @@ def simulate_np_reads(seqs, rng, n_reads=200, read_len=300, conv="?",
             continue
         pos = int(rng.integers(0, len(ref) - read_len - 2))
         bottom = bool(rng.integers(2))
-        fwd_seq = bytes(ref[pos : pos + read_len])
+        if complex_cigar:
+            fwd_seq, cigar = _complex_fwd_read(ref, pos, rng,
+                                               core=read_len - 20)
+        else:
+            fwd_seq = bytes(ref[pos : pos + read_len])
+            cigar = f"{read_len}M"
         as_seq = revcomp(fwd_seq) if bottom else fwd_seq
 
         # choose called C ordinals in as-sequenced orientation
@@ -74,7 +109,7 @@ def simulate_np_reads(seqs, rng, n_reads=200, read_len=300, conv="?",
             ml = probs + h_probs
         reads.append(
             NpRead(f"np{r:05d}", 16 if bottom else 0, chrom, pos, fwd_seq,
-                   f"{read_len}M", mm=mm, ml=ml)
+                   cigar, mm=mm, ml=ml)
         )
     return reads
 
@@ -121,14 +156,16 @@ def ref_np_pat(reads, genome, shim_dir, tmp_path, extra_args=()):
     return parse_pat_bytes(b"\n".join(rows) + b"\n").sort().collapse()
 
 
-@pytest.mark.parametrize("conv,with_h", [("?", False), (".", False),
-                                         ("?", True)])
+@pytest.mark.parametrize("conv,with_h,complex_cigar",
+                         [("?", False, False), (".", False, False),
+                          ("?", True, False), ("?", False, True),
+                          (".", True, True)])
 def test_nanopore_matches_reference(mini_genome, tmp_path, shim_path, conv,
-                                    with_h):
+                                    with_h, complex_cigar):
     rng = np.random.default_rng(21)
     seqs = read_fasta(mini_genome.join("genome.fa"))
     reads = simulate_np_reads(seqs, rng, n_reads=150, conv=conv,
-                              with_h=with_h)
+                              with_h=with_h, complex_cigar=complex_cigar)
     bam = dump_np_bam(reads, seqs, str(tmp_path / "np.bam"))
     frags, _, stats = bam2pat(bam, genome=mini_genome, write_output=False)
     expect = ref_np_pat(reads, mini_genome, shim_path, tmp_path)

@@ -306,15 +306,14 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     return frags, out_path, stats
 
 
-# fork-shared state for the chromosome workers: the decompressed BAM buffer
-# and columnar arrays are inherited copy-on-write instead of being pickled
-# per task (the analogue of each reference patter process re-reading its own
-# slice)
+# state shared by the chromosome worker threads: the decompressed BAM buffer
+# and columnar arrays (the analogue of each reference patter process
+# re-reading its own slice; here every worker reads the same arrays)
 _SHARED = {}
 
 
 def _columnar_chrom_worker(args):
-    """Per-chromosome worker (numpy-only; safe under fork)."""
+    """Per-chromosome worker (numpy-only; GIL-releasing vectorized ops)."""
     (rows, loci, site_base, chrom, paired, clip, min_cpg, with_qname,
      want_mbias, ont) = args
 
@@ -433,12 +432,14 @@ def _bam2pat_columnar(bam_path, g, idx, out_dir, buf, ref_names, cols, offs,
                    rec_end=rec_end)
     try:
         if threads > 1 and len(jobs) > 1:
-            import multiprocessing as mp
+            # threads, not fork: os.fork() after JAX initializes its thread
+            # pools can deadlock (JAX is multithreaded). The workers are
+            # numpy-vectorized so the GIL is released for the heavy ops, and
+            # threads share the decompressed BAM buffer without COW games.
+            from concurrent.futures import ThreadPoolExecutor
 
-            # fork: workers inherit _SHARED copy-on-write; they are
-            # numpy-only so an initialized jax backend in the parent is safe
-            with mp.get_context("fork").Pool(min(threads, len(jobs))) as pool:
-                results = pool.map(_columnar_chrom_worker, jobs)
+            with ThreadPoolExecutor(min(threads, len(jobs))) as pool:
+                results = list(pool.map(_columnar_chrom_worker, jobs))
         else:
             results = [_columnar_chrom_worker(j) for j in jobs]
     finally:

@@ -79,8 +79,10 @@ def process_chrom_columnar_ont(buf, bufarr, cols, offs, rec_end, idx_rows,
                                cpc_call="C", combine_mods=False):
     """Call one chromosome's nanopore reads (row indices into cols/offs).
 
-    Returns a PatFrags batch, or None when native MM parsing is unavailable
-    (caller falls back to the record path)."""
+    Returns a PatFrags batch. Raises RuntimeError when native MM parsing is
+    unavailable or rejects a record — callers must pre-validate with
+    scan_mmml() (bam2pat_run.py does) and route such BAMs through the record
+    path instead; a worker must never receive an unparseable job silently."""
     from ..native import mm_parse_native
     from .calling import rows_to_frags
     from .nanopore import NanoporeCalls, np_call_read_arr, ordinal_status
@@ -97,11 +99,15 @@ def process_chrom_columnar_ont(buf, bufarr, cols, offs, rec_end, idx_rows,
 
     scan = scan_mmml(buf, sub_offs, sub_end)
     if scan is None:
-        return None
+        raise RuntimeError(
+            "nanopore columnar path: MM/ML aux scan failed for %s; "
+            "pre-validate with scan_mmml and use the record path" % chrom_name)
     mm_off, mm_len, ml_off, ml_n = scan
     parsed = mm_parse_native(buf, mm_off, mm_len)
     if parsed is None:
-        return None
+        raise RuntimeError(
+            "nanopore columnar path: native MM parse unavailable for %s; "
+            "pre-validate with scan_mmml and use the record path" % chrom_name)
     sec_rec, sec_mod, sec_npdot, sec_part, sec_nskip, skips = parsed
     skip_off = np.zeros(sec_rec.shape[0] + 1, dtype=np.int64)
     np.cumsum(sec_nskip, out=skip_off[1:])

@@ -365,9 +365,8 @@ class MBiasCounter:
             key = ("OB" if bottom else "OT", 0)
         if read_len > self.MAX_READ_LEN:
             return
-        mj = (read_len - 1 - (j - (1 if bottom else 0))) if bottom else j
-        # reference indexes by the position within the original read (mj uses
-        # the conv position i, not j); recompute: i = j - shift
+        # reference indexes by the position within the original read (the
+        # conv position i = j - strand shift, not j itself)
         i = j - (1 if bottom else 0)
         mj = (read_len - 1 - i) if bottom else i
         tab = self.tables[key]
