@@ -172,3 +172,57 @@ def test_blocked_dp_matches_scan_dp(n, W):
     a = np.asarray(_dp_fast_blocked(jnp.asarray(C), W))
     b = np.asarray(_dp_fast_jax(jnp.asarray(C), W))
     assert a.tolist() == b.tolist()
+
+
+def test_native_matches_numpy_exact(beta_fixture):
+    """C++ kernel traceback == numpy rounding-chain emulation (T[0] unused)."""
+    from wgbs_tools_tpu.models.segment import (
+        _cost_block_exact, _dp_exact, _prefix_sums)
+    from wgbs_tools_tpu.native import segment_exact_native
+
+    _, datas, loci = beta_fixture
+    n = datas.shape[1]
+    for K, W, max_bp, ps in [(3, 200, 1500, 15.0), (1, 100, 0, 1.0),
+                             (2, 300, 10**9, 0.01)]:
+        T = segment_exact_native(datas[:K], loci, W, max_bp, ps)
+        assert T is not None, "native library must be available in CI"
+        pm, pt = _prefix_sums(datas[:K])
+        C = np.empty((n, W), dtype=np.float64)
+        C[:] = _cost_block_exact(pm, pt, loci.astype(np.int64), 0, n, W,
+                                 max_bp, ps)
+        T2 = _dp_exact(C)
+        assert np.array_equal(T[1:], T2[1:])
+
+
+def test_native_nonmonotone_loci_matches_oracle(beta_fixture, tmp_path):
+    """Non-monotone loci hit the reference's literal skip semantics; the
+    native kernel's fallback loop must reproduce them (the numpy emulation
+    does not model skipped-site absorption, so compare against the binary)."""
+    from wgbs_tools_tpu.models.segment import _traceback
+    from wgbs_tools_tpu.native import segment_exact_native
+
+    paths, datas, loci = beta_fixture
+    n = 800
+    loci = loci[:n].copy()
+    loci[300:340] = loci[300] - np.arange(40)  # descending dip
+    expect = ref_segment(paths[:2], loci, 0, n, 200, 1500, 15.0)
+    T = segment_exact_native(datas[:2, :n], loci, 200, 1500, 15.0)
+    assert T is not None
+    got = _traceback(T, n)
+    assert got.tolist() == expect.tolist()
+
+
+def test_segment_ranges_threads_equal(beta_fixture, tmp_path):
+    paths, datas, loci = beta_fixture
+
+    class FakeIndex:
+        def __init__(self, loci):
+            self.loci = loci
+
+    idx = FakeIndex(loci.astype(np.int64))
+    ranges = [(1, datas.shape[1] + 1)]
+    cfg1 = SegmentConfig(max_cpg=300, chunk_size=700, threads=1)
+    cfg4 = SegmentConfig(max_cpg=300, chunk_size=700, threads=4)
+    s1, e1 = segment_ranges(paths, ranges, idx, cfg1)
+    s4, e4 = segment_ranges(paths, ranges, idx, cfg4)
+    assert s1.tolist() == s4.tolist() and e1.tolist() == e4.tolist()

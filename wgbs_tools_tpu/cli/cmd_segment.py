@@ -29,11 +29,15 @@ def main(argv):
     p.add_argument("--max_cpg", type=int, default=1000)
     p.add_argument("--max_bp", type=int, default=2000)
     p.add_argument("-@", "--threads", type=int, default=None,
-                   help="(compat; fast mode batches chunks on device, exact "
-                        "mode is one process)")
+                   help="exact mode: chunks run on this many host threads "
+                        "(default: all cores); fast mode batches chunks on "
+                        "the device instead")
     p.add_argument("--mode", choices=["exact", "fast"], default="exact",
-                   help="'exact' matches the reference segmentor bit-for-bit; "
-                        "'fast' is the float32 TPU path")
+                   help="'exact' matches the reference segmentor bit-for-bit "
+                        "(native C++ DP, threaded over chunks); 'fast' runs "
+                        "the whole DP on the TPU in float32 — several times "
+                        "faster again, but ~3-5%% of borders may differ at "
+                        "numerical ties")
     p.add_argument("-o", "--out_path", default=None)
     args = p.parse_args(argv)
 
@@ -73,6 +77,7 @@ def main(argv):
         chunk_size=args.chunk_size,
         min_cpg=args.min_cpg,
         mode=args.mode,
+        threads=args.threads,
     )
     starts, ends = segment_ranges(betas, ranges, idx, cfg)
     eprint(f"[wt segment] found {len(starts):,} blocks")

@@ -369,12 +369,19 @@ def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
     pm, pt = _prefix_sums(data)
 
     if mode == "exact":
-        C = np.empty((n, W), dtype=np.float64)
-        for lo in range(0, n, cost_block):
-            hi = min(lo + cost_block, n)
-            C[lo:hi] = _cost_block_exact(pm, pt, loci, lo, hi, W, max_bp,
-                                         pseudo_count)
-        T = _dp_exact(C)
+        # native C++ kernel: same libm log2 / float rounding chain, band-
+        # limited cost evaluation (native/segment_exact.cpp); ~10-50x the
+        # vectorized numpy emulation below, still byte-identical
+        from ..native import segment_exact_native
+
+        T = segment_exact_native(data, loci, W, max_bp, pseudo_count)
+        if T is None:
+            C = np.empty((n, W), dtype=np.float64)
+            for lo in range(0, n, cost_block):
+                hi = min(lo + cost_block, n)
+                C[lo:hi] = _cost_block_exact(pm, pt, loci, lo, hi, W, max_bp,
+                                             pseudo_count)
+            T = _dp_exact(C)
     elif mode == "fast":
         Crev = _cost_fast_jax(
             jnp.asarray(pm, dtype=jnp.int32),
@@ -418,7 +425,7 @@ def segment_sites_window(beta_paths, sites, index, max_cpg=1000, max_bp=2000,
 
 class SegmentConfig:
     def __init__(self, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
-                 chunk_size=DEF_CHUNK, min_cpg=1, mode="exact"):
+                 chunk_size=DEF_CHUNK, min_cpg=1, mode="exact", threads=None):
         self.max_bp = max_bp
         self.max_cpg = min(max_cpg, max_bp // 2) if max_bp else max_cpg
         assert self.max_cpg > 1
@@ -426,6 +433,12 @@ class SegmentConfig:
         self.chunk_size = chunk_size
         self.min_cpg = min_cpg
         self.mode = mode
+        if threads is None:
+            import os
+
+            threads = int(os.environ.get("SLURM_JOB_CPUS_PER_NODE", 0)) \
+                or (os.cpu_count() or 1)  # ref: utils_wgbs.py:250-261
+        self.threads = max(1, threads)
 
 
 def break_to_chunks(ranges, step):
@@ -468,9 +481,19 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
             )
             for i, rel in zip(idxs, borders):
                 results[i] = rel + chunks[i][0]
-    for i, c in enumerate(chunks):
-        if results[i] is None:
-            results[i] = seg(c)
+    todo = [i for i in range(len(chunks)) if results[i] is None]
+    if cfg.mode == "exact" and cfg.threads > 1 and len(todo) > 1:
+        # thread pool over chunks (the reference forks a process per chunk,
+        # segment.py:144-146; our C++ DP releases the GIL so threads scale
+        # and the beta files/index stay shared in memory)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(cfg.threads, len(todo))) as pool:
+            for i, res in zip(todo, pool.map(seg, [chunks[i] for i in todo])):
+                results[i] = res
+    else:
+        for i in todo:
+            results[i] = seg(chunks[i])
 
     all_starts, all_ends = [], []
     for tag in dict.fromkeys(tags):  # preserve order, unique

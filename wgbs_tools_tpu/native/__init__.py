@@ -15,9 +15,11 @@ import numpy as np
 _LIB = None
 _TRIED = False
 
-_SRC = op.join(op.dirname(op.dirname(op.dirname(op.abspath(__file__)))),
-               "native", "wgbsio.cpp")
-_BUILD_DIR = op.join(op.dirname(_SRC), "build")
+_NATIVE_DIR = op.join(op.dirname(op.dirname(op.dirname(op.abspath(__file__)))),
+                      "native")
+_SRCS = [op.join(_NATIVE_DIR, "wgbsio.cpp"),
+         op.join(_NATIVE_DIR, "segment_exact.cpp")]
+_BUILD_DIR = op.join(_NATIVE_DIR, "build")
 _SO = op.join(_BUILD_DIR, "libwgbsio.so")
 
 
@@ -30,11 +32,12 @@ def get_lib():
     if os.environ.get("WGBS_TPU_NO_NATIVE"):
         return None
     try:
-        if not op.isfile(_SO) or op.getmtime(_SO) < op.getmtime(_SRC):
+        newest_src = max(op.getmtime(s) for s in _SRCS)
+        if not op.isfile(_SO) or op.getmtime(_SO) < newest_src:
             os.makedirs(_BUILD_DIR, exist_ok=True)
             subprocess.check_call(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO, _SRC, "-lz",
-                 "-lpthread"],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", _SO] + _SRCS
+                + ["-lz", "-lpthread"],
                 stderr=subprocess.DEVNULL,
             )
         lib = ctypes.CDLL(_SO)
@@ -55,6 +58,11 @@ def get_lib():
     lib.bam_mmml_scan.restype = i64
     lib.mm_count.restype = i64
     lib.mm_fill.restype = i64
+    lib.segment_exact_dp.restype = i64
+    lib.segment_exact_dp.argtypes = [
+        ctypes.c_void_p, i64, i64, ctypes.c_void_p, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_float, ctypes.c_void_p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -256,3 +264,31 @@ def bgzf_decompress_native(data: bytes, n_threads=None):
     if rc != 0:
         return None
     return out.raw[:total]
+
+
+def segment_exact_native(data, loci, max_cpg, max_bp, pseudo_count):
+    """Exact-parity segmentation DP traceback via the C++ kernel.
+
+    data: (K, n, 2) integer counts; loci: (n,) basepair positions.
+    Returns the traceback array T (n+1,) int64, or None on fallback.
+    The numeric chain matches the reference segmentor bit-for-bit
+    (ref: src/segment_betas/segmentor.cpp:60-159) — see
+    native/segment_exact.cpp.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    K, n, _ = data.shape
+    dataf = np.ascontiguousarray(data, dtype=np.float32)
+    dists = np.ascontiguousarray(loci, dtype=np.uint32)
+    T = np.empty(n + 1, dtype=np.int32)
+    rc = lib.segment_exact_dp(
+        dataf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(K),
+        ctypes.c_int64(n), dists.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int32(int(max_cpg)),
+        ctypes.c_uint32(int(max_bp) if max_bp else 0),
+        ctypes.c_float(float(pseudo_count)),
+        T.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        return None
+    return T.astype(np.int64)
