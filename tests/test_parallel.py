@@ -95,3 +95,111 @@ def test_segment_windows_sharded_matches_single_device(rng):
         single = segment_borders(datas[w], locis[w], 150, 2000, 15.0,
                                  mode="fast")
         assert got[w].tolist() == single.tolist()
+
+
+def test_sharded_pileup_streaming_matches_xla(rng, tmp_path):
+    """ShardedPileup over streamed chunks == one-shot single-device pileup."""
+    from wgbs_tools_tpu.parallel.sharded import ShardedPileup
+
+    n_sites = 40000
+    frags = random_frags(rng, 5000, n_sites - 50, max_len=18).sort().collapse()
+    mesh = make_mesh(8, samples_axis=1)
+    acc = ShardedPileup(mesh, (1, n_sites + 1), halo=32, fp_mult=64)
+    # stream in uneven chunks
+    bounds = [0, 700, 1100, 2500, frags.nr_frags]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        acc.add(frags.take(np.arange(a, b)))
+    got = acc.result()
+    expect = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                        1, n_sites)
+    assert (got == expect).all()
+
+
+def test_pat2beta_sharded_equals_single(rng, tmp_path, mini_genome):
+    """Production pat2beta: mesh path byte-identical to single device."""
+    from wgbs_tools_tpu.formats.pat import write_pat
+    from wgbs_tools_tpu.pipeline.pat2beta import pat2beta
+
+    nr = mini_genome.index.nr_sites
+    frags = random_frags(rng, 4000, nr - 40, max_len=16).sort().collapse()
+    pat = str(tmp_path / "s.pat.gz")
+    write_pat(frags, pat)
+    p1 = pat2beta(pat, out_dir=str(tmp_path), genome=mini_genome,
+                  sharded=False, out_path=str(tmp_path / "single.beta"),
+                  chunk_bytes=1 << 16)
+    p2 = pat2beta(pat, out_dir=str(tmp_path), genome=mini_genome,
+                  sharded=True, out_path=str(tmp_path / "sharded.beta"),
+                  chunk_bytes=1 << 16)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_analysis_step_window_tb_matches_single_device(rng):
+    """The fused step's traceback = the single-device fast DP run
+    independently on each shard's window (the documented contract)."""
+    from wgbs_tools_tpu.models.segment import _traceback
+    from wgbs_tools_tpu.parallel.sharded import (_dp_scan,
+                                                 _segment_cost_local)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    sites_shards, samples_axis = 4, 2
+    S = 256
+    n_sites = S * sites_shards
+    K, W = 2, 32
+    cov = rng.integers(1, 25, size=(K, n_sites))
+    meth = rng.binomial(cov, np.repeat(rng.random((K, n_sites // 64)), 64,
+                                       axis=1))
+    sample_counts = np.stack([meth, cov], axis=-1).astype(np.int32)
+    loci = (np.cumsum(rng.integers(2, 60, size=n_sites)) + 9).astype(np.int32)
+
+    mesh = make_mesh(8, samples_axis=samples_axis)
+    step = build_analysis_step(mesh, n_sites, halo=16, W=W, max_bp=1500,
+                               pc=15.0)
+    F = 8  # a few fragments; the tb does not depend on them
+    rs, ln, cn, cd = bucket_fragments(
+        np.arange(1, F + 1, dtype=np.int32) * 100,
+        np.full(F, 4, np.int32), np.ones(F, np.int32),
+        np.full((F, 4), 1, np.uint8), n_sites, sites_shards)
+    _, tb, _ = step(jnp.asarray(rs), jnp.asarray(ln), jnp.asarray(cn),
+                    jnp.asarray(cd), jnp.asarray(sample_counts),
+                    jnp.asarray(loci[:, None]))
+    tb = np.asarray(tb)
+
+    for w in range(sites_shards):
+        sl = slice(w * S, (w + 1) * S)
+        cost = jnp.zeros((S, W), dtype=jnp.float32)
+        for d in range(K):
+            cost = cost + _segment_cost_local(
+                jnp.asarray(sample_counts[d, sl]), jnp.asarray(loci[sl]), W,
+                1500, 15.0)
+        ks = np.asarray(_dp_scan(cost, W))
+        T_single = np.concatenate([[0], ks]).astype(np.int64)
+        T_shard = np.concatenate([[0], tb[sl]]).astype(np.int64)
+        b1 = _traceback(T_single, S)
+        b2 = _traceback(T_shard, S)
+        assert b1.tolist() == b2.tolist(), f"window {w} borders differ"
+
+
+def test_reduce_blocks_sharded_matches_single(rng):
+    """Sharded segment-sum block reduction == single-device (boundary-
+    straddling blocks get partial sums psum'd across shards)."""
+    from wgbs_tools_tpu.ops.reduceat import (_reduce_nice, _reduce_nice_sharded,
+                                             _segment_ids)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    N = 1 << 12
+    data = rng.integers(0, 200, size=(N, 2)).astype(np.int32)
+    # random sorted non-overlapping blocks, several crossing the 512-site
+    # shard boundaries
+    cuts = np.sort(rng.choice(np.arange(1, N), 300, replace=False))
+    s = np.concatenate([[0], cuts])
+    e = np.concatenate([cuts, [N]])
+    keep = rng.random(s.shape[0]) < 0.8  # gaps between some blocks
+    s, e = s[keep], e[keep]
+    seg = _segment_ids(s, e, N, s.shape[0])
+    expect = np.asarray(_reduce_nice(jnp.asarray(data), jnp.asarray(seg),
+                                     s.shape[0]))
+    got = _reduce_nice_sharded(data, seg, s.shape[0])
+    assert (got == expect).all()

@@ -310,6 +310,108 @@ def read_pat(path, region_sites=None, genome=None, keep_extras=True) -> PatFrags
     return frags
 
 
+def iter_pat(path, chunk_bytes=32 << 20, keep_extras=False):
+    """Stream a pat[.gz] file as a sequence of PatFrags batches.
+
+    Bounded host memory: at most ~2 chunks of decompressed text are resident
+    at a time, vs read_pat's whole-file load (a 30x human pat is tens of GB
+    of SoA). BGZF inputs decompress slab-by-slab through the multithreaded
+    native inflater; block boundaries are found by walking the BSIZE chain,
+    so no block is ever split. The reference's answer to this is per-
+    chromosome `tabix` streams (ref: src/python/pat2beta.py:41-65).
+    """
+    carry = b""  # partial trailing line
+    for text in _iter_decompressed(path, chunk_bytes):
+        text = carry + text
+        cut = text.rfind(b"\n")
+        if cut < 0:
+            carry = text
+            continue
+        carry = text[cut + 1 :]
+        chunk = text[: cut + 1]
+        if chunk:
+            yield parse_pat_bytes(chunk, keep_extras=keep_extras)
+    if carry:
+        yield parse_pat_bytes(carry, keep_extras=keep_extras)
+
+
+def _iter_decompressed(path, chunk_bytes):
+    """Yield decompressed byte chunks of a pat / pat.gz / BGZF file."""
+    if not is_gzip(path):
+        with open(path, "rb") as f:
+            while True:
+                buf = f.read(chunk_bytes)
+                if not buf:
+                    return
+                yield buf
+        return
+    try:
+        from ..native import bgzf_decompress_native
+    except Exception:
+        bgzf_decompress_native = None
+    with open(path, "rb") as f:
+        head = f.read(18)
+        is_bgzf = (len(head) >= 18 and head[:4] == b"\x1f\x8b\x08\x04")
+        f.seek(0)
+        if is_bgzf and bgzf_decompress_native is not None:
+            comp_carry = b""
+            while True:
+                fresh = f.read(chunk_bytes)
+                slab = comp_carry + fresh
+                if not slab:
+                    return
+                end = _last_block_end(slab)
+                if end == 0:  # truncated mid-block; need more bytes
+                    if not fresh:
+                        raise IllegalArgumentError(
+                            f"truncated BGZF block at end of {path}")
+                    comp_carry = slab
+                    continue
+                comp_carry = slab[end:]
+                out = bgzf_decompress_native(slab[:end])
+                if out is None:
+                    raise IllegalArgumentError(
+                        f"BGZF decompression failed mid-stream in {path}")
+                if out:
+                    yield out
+        # plain gzip (or native unavailable): stream through zlib
+        f.seek(0)
+        with gzip.open(f, "rb") as gz:
+            while True:
+                buf = gz.read(chunk_bytes)
+                if not buf:
+                    return
+                yield buf
+
+
+def _last_block_end(slab):
+    """Byte offset just past the last complete BGZF block in `slab` (0 if
+    none complete). Walks the BSIZE chain in the BC extra subfield."""
+    off = 0
+    last = 0
+    n = len(slab)
+    while off + 18 <= n:
+        if slab[off : off + 4] != b"\x1f\x8b\x08\x04":
+            raise IllegalArgumentError(f"not a BGZF block at offset {off}")
+        xlen = int.from_bytes(slab[off + 10 : off + 12], "little")
+        extra = slab[off + 12 : off + 12 + xlen]
+        bsize = None
+        p = 0
+        while p + 4 <= len(extra):
+            slen = int.from_bytes(extra[p + 2 : p + 4], "little")
+            if extra[p] == 0x42 and extra[p + 1] == 0x43 and slen == 2:
+                bsize = int.from_bytes(extra[p + 4 : p + 6], "little") + 1
+                break
+            p += 4 + slen
+        if bsize is None:
+            raise IllegalArgumentError("BGZF block without BC subfield")
+        if off + bsize > n:
+            break
+        off += bsize
+        last = off
+    return last
+
+
 def _read_region_indexed(path, idx, region_sites, keep_extras):
     s, e = region_sites
     samples_sites, samples_voff, max_len = idx

@@ -476,9 +476,22 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
             locis = np.stack([
                 index.loci[chunks[i][0] - 1 : chunks[i][1] - 1] for i in idxs
             ])
-            borders = segment_windows_fast(
-                datas, locis, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count
-            )
+            import jax
+
+            if len(jax.devices()) > 1:
+                # shard the window axis over every device of the mesh (the
+                # windows are independent by construction of the chunk+stitch
+                # decomposition; replaces the reference's process Pool,
+                # segment.py:144-146)
+                from ..parallel.mesh import make_mesh
+                from ..parallel.sharded import segment_windows_sharded
+
+                borders = segment_windows_sharded(
+                    make_mesh(), datas, locis, cfg.max_cpg, cfg.max_bp,
+                    cfg.pseudo_count)
+            else:
+                borders = segment_windows_fast(
+                    datas, locis, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count)
             for i, rel in zip(idxs, borders):
                 results[i] = rel + chunks[i][0]
     todo = [i for i in range(len(chunks)) if results[i] is None]

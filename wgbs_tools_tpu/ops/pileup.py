@@ -81,6 +81,49 @@ def pileup_xla(start, length, count, codes, window_start, window_len,
     return np.asarray(total)
 
 
+class PileupAccumulator:
+    """Streaming single-device pileup: fold PatFrags batches into a
+    (window_len, 2) count table with bounded per-batch work.
+
+    pat files are sorted by startCpG, so each streaming chunk covers a
+    contiguous slice of the site axis; every batch piles up over its local
+    span only (padded to a power-of-two bucket to bound recompiles) and adds
+    into the host total. The multi-device counterpart is
+    parallel.sharded.ShardedPileup; both produce counts bit-identical to a
+    one-shot pileup (integer adds commute).
+    """
+
+    def __init__(self, window, backend="auto", batch=DEFAULT_BATCH,
+                 min_span=1 << 16):
+        self.window = window
+        self.n = window[1] - window[0]
+        self.backend = backend
+        self.batch = batch
+        self.min_span = min_span
+        self.total = np.zeros((self.n, 2), dtype=np.int64)
+
+    def add(self, frags: PatFrags):
+        s, e = self.window
+        sel = frags.slice_sites(s, e, min_overlap=1) if frags.nr_frags \
+            else frags
+        if sel.nr_frags == 0:
+            return
+        lo = max(int(sel.start.min()), s)
+        hi = min(int((sel.start.astype(np.int64) + sel.length).max()), e)
+        span = max(hi - lo, 1)
+        n_pad = self.min_span
+        while n_pad < span:
+            n_pad <<= 1
+        n_pad = min(n_pad, self.n)
+        lo = min(lo, e - n_pad)
+        res = pileup_frags(sel, (lo, lo + n_pad), backend=self.backend,
+                           batch=self.batch)
+        self.total[lo - s : lo - s + n_pad] += res
+
+    def result(self):
+        return self.total
+
+
 def pileup_frags(frags: PatFrags, window, backend="auto", **kw):
     """Pileup a PatFrags batch over a 1-based [s, e) site window.
 

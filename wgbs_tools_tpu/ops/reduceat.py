@@ -54,17 +54,52 @@ def reduce_data_to_blocks(data, starts, ends, base=1):
         lo, hi = int(s[0]), max(int(e[-1]), int(s[0]))
         n_b = s.shape[0]
         seg = _segment_ids(s - lo, e - lo, hi - lo, n_b)
-        res = _reduce_nice(
-            jnp.asarray(np.asarray(data[lo:hi], dtype=np.int32)),
-            jnp.asarray(seg),
-            n_b,
-        )
+        sharded = len(jax.devices()) > 1 and (hi - lo) >= (1 << 16)
+        if sharded:
+            res = _reduce_nice_sharded(
+                np.asarray(data[lo:hi], dtype=np.int32), seg, n_b)
+        else:
+            res = _reduce_nice(
+                jnp.asarray(np.asarray(data[lo:hi], dtype=np.int32)),
+                jnp.asarray(seg),
+                n_b,
+            )
         out[valid] = np.asarray(res, dtype=np.int64)
     else:
         idx = np.nonzero(valid)[0]
         for k, b in enumerate(idx.tolist()):
             out[b] = data[s[k] : e[k]].sum(axis=0)
     return out
+
+
+def _reduce_nice_sharded(data, seg, n_blocks):
+    """Segment-sum with the site axis sharded over the device mesh.
+
+    Each shard sums its local sites into a full-width (n_blocks+1, C)
+    partial table (a block straddling a shard boundary receives partial sums
+    from both sides); a psum over `sites` assembles the exact integer totals.
+    Device analogue of the reference's per-file Pool + np.add.reduceat
+    (ref: beta_to_blocks.py:101-105, 198-206).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh, pad_to_multiple
+    from ..parallel.sharded import shard_map
+
+    mesh = make_mesh()
+    nsh = mesh.shape["sites"]
+    data_p = pad_to_multiple(np.asarray(data, dtype=np.int32), nsh)
+    seg_p = pad_to_multiple(np.asarray(seg, dtype=np.int32), nsh,
+                            fill=n_blocks)  # pad rows drop into the gap id
+
+    def f(d, sg):
+        part = jax.ops.segment_sum(d, sg, num_segments=n_blocks + 1,
+                                   indices_are_sorted=True)
+        return jax.lax.psum(part, "sites")
+
+    fn = jax.jit(shard_map(f, mesh, in_specs=(P("sites", None), P("sites")),
+                           out_specs=P(None, None)))
+    return np.asarray(fn(jnp.asarray(data_p), jnp.asarray(seg_p)))[:n_blocks]
 
 
 def _segment_ids(s, e, n, n_blocks):

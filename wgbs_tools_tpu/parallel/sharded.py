@@ -111,7 +111,7 @@ def _dp_scan(Crev, W, vary_axes=None):
 
 
 def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
-    """Jitted sharded step: fragments -> counts -> segmentation traceback.
+    """Jitted sharded step: fragments -> counts -> per-window segmentation.
 
     Shapes (global):
       rel_start/length/count: (F,) int32, fragments bucketed so that shard i
@@ -121,7 +121,16 @@ def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
         (sharded over samples x sites);
       loci: (n_sites,) int32.
 
-    Returns (counts (n_sites, 2), dp_traceback (n_sites,), total_cov scalar).
+    Returns (counts (n_sites, 2), window_tb (n_sites,), total_cov scalar).
+
+    window_tb semantics: each sites-shard segments its own site window
+    INDEPENDENTLY (costs psum'd over the samples axis, fast-float32 DP run
+    per shard; entries are window-relative predecessor indices). This is the
+    device analogue of the reference's 60k-site chunk decomposition
+    (ref: segment.py:84-135) with window == shard; the host stitches window
+    borders exactly as models/segment.segment_ranges does for chunks. It is
+    NOT a single global DP across shards — tests/test_parallel.py verifies
+    each window's borders equal the single-device DP on that window.
     """
     n_sites_shard = n_sites // mesh.shape["sites"]
     n_shards = mesh.shape["sites"]
@@ -228,11 +237,100 @@ def segment_windows_sharded(mesh, datas, locis, max_cpg=1000, max_bp=2000,
     return res
 
 
+def build_pileup_accum_step(mesh, n_sites_pad, halo):
+    """Jitted sharded pileup accumulation step.
+
+    total: (n_sites_pad, 2) int32 sharded over `sites`; fragment arrays as in
+    bucket_fragments. Boundary-crossing fragments land in the next shard's
+    first `halo` rows via a single ppermute hop (replacing the reference's
+    order-preserving per-chromosome file concat, bam2pat.py:398-422).
+    Returns total + this batch's counts. Integer adds — the result is
+    bit-identical to the single-device pileup in any shard order.
+    """
+    n_shards = mesh.shape["sites"]
+    S = n_sites_pad // n_shards
+
+    def step(total, rel_start, length, count, codes):
+        local = _local_pileup(rel_start, length, count, codes, S + halo)
+        perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+        received = jax.lax.ppermute(local[S:], "sites", perm)
+        idx = jax.lax.axis_index("sites")
+        received = jnp.where(idx == 0, 0, received)
+        return total + local[:S].at[:halo].add(received)
+
+    sharded = shard_map(
+        step, mesh,
+        in_specs=(P("sites", None), P("sites"), P("sites"), P("sites"),
+                  P("sites", None)),
+        out_specs=P("sites", None),
+    )
+    return jax.jit(sharded, donate_argnums=0)
+
+
+class ShardedPileup:
+    """Streaming whole-genome pileup over the `sites` axis of a device mesh.
+
+    add() buckets each PatFrags batch to site shards on host and folds it
+    into a device-resident sharded count table; result() fetches once.
+    Used by the production pat2beta when >1 device is visible.
+    """
+
+    def __init__(self, mesh, window, halo=512, fp_mult=1 << 14):
+        from jax.sharding import NamedSharding
+
+        self.mesh = mesh
+        self.window = window
+        self.n = window[1] - window[0]
+        self.n_shards = mesh.shape["sites"]
+        self.n_pad = (self.n + self.n_shards - 1) // self.n_shards \
+            * self.n_shards
+        self.halo = max(16, min(halo, self.n_pad // self.n_shards))
+        self.fp_mult = fp_mult
+        self._step = None
+        sh = NamedSharding(mesh, P("sites", None))
+        self.total = jax.device_put(
+            jnp.zeros((self.n_pad, 2), dtype=jnp.int32), sh)
+
+    def add(self, frags):
+        if frags.nr_frags == 0:
+            return
+        if int(frags.length.max(initial=0)) > self.halo:
+            # halo must cover the longest fragment; grow in pow2 buckets
+            # (recompiles the step once per growth)
+            h = self.halo
+            while h < int(frags.length.max()):
+                h <<= 1
+            if h > self.n_pad // self.n_shards:
+                raise ValueError(
+                    f"fragment length {int(frags.length.max())} exceeds a "
+                    f"site shard ({self.n_pad // self.n_shards} sites)")
+            self.halo = h
+            self._step = None
+        if self._step is None:
+            self._step = build_pileup_accum_step(self.mesh, self.n_pad,
+                                                 self.halo)
+        L32 = (frags.codes.shape[1] + 31) // 32 * 32  # bucket the codes
+        rs, ln, cn, cd = bucket_fragments(                # width too
+            frags.start, frags.length, frags.count, frags.codes,
+            self.n_pad, self.n_shards, max_len=L32, base=self.window[0],
+            fp_mult=self.fp_mult)
+        self.total = self._step(self.total, jnp.asarray(rs), jnp.asarray(ln),
+                                jnp.asarray(cn), jnp.asarray(cd))
+
+    def result(self):
+        return np.asarray(self.total)[: self.n]
+
+
 def bucket_fragments(start, length, count, codes, n_sites, n_shards,
-                     max_len=None):
+                     max_len=None, base=1, fp_mult=1):
     """Host-side: assign fragments to site shards, pad to equal counts, and
-    make starts shard-relative. Returns arrays shaped (n_shards*Fp, ...)."""
-    start = np.asarray(start, dtype=np.int64)
+    make starts shard-relative. Returns arrays shaped (n_shards*Fp, ...).
+
+    base: 1-based site index of the first site of shard 0 (window start).
+    fp_mult: round the per-shard fragment capacity up to a multiple (keeps
+    the jitted step's shapes in a small bucket set across streaming chunks).
+    """
+    start = np.asarray(start, dtype=np.int64) - (base - 1)
     S = n_sites // n_shards
     shard_of = np.clip((start - 1) // S, 0, n_shards - 1)
     order = np.argsort(shard_of, kind="stable")
@@ -242,6 +340,7 @@ def bucket_fragments(start, length, count, codes, n_sites, n_shards,
     codes = np.asarray(codes)[order]
     per = np.bincount(shard_of, minlength=n_shards)
     Fp = max(int(per.max(initial=1)), 1)
+    Fp = (Fp + fp_mult - 1) // fp_mult * fp_mult
     L = codes.shape[1] if max_len is None else max_len
     out_start = np.zeros((n_shards, Fp), dtype=np.int32)
     out_len = np.zeros((n_shards, Fp), dtype=np.int32)

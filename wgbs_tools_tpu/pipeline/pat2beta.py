@@ -2,41 +2,75 @@
 
 Reference flow (ref: src/python/pat2beta.py:14-65): per-chromosome
 `tabix | stdin2beta` processes in a Pool, concatenated with numpy and
-saturated to uint8. Here the whole pat file is parsed into a PatFrags batch
-and piled up on device over the full CpG axis in one shot (the per-chromosome
-Pool becomes tile-parallelism inside the kernel / shards of a device mesh).
+saturated to uint8. Here the pat file streams through bounded-memory chunks
+(formats/pat.py::iter_pat — BGZF slabs inflated by the multithreaded native
+decompressor) and each chunk piles up on device; with more than one visible
+device the count table lives sharded over the `sites` axis of a mesh and
+boundary reads ride a halo ppermute (parallel/sharded.py::ShardedPileup).
+Counts are integer adds, so every path is bit-identical to the reference
+pileup.
 """
 
 import os.path as op
 
+import jax
+import numpy as np
+
 from ..formats.beta import trim_to_uint
-from ..formats.pat import read_pat
-from ..ops.pileup import pileup_frags
+from ..formats.pat import iter_pat
+from ..ops.pileup import PileupAccumulator
 from ..utils import splitextgz
 from ..utils.log import logger
 
+# one streamed slab of decompressed pat text (~32 MB ≈ 1M fragments); host
+# peak memory stays O(chunk), not O(file)
+DEF_CHUNK_BYTES = 32 << 20
+
+
+def _accumulate_pat(pat_path, nr_sites, backend="auto", sharded=None,
+                    chunk_bytes=DEF_CHUNK_BYTES):
+    """Stream a pat file into a (nr_sites, 2) count table. Returns
+    (counts, nr_frags)."""
+    window = (1, nr_sites + 1)
+    if sharded is None:
+        sharded = len(jax.devices()) > 1
+    if sharded and len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedPileup
+
+        acc = ShardedPileup(make_mesh(), window)
+    else:
+        acc = PileupAccumulator(window, backend=backend)
+    nf = 0
+    for chunk in iter_pat(pat_path, chunk_bytes=chunk_bytes):
+        acc.add(chunk)
+        nf += chunk.nr_frags
+    return acc.result(), nf
+
 
 def pat2beta(pat_path, out_dir=".", genome=None, lbeta=False, backend="auto",
-             force=True, out_path=None):
+             force=True, out_path=None, sharded=None,
+             chunk_bytes=DEF_CHUNK_BYTES):
     """Convert a pat[.gz] file to a beta/lbeta file. Returns the output path."""
     from ..genome.refdir import Genome
 
     g = genome if genome is not None else Genome(None)
     nr_sites = g.get_nr_sites() if hasattr(g, "get_nr_sites") else g.nr_sites
 
-    frags = read_pat(pat_path)
-    counts = pileup_frags(frags, (1, nr_sites + 1), backend=backend)
+    counts, nf = _accumulate_pat(pat_path, nr_sites, backend=backend,
+                                 sharded=sharded, chunk_bytes=chunk_bytes)
 
     suff = ".lbeta" if lbeta else ".beta"
     if out_path is None:
         out_path = op.join(out_dir, splitextgz(op.basename(pat_path))[0] + suff)
-    trim_to_uint(counts, lbeta).tofile(out_path)
+    trim_to_uint(np.asarray(counts), lbeta).tofile(out_path)
     logger.info("pat2beta: %s -> %s (%d frags, %d sites)", pat_path, out_path,
-                frags.nr_frags, nr_sites)
+                nf, nr_sites)
     return out_path
 
 
-def pat2beta_counts(pat_path, nr_sites, backend="auto"):
+def pat2beta_counts(pat_path, nr_sites, backend="auto", sharded=None):
     """Raw (nr_sites, 2) int counts (pre-saturation) for a pat file."""
-    frags = read_pat(pat_path)
-    return pileup_frags(frags, (1, nr_sites + 1), backend=backend)
+    counts, _ = _accumulate_pat(pat_path, nr_sites, backend=backend,
+                                sharded=sharded)
+    return counts
