@@ -11,7 +11,8 @@ from wgbs_tools_tpu.pipeline.bam import BamRecord, write_bam
 
 
 class SimRead:
-    def __init__(self, qname, flag, chrom, pos0, seq, cigar_str, mapq=60):
+    def __init__(self, qname, flag, chrom, pos0, seq, cigar_str, mapq=60,
+                 qual=None):
         self.qname = qname
         self.flag = flag
         self.chrom = chrom
@@ -19,6 +20,7 @@ class SimRead:
         self.seq = seq  # bytes
         self.cigar_str = cigar_str
         self.mapq = mapq
+        self.qual = qual  # phred string (ascii+33) or None -> 'F' * len
 
     def cigar_list(self):
         out = []
@@ -44,7 +46,7 @@ class SimRead:
                 "0",
                 "0",
                 self.seq.decode(),
-                "F" * len(self.seq),
+                self.qual if self.qual is not None else "F" * len(self.seq),
             ]
         )
 
@@ -156,9 +158,11 @@ def dump_bam(reads, seqs, path):
     records = []
     for i in order:
         rd = reads[i]
+        qual = b"" if rd.qual is None else bytes(
+            q - 33 for q in rd.qual.encode())
         records.append(
             BamRecord(rd.qname, rd.flag, ref_names.index(rd.chrom), rd.pos0,
-                      rd.mapq, rd.cigar_list(), rd.seq, b"", b"")
+                      rd.mapq, rd.cigar_list(), rd.seq, qual, b"")
         )
     write_bam(path, ref_names, ref_lengths, records)
     return path

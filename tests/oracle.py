@@ -33,6 +33,14 @@ _SOURCES = {
     ],
     "mask_pat": ["src/pat2beta/mask_pat.cpp", "src/pipeline_wgbs/patter_utils.cpp"],
     "stdin2pairs": ["src/pat2beta/stdin2pairs.cpp"],
+    "snp_patter": [
+        "src/pipeline_wgbs/snp_patter.cpp",
+        "src/pipeline_wgbs/patter_utils.cpp",
+    ],
+    "add_cpg_counts": [
+        "src/pipeline_wgbs/add_cpg_counts.cpp",
+        "src/pipeline_wgbs/patter_utils.cpp",
+    ],
 }
 
 _INCLUDE_DIRS = ["src/pipeline_wgbs", "src/cview", "src/homog", "src/segment_betas"]

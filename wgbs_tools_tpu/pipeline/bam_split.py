@@ -84,8 +84,11 @@ def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
         def _call(rec):
             try:
                 seq = clean_cigar(rec.seq, rec.cigar)
+                # add_cpg_counts-flavored calling (no read-side CpG context
+                # check, per-read chromosome-end guard — see call_read)
                 return call_read(seq, rec.pos + 1, rec.flag, paired, loci,
-                                 site_base, clip=clip)
+                                 site_base, clip=clip, check_cpg=False,
+                                 acc_end_guard=True)
             except Exception:
                 return None
 

@@ -118,16 +118,25 @@ def passes_bisulfite_conversion(seq_adj: bytes, ref_slice: bytes, bottom,
 
 def call_read(seq: bytes, start_locus: int, flag: int, paired: bool,
               loci: np.ndarray, site_base: int, clip: int = 0,
-              mbias=None):
+              mbias=None, check_cpg=True, acc_end_guard=False):
     """Call one CIGAR-normalized read.
 
     loci: sorted 1-based C positions of the chromosome's CpG sites;
     site_base: global 1-based site index of loci[0].
     Returns (start_site, pattern bytes) or None if the read covers no
     known-call CpG.
+
+    check_cpg=False / acc_end_guard=True reproduce the add_cpg_counts
+    binary's divergences from patter: it never verifies the read-side CpG
+    context (no is_cpg(seq, j, ro) — add_cpg_counts.cpp:162-205 vs
+    patter.cpp:149-151) and it drops a read wholesale when its start locus
+    reaches the chromosome's last CpG (`start_locus + 1 > bsize - 1`,
+    add_cpg_counts.cpp:183 — patter guards per position instead).
     """
     n = len(seq)
     if n == 0:
+        return None
+    if acc_end_guard and loci.shape[0] and start_locus >= int(loci[-1]) - 1:
         return None
     bottom = is_bottom(flag, paired)
     shift = 1 if bottom else 0
@@ -145,7 +154,9 @@ def call_read(seq: bytes, start_locus: int, flag: int, paired: bool,
     jn = np.clip(j, 0, n - 1)
     s = arr[jn]
 
-    if bottom:
+    if not check_cpg:
+        iscpg = (j >= 0) & (j < n)
+    elif bottom:
         prev = arr[np.clip(j - 1, 0, n - 1)]
         iscpg = (j > 0) & ((s == B_G) | (s == B_A)) & (prev == B_C)
     else:
