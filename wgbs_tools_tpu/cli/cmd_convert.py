@@ -64,7 +64,7 @@ def main(argv):
     p = argparse.ArgumentParser(
         prog="convert",
         description="Convert genomic region to CpG index range and vice versa")
-    add_gr_args(p, bed_file=True)
+    add_gr_args(p, bed_file=True, no_anno=True)
     p.add_argument("--site_file",
                    help="file with lines 'startCpG[\\tendCpG]' to annotate "
                         "with loci")
@@ -81,8 +81,15 @@ def main(argv):
     if args.bed_file:
         rows = load_bed_rows(args.bed_file)
         res = bed_to_cpg_columns(rows, g.index)
+        # annotation columns (type, gene) unless --no_anno/--parsable
+        # (ref: convert.py:60,126-128,257-273)
+        annos = None
+        if not (args.no_anno or args.parsable):
+            from ..genome.annotations import annotate_rows
+
+            annos = annotate_rows([(c, s, e) for c, s, e, _ in rows], g)
         out = open(args.out_path, "w") if args.out_path else sys.stdout
-        for chrom, start, end, s_cpg, e_cpg, extra in res:
+        for i, (chrom, start, end, s_cpg, e_cpg, extra) in enumerate(res):
             if s_cpg is None and args.drop_empty:
                 continue
             s_str = "NA" if s_cpg is None else str(s_cpg)
@@ -90,6 +97,8 @@ def main(argv):
             line = f"{chrom}\t{start}\t{end}\t{s_str}\t{e_str}"
             if extra:
                 line += "\t" + extra
+            if annos is not None:
+                line += f"\t{annos[i][0]}\t{annos[i][1]}"
             out.write(line + "\n")
         if args.out_path:
             out.close()
@@ -124,9 +133,12 @@ def main(argv):
     if not (args.region or args.sites or args.array_id):
         raise IllegalArgumentError("specify -r, -s, --array_id, -L or --site_file")
     gr = GenomicRegion(region=args.region, sites=args.sites,
-                       array_id=args.array_id, genome=g)
+                       array_id=args.array_id, genome=g,
+                       no_anno=args.no_anno or args.parsable)
     if args.parsable:
-        print(gr.region_str if args.sites else "{}-{}".format(*gr.sites))
+        # sites / array_id inputs translate to a region; regions to sites
+        print(gr.region_str if (args.sites or args.array_id)
+              else "{}-{}".format(*gr.sites))
     else:
         print(gr)
     return 0

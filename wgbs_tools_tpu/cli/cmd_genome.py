@@ -21,6 +21,19 @@ def main_init_genome(argv):
     p.add_argument("-d", "--debug", action="store_true")
     p.add_argument("-@", "--threads", type=int, default=None,
                    help="(compat; the CpG scan is one vectorized pass)")
+    # auxiliary reference files ingested into the refdir under their
+    # standard names (the reference links these from its supplemental/ dir
+    # for hg19/hg38 — ref: init_genome.py:189-210; with no egress, accept
+    # user-supplied files for any genome)
+    p.add_argument("--annotations",
+                   help="annotation bed (chr start end type gene) -> "
+                        "annotations.bed.gz")
+    p.add_argument("--ilmn2cpg",
+                   help="Illumina array map tsv (cgID<TAB>CpG index) -> "
+                        "ilmn2CpG.tsv.gz")
+    p.add_argument("--blacklist", help="blacklist bed -> blacklist.bed")
+    p.add_argument("--whitelist", help="whitelist bed -> whitelist.bed")
+    p.add_argument("--blocks", help="default blocks bed -> blocks.bed.gz")
     args = p.parse_args(argv)
     if args.debug:
         from ..utils.log import set_verbose
@@ -32,6 +45,11 @@ def main_init_genome(argv):
         force=args.force,
         set_default=not args.no_default,
         sort_chroms=not args.no_sort,
+        annotations=args.annotations,
+        ilmn2cpg=args.ilmn2cpg,
+        blacklist=args.blacklist,
+        whitelist=args.whitelist,
+        blocks=args.blocks,
     )
     return 0
 

@@ -233,7 +233,7 @@ def main(argv):
     p = argparse.ArgumentParser(prog="vis",
                                 description="Visualize pat/beta in terminal")
     p.add_argument("input_files", nargs="+")
-    add_gr_args(p, bed_file=True)
+    add_gr_args(p, bed_file=True, no_anno=True)
     add_view_args(p)
     p.add_argument("--max_reps", type=int, default=10)
     p.add_argument("--no_dense", action="store_true")
@@ -261,7 +261,8 @@ def main(argv):
     args = p.parse_args(argv)
     validate_file_list(args.input_files)
     g = Genome(args.genome)
-    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g,
+                       no_anno=args.no_anno)
     if gr.is_whole():
         raise IllegalArgumentError("vis requires a region (-r or -s)")
     if args.title:
@@ -415,7 +416,7 @@ def main_pat_fig(argv):
     col_wrap per row, strikethrough runs + C/T circles)."""
     p = argparse.ArgumentParser(prog="pat_fig")
     p.add_argument("pats", nargs="+")
-    add_gr_args(p)
+    add_gr_args(p, no_anno=True)
     add_view_args(p, out_path=False)
     p.add_argument("--max_name_chars", "-K", type=int, default=50,
                    help="trim file names at K characters")
@@ -449,7 +450,8 @@ def main_pat_fig(argv):
                                        "positive")
 
     g = Genome(args.genome)
-    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    gr = GenomicRegion(region=args.region, sites=args.sites, genome=g,
+                       no_anno=args.no_anno)
     if gr.is_whole():
         raise IllegalArgumentError("pat_fig requires a region (-r or -s)")
 

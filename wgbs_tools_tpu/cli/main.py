@@ -98,7 +98,7 @@ def main(argv=None):
         return 0
 
 
-def add_gr_args(parser, bed_file=False):
+def add_gr_args(parser, bed_file=False, no_anno=False):
     """Shared region flags (ref: utils_wgbs.py:233-247)."""
     g = parser.add_mutually_exclusive_group()
     g.add_argument("-s", "--sites", help='CpG index range, e.g. "450000-450050"')
@@ -106,6 +106,9 @@ def add_gr_args(parser, bed_file=False):
     g.add_argument("--array_id", help="Illumina array id, e.g. cg00001755")
     if bed_file:
         g.add_argument("-L", "--bed_file", help="bed file with CpG columns 4-5")
+    if no_anno:
+        parser.add_argument("--no_anno", action="store_true",
+                            help="do not print genome annotations")
     parser.add_argument("--genome", default=None, help="genome reference name")
     return parser
 

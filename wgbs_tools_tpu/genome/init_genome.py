@@ -33,6 +33,11 @@ def init_genome(
     set_default=True,
     sort_chroms=True,
     write_compat_files=True,
+    annotations=None,
+    ilmn2cpg=None,
+    blacklist=None,
+    whitelist=None,
+    blocks=None,
 ):
     if fasta_path is None or not op.isfile(fasta_path):
         raise IllegalArgumentError(f"Invalid reference FASTA: {fasta_path}")
@@ -65,6 +70,21 @@ def init_genome(
     if write_compat_files:
         write_reference_compat_files(index, out_dir)
 
+    # auxiliary reference files (user-supplied — ref: init_genome.py:189-210
+    # links these from supplemental/ for hg19/hg38; no egress here)
+    for src, dst, gz in [
+        (annotations, "annotations.bed.gz", True),
+        (ilmn2cpg, "ilmn2CpG.tsv.gz", True),
+        (blacklist, "blacklist.bed", False),
+        (whitelist, "whitelist.bed", False),
+        (blocks, "blocks.bed.gz", True),
+    ]:
+        if src is None:
+            continue
+        if not op.isfile(src):
+            raise IllegalArgumentError(f"Invalid file: {src}")
+        _ingest_aux_file(src, op.join(out_dir, dst), gz)
+
     # keep a genome.fa link for tools that need raw sequence (bam2pat blueprint
     # mode, snp split)
     dst = op.join(out_dir, "genome.fa" + (".gz" if fasta_path.endswith(".gz") else ""))
@@ -74,6 +94,26 @@ def init_genome(
     if set_default:
         set_default_ref(name)
     return out_dir
+
+
+def _ingest_aux_file(src, dst, want_gz):
+    """Copy an auxiliary reference file into the refdir under its standard
+    name, gzip-compressing (BGZF) when the standard name is .gz and the
+    source is plain text."""
+    import gzip as _gzip
+
+    src_gz = False
+    with open(src, "rb") as f:
+        src_gz = f.read(2) == b"\x1f\x8b"
+    if want_gz and not src_gz:
+        with open(src, "rb") as f, BgzfWriter(dst) as w:
+            shutil.copyfileobj(f, w)
+    elif not want_gz and src_gz:
+        with _gzip.open(src, "rb") as f, open(dst, "wb") as w:
+            shutil.copyfileobj(f, w)
+    else:
+        shutil.copyfile(src, dst)
+    logger.info("init: ingested %s -> %s", src, dst)
 
 
 def write_reference_compat_files(index, out_dir):
