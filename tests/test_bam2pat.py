@@ -151,3 +151,22 @@ def test_bam_roundtrip(mini_genome, tmp_path):
         assert rec.seq == orig.seq
         assert rec.pos == orig.pos0
         assert rec.flag == orig.flag
+
+
+def test_device_calling_bit_identical(mini_genome, tmp_path, monkeypatch):
+    """The jitted device calling/merge kernels (ops/calling_tpu.py) produce
+    byte-identical pat output to the numpy path (forced on the CPU backend;
+    integer selects/gathers only, so TPU results match too)."""
+    rng = np.random.default_rng(17)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    for paired, n_reads in [(False, 400), (True, 400)]:
+        reads, _ = simulate_reads(seqs, rng, n_reads=n_reads, paired=paired)
+        reads = add_cigar_variants(reads, seqs, rng) or reads
+        bam = dump_bam(reads, seqs,
+                       str(tmp_path / f"dev{int(paired)}.bam"))
+        monkeypatch.setenv("WGBS_TPU_DEVICE_CALLING", "0")
+        f_np, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
+        monkeypatch.setenv("WGBS_TPU_DEVICE_CALLING", "1")
+        f_dev, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
+        assert frags_to_bytes(f_dev) == frags_to_bytes(f_np)
+        assert f_dev.nr_frags > 100

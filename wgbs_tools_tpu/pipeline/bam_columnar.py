@@ -8,6 +8,8 @@ existing batch kernels. Reads with non-trivial CIGARs fall back to the
 per-read normalizer; the whole path is skipped for nanopore / m-bias runs.
 """
 
+import os
+
 import numpy as np
 
 from ..utils.log import logger
@@ -19,6 +21,23 @@ from .calling import (
     merge_pe_batch,
     merge_pe_mat,
 )
+
+
+def use_device_calling():
+    """True when the methylation-calling compare/merge kernels should run
+    on the accelerator (ops/calling_tpu.py, WGBS_TPU_DEVICE_CALLING=1).
+
+    Off by default after measurement: calling is a byte-compare/compact
+    problem whose XLA lowering is gather-bound — measured ~0.1 G gathered
+    elements/s on the v5e chip regardless of batch size (0.2-0.4 M reads/s)
+    vs 0.74 M reads/s/core for the vectorized host path, which also
+    overlaps with BAM decode on the worker threads. The kernels stay
+    bit-identical and tested so the default can flip on hardware/toolchains
+    where XLA gathers are fast (see BENCHMARKS.md 'Device-side calling')."""
+    env = os.environ.get("WGBS_TPU_DEVICE_CALLING")
+    if env is not None:
+        return env not in ("0", "")
+    return False
 
 
 def scan_bam_columnar(path):
@@ -122,9 +141,17 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
 
     flags = sub_cols[:, 2].astype(np.int64)
     pos1 = sub_cols[:, 1].astype(np.int64) + 1
-    starts, patmat, span = call_reads_mat(pos1, flags, paired, loci,
-                                          site_base, chars, lens, clip=clip,
-                                          mbias=mbias)
+    device = mbias is None and use_device_calling()
+    if device:
+        from ..ops.calling_tpu import call_reads_device
+
+        starts, patmat, span = call_reads_device(pos1, flags, paired, loci,
+                                                 site_base, chars, lens,
+                                                 clip=clip)
+    else:
+        starts, patmat, span = call_reads_mat(pos1, flags, paired, loci,
+                                              site_base, chars, lens,
+                                              clip=clip, mbias=mbias)
     has = starts >= 0
     stats.nr_empty += int((~has & ~bad).sum())
 
@@ -169,7 +196,11 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
         hasA, hasB = has[a_rows], has[b_rows]
         both = hasA & hasB
         am, bm = a_rows[both], b_rows[both]
-        m_starts, m_pat, m_span, too_long = merge_pe_mat(
+        if device:
+            from ..ops.calling_tpu import merge_pe_device as _merge
+        else:
+            _merge = merge_pe_mat
+        m_starts, m_pat, m_span, too_long = _merge(
             starts[am], patmat[am], span[am],
             starts[bm], patmat[bm], span[bm])
         stats.nr_invalid += 2 * int(too_long.sum())
