@@ -203,3 +203,25 @@ def test_reduce_blocks_sharded_matches_single(rng):
                                      s.shape[0]))
     got = _reduce_nice_sharded(data, seg, s.shape[0])
     assert (got == expect).all()
+
+
+def test_sharded_pileup_finalize_exact(rng):
+    """ShardedPileup.finalize == trim_to_uint of the counts (saturation on
+    the mesh, overflow rows patched exactly on host)."""
+    from wgbs_tools_tpu.formats.beta import trim_to_uint
+    from wgbs_tools_tpu.parallel.sharded import ShardedPileup
+
+    n_sites = 4096
+    # dense coverage so some sites exceed uint8 coverage
+    frags = random_frags(rng, 8000, n_sites - 50, max_len=18,
+                         max_count=40).sort().collapse()
+    mesh = make_mesh(8, samples_axis=1)
+    acc = ShardedPileup(mesh, (1, n_sites + 1), halo=32, fp_mult=64)
+    acc.add(frags)
+    counts = acc.result()
+    assert (counts[:, 1] > 255).any()  # the overflow path is exercised
+    for lbeta in (False, True):
+        ref = trim_to_uint(counts.astype(np.int64), lbeta)
+        got = acc.finalize(lbeta)
+        assert got.dtype == ref.dtype
+        assert np.array_equal(ref, got)

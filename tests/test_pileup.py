@@ -76,3 +76,64 @@ def test_pileup_batched_accumulation(rng):
         frags.start, frags.length, frags.count, frags.codes, 1, 4000, batch=333
     )
     assert (full == batched).all()
+
+
+def test_device_total_accumulator_matches_host(rng):
+    """Device-resident running total == host int64 total, and finalize()
+    == trim_to_uint of the counts (incl. dtype)."""
+    from wgbs_tools_tpu.formats.beta import trim_to_uint
+    from wgbs_tools_tpu.ops.pileup import PileupAccumulator
+
+    frags = random_frags(rng, 30_000, 100_000, max_len=20, max_count=9)
+    win = (1, 100_021)
+    a_host = PileupAccumulator(win, device_total=False)
+    a_dev = PileupAccumulator(win, device_total=True)
+    for lo in range(0, frags.nr_frags, 7_000):
+        sl = frags.take(slice(lo, min(lo + 7_000, frags.nr_frags)))
+        a_host.add(sl)
+        a_dev.add(sl)
+    assert np.array_equal(a_host.result(), a_dev.result())
+    for lbeta in (False, True):
+        fh, fd = a_host.finalize(lbeta), a_dev.finalize(lbeta)
+        assert fh.dtype == fd.dtype
+        assert np.array_equal(fh, fd)
+        assert np.array_equal(fh, trim_to_uint(a_host.result(), lbeta))
+
+
+def test_saturate_device_counts_exact(rng):
+    """Device saturation is byte-identical to the reference float64 chain,
+    including coverage-overflow rows, exact-integer ratios, and the
+    compaction-cap fallback."""
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.formats.beta import trim_to_uint
+    from wgbs_tools_tpu.ops.pileup import saturate_device_counts
+
+    counts = np.zeros((2048, 2), np.int64)
+    counts[:, 1] = rng.integers(0, 5000, 2048)
+    counts[:, 0] = (counts[:, 1] * rng.random(2048)).astype(np.int64)
+    counts[0] = [300, 765]   # meth*255/cov exactly 100
+    counts[1] = [2, 510]     # exactly 1
+    counts[2] = [255, 256]
+    counts[3] = [0, 0]
+    counts[4] = [256, 256]
+    dev = jnp.asarray(counts, jnp.int32)
+    for lbeta, mult in ((False, 1), (True, 37)):
+        ref = trim_to_uint(counts * mult, lbeta)
+        got = saturate_device_counts(jnp.asarray(counts * mult, jnp.int32),
+                                     lbeta)
+        assert got.dtype == ref.dtype
+        assert np.array_equal(ref, got)
+    # cap smaller than the overflow count: exact host fallback
+    ref = trim_to_uint(counts, False)
+    assert np.array_equal(ref, saturate_device_counts(dev, False, cap=4))
+
+
+def test_fetch_chunked_edges():
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.ops.pileup import fetch_chunked
+
+    x = jnp.arange(1003 * 2, dtype=jnp.int32).reshape(1003, 2)
+    for mb in (8, 128, 4096, 1 << 20):
+        assert np.array_equal(fetch_chunked(x, max_bytes=mb), np.asarray(x))

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..formats.beta import trim_to_uint
 from ..formats.pat import CODE_C, CODE_DOT, CODE_H, PatFrags
 
 DEFAULT_BATCH = 1 << 20
@@ -57,11 +58,12 @@ def _pileup_batch_xla(start_rel, length, count, codes, window_len):
 
 
 def pileup_xla(start, length, count, codes, window_start, window_len,
-               batch=DEFAULT_BATCH):
+               batch=DEFAULT_BATCH, to_host=True):
     """Host-orchestrated pileup over fragment batches.
 
     start: int32[F] 1-based global CpG start indices.
-    Returns np.int32 (window_len, 2) [meth, cov].
+    Returns int32 (window_len, 2) [meth, cov] — numpy if `to_host`, else a
+    device array (for callers that keep a device-resident running total).
     """
     start = np.asarray(start)
     F = start.shape[0]
@@ -78,7 +80,7 @@ def pileup_xla(start, length, count, codes, window_start, window_len,
             jnp.asarray(np.asarray(codes)[sl]),
             window_len,
         )
-    return np.asarray(total)
+    return np.asarray(total) if to_host else total
 
 
 class PileupAccumulator:
@@ -94,13 +96,22 @@ class PileupAccumulator:
     """
 
     def __init__(self, window, backend="auto", batch=DEFAULT_BATCH,
-                 min_span=1 << 16):
+                 min_span=1 << 16, device_total=None):
         self.window = window
         self.n = window[1] - window[0]
         self.backend = backend
         self.batch = batch
         self.min_span = min_span
-        self.total = np.zeros((self.n, 2), dtype=np.int64)
+        if device_total is None:
+            device_total = jax.default_backend() == "tpu"
+        self.device_total = device_total
+        if device_total:
+            # running total stays in HBM; add() folds each batch in place
+            # (donated buffer) and only finalize()/result() cross back to the
+            # host — per-batch d2h round-trips disappear entirely.
+            self.total = jnp.zeros((self.n, 2), dtype=jnp.int32)
+        else:
+            self.total = np.zeros((self.n, 2), dtype=np.int64)
 
     def add(self, frags: PatFrags):
         s, e = self.window
@@ -117,19 +128,118 @@ class PileupAccumulator:
         n_pad = min(n_pad, self.n)
         lo = min(lo, e - n_pad)
         res = pileup_frags(sel, (lo, lo + n_pad), backend=self.backend,
-                           batch=self.batch)
-        self.total[lo - s : lo - s + n_pad] += res
+                           batch=self.batch, to_host=not self.device_total)
+        if self.device_total:
+            self.total = _fold_at(self.total, jnp.asarray(res),
+                                  np.int32(lo - s))
+        else:
+            self.total[lo - s : lo - s + n_pad] += res
 
     def result(self):
+        """Raw int count table (host numpy)."""
+        if self.device_total:
+            return fetch_chunked(self.total).astype(np.int64)
         return self.total
 
+    def finalize(self, lbeta=False):
+        """Saturated uint8/uint16 (n, 2) beta array, exact reference
+        semantics (ref: utils_wgbs.py:277-290).
 
-def pileup_frags(frags: PatFrags, window, backend="auto", **kw):
+        On a device total, the saturation runs on the chip and only the
+        (4x smaller) uint8 table plus the rare coverage-overflow rows cross
+        back to the host — the overflow rows are re-saturated there with the
+        reference's float64 chain, so the result is byte-identical to
+        trim_to_uint of the full counts.
+        """
+        if not self.device_total:
+            return trim_to_uint(self.total, lbeta)
+        return saturate_device_counts(self.total, lbeta)
+
+
+@partial(jax.jit, donate_argnums=0)
+def _fold_at(total, res, off):
+    """total[off : off + res.shape[0]] += res, in place (donated)."""
+    cur = jax.lax.dynamic_slice(total, (off, 0), res.shape)
+    return jax.lax.dynamic_update_slice(total, cur + res, (off, 0))
+
+
+@partial(jax.jit, static_argnames=("max_val", "cap", "out_dtype"))
+def _saturate_compact(total, max_val, cap, out_dtype):
+    """Device saturation + compaction of coverage-overflow rows.
+
+    Rows with cov <= max_val are exact as-is; rows with cov > max_val are
+    zeroed in the output and their (site, meth, cov) triples compacted into
+    a fixed-cap buffer for exact host-side re-saturation.
+    """
+    meth = total[:, 0]
+    cov = total[:, 1]
+    big = cov > max_val
+    out = jnp.stack(
+        [jnp.where(big, 0, meth), jnp.minimum(cov, max_val)], axis=1
+    ).astype(out_dtype)
+    nbig = jnp.sum(big, dtype=jnp.int32)
+    pos = jnp.cumsum(big, dtype=jnp.int32) - 1
+    tgt = jnp.where(big, pos, cap)  # non-big rows land on the spare row
+    sites = jnp.arange(total.shape[0], dtype=jnp.int32)
+    buf = jnp.zeros((cap + 1, 3), jnp.int32)
+    buf = buf.at[tgt, 0].set(sites, mode="drop")
+    buf = buf.at[tgt, 1].set(meth, mode="drop")
+    buf = buf.at[tgt, 2].set(cov, mode="drop")
+    return out, nbig, buf[:cap]
+
+
+def saturate_device_counts(total, lbeta=False, cap=1 << 20,
+                           fetch_bytes=8 << 20):
+    """Device int32 (n, 2) counts -> host saturated uint8/uint16 beta,
+    byte-identical to trim_to_uint(counts) with bounded d2h traffic."""
+    max_val = 65535 if lbeta else 255
+    dt = jnp.uint16 if lbeta else jnp.uint8
+    out, nbig, buf = _saturate_compact(total, max_val, cap, dt)
+    nbig = int(nbig)
+    if nbig > cap:
+        # more overflow rows than the compaction buffer: fall back to an
+        # exact host pass over the full counts (pathological input)
+        return trim_to_uint(fetch_chunked(total).astype(np.int64), lbeta)
+    beta = fetch_chunked(out, max_bytes=fetch_bytes)
+    if nbig:
+        k = 1
+        while k < nbig:
+            k <<= 1
+        rows = np.asarray(buf[:k])[:nbig]
+        beta[rows[:, 0]] = trim_to_uint(rows[:, 1:3].astype(np.int64), lbeta)
+    return beta
+
+
+def fetch_chunked(x, max_bytes=8 << 20):
+    """Device -> host fetch in bounded row slabs.
+
+    Keeps each transfer small (large single fetches are pathological over
+    tunneled transports and spike host memory twice on any transport) and
+    reuses one compiled slice shape for all full slabs.
+    """
+    x_np = np.empty(x.shape, np.dtype(x.dtype.name))
+    row_bytes = max(int(x_np.itemsize * np.prod(x.shape[1:], initial=1)), 1)
+    step = max(int(max_bytes) // row_bytes, 1)
+    n = x.shape[0]
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        if hi - lo == step:
+            sl = jax.lax.dynamic_slice_in_dim(x, lo, step, axis=0)
+        else:
+            sl = x[lo:hi]
+        x_np[lo:hi] = np.asarray(sl)
+    return x_np
+
+
+def pileup_frags(frags: PatFrags, window, backend="auto",
+                 batch=DEFAULT_BATCH, **kw):
     """Pileup a PatFrags batch over a 1-based [s, e) site window.
 
     backend: "pallas2" = sub-block grouped TPU kernel (fastest steady-state),
     "pallas" = tile/halo TPU kernel, "xla" = scatter path; "auto" picks
-    pallas2 on TPU, xla elsewhere.
+    pallas2 on TPU, xla elsewhere. to_host=False returns a device array.
+    `batch` bounds the xla path's per-launch fragment count (the Pallas
+    kernels chunk internally).
     """
     s, e = window
     n = e - s
@@ -148,4 +258,8 @@ def pileup_frags(frags: PatFrags, window, backend="auto", **kw):
         return pileup_pallas(
             sel.start, sel.length, sel.count, sel.packed(), s, n, **kw
         )
-    return pileup_xla(sel.start, sel.length, sel.count, sel.codes, s, n, **kw)
+    return pileup_xla(sel.start, sel.length, sel.count, sel.codes, s, n,
+                      batch=batch, **kw)
+
+
+

@@ -163,7 +163,7 @@ def _pileup_pallas_call(lo, hi, meta, words, window_len, max_len, tile, fc,
 
 def pileup_pallas(start, length, count, packed_or_codes, window_start,
                   window_len, tile=TILE, fc=FRAG_CHUNK, interpret=None,
-                  packed=True):
+                  packed=True, to_host=True):
     """Pileup over 1-based [window_start, window_start + window_len).
 
     start/length/count: int32[F] (sorted by start); packed_or_codes: the
@@ -229,6 +229,8 @@ def pileup_pallas(start, length, count, packed_or_codes, window_start,
         max_chunks,
         interpret,
     )
+    if not to_host:
+        return jnp.stack([meth, cov], axis=1)
     return np.stack([np.asarray(meth), np.asarray(cov)], axis=1)
 
 

@@ -290,7 +290,7 @@ def stage_v2(start, length, count, codes, window_start, window_len,
 
 
 def pileup_pallas_v2(start, length, count, codes, window_start, window_len,
-                     interpret=None, packed=False):
+                     interpret=None, packed=False, to_host=True):
     """Pileup over 1-based [window_start, window_start + window_len)."""
     from ..formats.pat import unpack_codes
 
@@ -307,4 +307,6 @@ def pileup_pallas_v2(start, length, count, codes, window_start, window_len,
         jnp.asarray(words),
         window_len, tile, FRAG_CHUNK, G_MAX, max_chunks, interpret,
     )
+    if not to_host:
+        return jnp.stack([meth, cov], axis=1)
     return np.stack([np.asarray(meth), np.asarray(cov)], axis=1)

@@ -318,7 +318,17 @@ class ShardedPileup:
                                 jnp.asarray(cn), jnp.asarray(cd))
 
     def result(self):
-        return np.asarray(self.total)[: self.n]
+        from ..ops.pileup import fetch_chunked
+
+        return fetch_chunked(self.total)[: self.n]
+
+    def finalize(self, lbeta=False):
+        """Saturated uint8/uint16 (n, 2) beta array (exact reference
+        semantics); saturation runs sharded on the mesh, only the narrow
+        output plus rare coverage-overflow rows cross to the host."""
+        from ..ops.pileup import saturate_device_counts
+
+        return saturate_device_counts(self.total, lbeta)[: self.n]
 
 
 def bucket_fragments(start, length, count, codes, n_sites, n_shards,

@@ -14,9 +14,7 @@ pileup.
 import os.path as op
 
 import jax
-import numpy as np
 
-from ..formats.beta import trim_to_uint
 from ..formats.pat import iter_pat
 from ..ops.pileup import PileupAccumulator
 from ..utils import splitextgz
@@ -29,8 +27,8 @@ DEF_CHUNK_BYTES = 32 << 20
 
 def _accumulate_pat(pat_path, nr_sites, backend="auto", sharded=None,
                     chunk_bytes=DEF_CHUNK_BYTES):
-    """Stream a pat file into a (nr_sites, 2) count table. Returns
-    (counts, nr_frags)."""
+    """Stream a pat file into a pileup accumulator. Returns
+    (accumulator, nr_frags)."""
     window = (1, nr_sites + 1)
     if sharded is None:
         sharded = len(jax.devices()) > 1
@@ -45,7 +43,7 @@ def _accumulate_pat(pat_path, nr_sites, backend="auto", sharded=None,
     for chunk in iter_pat(pat_path, chunk_bytes=chunk_bytes):
         acc.add(chunk)
         nf += chunk.nr_frags
-    return acc.result(), nf
+    return acc, nf
 
 
 def pat2beta(pat_path, out_dir=".", genome=None, lbeta=False, backend="auto",
@@ -57,13 +55,13 @@ def pat2beta(pat_path, out_dir=".", genome=None, lbeta=False, backend="auto",
     g = genome if genome is not None else Genome(None)
     nr_sites = g.get_nr_sites() if hasattr(g, "get_nr_sites") else g.nr_sites
 
-    counts, nf = _accumulate_pat(pat_path, nr_sites, backend=backend,
-                                 sharded=sharded, chunk_bytes=chunk_bytes)
+    acc, nf = _accumulate_pat(pat_path, nr_sites, backend=backend,
+                              sharded=sharded, chunk_bytes=chunk_bytes)
 
     suff = ".lbeta" if lbeta else ".beta"
     if out_path is None:
         out_path = op.join(out_dir, splitextgz(op.basename(pat_path))[0] + suff)
-    trim_to_uint(np.asarray(counts), lbeta).tofile(out_path)
+    acc.finalize(lbeta).tofile(out_path)
     logger.info("pat2beta: %s -> %s (%d frags, %d sites)", pat_path, out_path,
                 nf, nr_sites)
     return out_path
@@ -71,6 +69,6 @@ def pat2beta(pat_path, out_dir=".", genome=None, lbeta=False, backend="auto",
 
 def pat2beta_counts(pat_path, nr_sites, backend="auto", sharded=None):
     """Raw (nr_sites, 2) int counts (pre-saturation) for a pat file."""
-    counts, _ = _accumulate_pat(pat_path, nr_sites, backend=backend,
-                                sharded=sharded)
-    return counts
+    acc, _ = _accumulate_pat(pat_path, nr_sites, backend=backend,
+                             sharded=sharded)
+    return acc.result()
