@@ -57,11 +57,12 @@ def test_v2_staging_invariants(rng):
     c0, c1, meta, words, mc = stage_v2(frags.start, frags.length, frags.count,
                                        frags.codes, 1, 20000)
     fc = meta.shape[2]
-    # padding row is reserved in every chunk
-    assert (meta[:, 1, fc - 1] == 0).all()
-    # dg within bounds; padded rows marked with G_MAX
     from wgbs_tools_tpu.ops.pileup_tpu2 import G_MAX
 
-    assert meta[:, 3, :].max() <= G_MAX
+    # padding row is reserved in every chunk (len 0, group G_MAX)
+    assert (meta[:, 1, fc - 1] == G_MAX << 16).all()
+    # dg within bounds; padded rows marked with G_MAX
+    assert (meta[:, 1, :] >> 16).max() <= G_MAX
+    assert (meta[:, 1, :] & 0xFFFF).max() <= 128
     # chunk ranges partition tiles monotonically
     assert (c1 >= c0).all()

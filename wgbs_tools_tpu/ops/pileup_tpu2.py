@@ -37,12 +37,25 @@ G_MAX = 8         # max distinct sub-blocks per chunk
 
 def planar_pack128(codes):
     """uint8 (F, 128) codes -> int32 (F, 8) planar words (see pileup_tpu)."""
+    return planar_pack_cols(codes, SB // 16)
+
+
+def planar_pack_cols(codes, w_cols):
+    """uint8 (F, L) codes -> int32 (F, w_cols) planar words.
+
+    Site s lands in word column s % w_cols at bit 2*(s // w_cols); the kernel
+    inverts this with 16 shift/mask steps. Columns beyond L unpack to code 0,
+    which the kernel's validity mask hides — so only the real code columns
+    are packed and shipped (words h2d drops 4x for typical <=32-site WGBS
+    fragments vs the fixed 128-site layout)."""
     F, L = codes.shape
-    assert L == SB
-    w16 = L // 16
-    word = np.zeros((F, w16), dtype=np.uint32)
-    for j in range(16):
-        word |= codes[:, j * w16 : (j + 1) * w16].astype(np.uint32) << (2 * j)
+    assert L <= 16 * w_cols
+    word = np.zeros((F, w_cols), dtype=np.uint32)
+    for j in range((L + w_cols - 1) // w_cols):
+        blk = codes[:, j * w_cols : (j + 1) * w_cols].astype(np.uint32)
+        if blk.shape[1] < w_cols:
+            blk = np.pad(blk, ((0, 0), (0, w_cols - blk.shape[1])))
+        word |= blk << (2 * j)
     return word.view(np.int32)
 
 
@@ -71,17 +84,20 @@ def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
     @pl.when(active)
     def _():
         rel = meta_blk[0, 0].reshape(fc, 1)      # start relative to window
-        lens = meta_blk[0, 1].reshape(fc, 1)
+        lw = meta_blk[0, 1]                      # length | (sub-block - base) << 16
+        lens = (lw & 0xFFFF).reshape(fc, 1)
         counts = meta_blk[0, 2].reshape(fc, 1)
-        dg = meta_blk[0, 3].reshape(fc)          # sub-block - chunk base
+        dg = (lw >> 16).reshape(fc)
         base_g = meta_blk[0, 0, fc - 1]          # stashed in the padding row
 
         words = words_blk[...]
         codes = jnp.concatenate(
             [(words >> (2 * j)) & 3 for j in range(16)], axis=1
-        )  # (fc, SB)
+        )  # (fc, 16 * w_cols)
         work = jnp.concatenate(
-            [codes, jnp.full((fc, SB), CODE_DOT, dtype=jnp.int32)], axis=1
+            [codes,
+             jnp.full((fc, W2 - codes.shape[1]), CODE_DOT, dtype=jnp.int32)],
+            axis=1,
         )  # (fc, W2)
         rr = jnp.remainder(rel, SB)
         for b in range(7):  # shifts < SB = 128
@@ -149,8 +165,8 @@ def _call(c0, c1, meta, words, window_len, tile, fc, g_max, max_chunks,
         num_scalar_prefetch=2,
         grid=(num_tiles, max_chunks),
         in_specs=[
-            pl.BlockSpec((1, 4, fc), meta_idx),
-            pl.BlockSpec((fc, SB // 16), words_idx),
+            pl.BlockSpec((1, 3, fc), meta_idx),
+            pl.BlockSpec((fc, words.shape[1]), words_idx),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -214,11 +230,9 @@ def stage_v2(start, length, count, codes, window_start, window_len,
              tile=SB * TILE_SB, fc=FRAG_CHUNK, g_max=G_MAX):
     """Host staging: split long frags, clip to the window, pack chunks
     bounded by (fc-1 rows, g_max sub-blocks, one tile), build meta/words and
-    per-tile chunk ranges."""
+    per-tile chunk ranges. Codes keep their natural width; the packed words
+    use the narrowest pow2 column count that covers it."""
     codes = np.asarray(codes)
-    if codes.shape[1] < SB:
-        codes = np.pad(codes, ((0, 0), (0, SB - codes.shape[1])),
-                       constant_values=CODE_DOT)
     start, length, count, codes = _split_long(start, length, count, codes)
     rel = (np.asarray(start) - window_start).astype(np.int64)
     keep = (rel + length > 0) & (rel < window_len)
@@ -226,9 +240,10 @@ def stage_v2(start, length, count, codes, window_start, window_len,
     neg = np.nonzero(rel < 0)[0]
     if neg.size:
         codes = codes.copy()
+        width = codes.shape[1]
         for idx in neg:
             sh = int(-rel[idx])
-            row = np.full(SB, CODE_DOT, dtype=np.uint8)
+            row = np.full(width, CODE_DOT, dtype=np.uint8)
             ln = max(int(length[idx]) - sh, 0)
             if ln > 0:
                 row[:ln] = codes[idx, sh : sh + ln]
@@ -252,29 +267,38 @@ def stage_v2(start, length, count, codes, window_start, window_len,
         nxt = max(min(lim1, lim2, lim3, F), cstart + 1)
         breaks.append(nxt)
         cstart = nxt
-    n_chunks = max(len(breaks) - 1, 1)
+    n_real = max(len(breaks) - 1, 1)
+    # Bucket the chunk count (keep 3 significant bits) so streamed batches of
+    # slightly different sizes reuse one compiled kernel shape instead of
+    # recompiling per batch; padded chunks sit past every tile's [c0, c1)
+    # range and are never visited.
+    gran = 1 << max(4, n_real.bit_length() - 3)
+    n_chunks = (n_real + gran - 1) // gran * gran
 
-    meta = np.zeros((n_chunks, 4, fc), dtype=np.int32)
-    meta[:, 3, :] = g_max  # padded rows select no one-hot group
-    words = np.zeros((n_chunks * fc, SB // 16), dtype=np.int32)
-    all_words = (planar_pack128(codes) if F else
-                 np.zeros((0, SB // 16), dtype=np.int32))
+    w_cols = 2
+    while 16 * w_cols < min(codes.shape[1], SB):
+        w_cols <<= 1
+    meta = np.zeros((n_chunks, 3, fc), dtype=np.int32)
+    meta[:, 1, :] = g_max << 16  # padded rows select no one-hot group
+    words = np.zeros((n_chunks * fc, w_cols), dtype=np.int32)
+    all_words = (planar_pack_cols(codes, w_cols) if F else
+                 np.zeros((0, w_cols), dtype=np.int32))
     bstarts = np.asarray(breaks[:-1], dtype=np.int64)
     bends = np.asarray(breaks[1:], dtype=np.int64)
     if F:
         lens_c = bends - bstarts
-        ci_arr = np.repeat(np.arange(n_chunks), lens_c)
+        ci_arr = np.repeat(np.arange(n_real), lens_c)
         pos_arr = np.arange(F) - np.repeat(bstarts, lens_c)
         base_g = g[bstarts]
         meta[ci_arr, 0, pos_arr] = rel
-        meta[ci_arr, 1, pos_arr] = length
+        meta[ci_arr, 1, pos_arr] = (
+            length | ((g - base_g[ci_arr]).astype(np.int32) << 16))
         meta[ci_arr, 2, pos_arr] = count
-        meta[ci_arr, 3, pos_arr] = g - base_g[ci_arr]
-        meta[:, 0, fc - 1] = base_g  # row fc-1 is guaranteed padding
+        meta[:n_real, 0, fc - 1] = base_g  # row fc-1 is guaranteed padding
         words[ci_arr * fc + pos_arr] = all_words
         chunk_tile = tile_of[bstarts]
     else:
-        chunk_tile = np.zeros(n_chunks, dtype=np.int64)
+        chunk_tile = np.zeros(n_real, dtype=np.int64)
 
     num_tiles = (window_len + tile - 1) // tile
     c0 = np.searchsorted(chunk_tile[: len(breaks) - 1] if F else chunk_tile,
@@ -285,6 +309,10 @@ def stage_v2(start, length, count, codes, window_start, window_len,
         c0 = np.zeros(num_tiles, dtype=np.int64)
         c1 = np.zeros(num_tiles, dtype=np.int64)
     max_chunks = max(int((c1 - c0).max(initial=1)), 1)
+    # pow2-bucket the grid's chunk axis too (inactive steps are guarded in
+    # the kernel); with the n_chunks bucketing above, streamed batches hit
+    # one compiled executable per (window, size-octave) instead of per batch
+    max_chunks = 1 << (max_chunks - 1).bit_length()
     return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
             max_chunks)
 

@@ -40,9 +40,20 @@ def _accumulate_pat(pat_path, nr_sites, backend="auto", sharded=None,
     else:
         acc = PileupAccumulator(window, backend=backend)
     nf = 0
-    for chunk in iter_pat(pat_path, chunk_bytes=chunk_bytes):
-        acc.add(chunk)
-        nf += chunk.nr_frags
+    # one-chunk lookahead: the next slab decompresses/parses (native code,
+    # GIL released) while the current one stages and piles up on device
+    from concurrent.futures import ThreadPoolExecutor
+
+    it = iter_pat(pat_path, chunk_bytes=chunk_bytes)
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(next, it, None)
+        while True:
+            chunk = fut.result()
+            if chunk is None:
+                break
+            fut = ex.submit(next, it, None)
+            acc.add(chunk)
+            nf += chunk.nr_frags
     return acc, nf
 
 
