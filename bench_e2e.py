@@ -144,6 +144,25 @@ def run_ours_overlapped(pat_path, beta_path):
     return time.perf_counter() - t0
 
 
+def run_ours_native(pat_path, beta_path):
+    """The host-kernel job (backend='native'): C++ pileup over the decoded
+    SoA arrays, no accelerator traffic. This is what `auto` picks on hosts
+    without a TPU; on TPU hosts the device path wins when the interconnect
+    is PCIe-class (here it runs over a thin tunnel — see BENCHMARKS.md)."""
+    from wgbs_tools_tpu.pipeline.pat2beta import pat2beta
+
+    class G:
+        nr_sites = N_SITES
+
+        def get_nr_sites(self):
+            return self.nr_sites
+
+    t0 = time.perf_counter()
+    pat2beta(pat_path, genome=G(), out_path=beta_path, sharded=False,
+             backend="native")
+    return time.perf_counter() - t0
+
+
 def run_reference(pat_path):
     """gunzip | stdin2beta on one core — the reference pat2beta job."""
     src = op.join(REFERENCE, "src/pat2beta/stdin2beta.cpp")
@@ -230,6 +249,13 @@ def main():
     log(f"production pat2beta (prefetch-overlapped): {t_overlap:.1f}s, "
         f"byte-identical={same}")
 
+    t_native = run_ours_native(pat_path, beta_path + ".3")
+    same_native = (open(beta_path, "rb").read()
+                   == open(beta_path + ".3", "rb").read())
+    log(f"host-kernel pat2beta (backend=native): {t_native:.1f}s, "
+        f"byte-identical={same_native}")
+    same = same and same_native
+
     seg_s = seg_chunks = None
     if RUN_SEG:
         seg_s, seg_chunks = run_segmentation(acc)
@@ -243,18 +269,19 @@ def main():
         "metric": "pat2beta_job_e2e",
         "n_frags": nf,
         "n_sites": N_SITES,
-        "ours_s": round(min(t["total"], t_overlap), 2),
+        "ours_s": round(min(t["total"], t_overlap, t_native), 2),
         "stages_s": {k: round(v, 2) for k, v in t.items()},
         "overlapped_s": round(t_overlap, 2),
+        "native_s": round(t_native, 2),
         "segment_fast_s": None if seg_s is None else round(seg_s, 2),
         "reference_s": None if ref_s is None else round(ref_s, 2),
         "vs_baseline": None if ref_s is None
-        else round(ref_s / min(t["total"], t_overlap), 2),
+        else round(ref_s / min(t["total"], t_overlap, t_native), 2),
         "byte_identical_paths": same,
     }
     print(json.dumps(out))
     if not KEEP:
-        for p in (pat_path, beta_path, beta_path + ".2"):
+        for p in (pat_path, beta_path, beta_path + ".2", beta_path + ".3"):
             if op.exists(p):
                 os.remove(p)
 

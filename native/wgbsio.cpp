@@ -7,6 +7,7 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC -o libwgbsio.so wgbsio.cpp -lz -lpthread
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
@@ -554,6 +555,71 @@ int64_t mm_fill(const uint8_t* buf, int64_t n, const int64_t* mm_off,
         }
     }
     return S;
+}
+
+// ---------------------------------------------------------------------------
+// pileup (host fallback of the device kernel)
+// ---------------------------------------------------------------------------
+
+// Accumulate pat fragments into a (n_sites, 2) int64 [meth, cov] table —
+// the same reduction as ops/pileup.py (ref: src/pat2beta/stdin2beta.cpp:59-93)
+// computed on the host. Used when the accelerator link is thin (the SoA
+// arrays are already decoded, so this runs at memory bandwidth) and as an
+// independent oracle for the device kernels.
+//
+// codes: row-major uint8 (F, max_len), T=0 C=1 H=2 .=3 (formats/pat.py).
+// start: 1-based global CpG indices, REQUIRED sorted ascending when
+// n_threads > 1 (threads partition the site axis and binary-search their
+// fragment range; the per-thread site guard makes overlap duplication safe).
+// out: caller-zeroed int64 (n_sites, 2); this function adds into it.
+static void pileup_range(const int32_t* start, const int32_t* length,
+                         const int32_t* count, const uint8_t* codes,
+                         int64_t f_lo, int64_t f_hi, int64_t max_len,
+                         int64_t window_start, int64_t site_lo,
+                         int64_t site_hi, int64_t* out) {
+    for (int64_t f = f_lo; f < f_hi; f++) {
+        int64_t rel = (int64_t)start[f] - window_start;
+        int64_t cnt = count[f];
+        const uint8_t* row = codes + f * max_len;
+        int64_t len = length[f];
+        if (len > max_len) len = max_len;
+        for (int64_t j = 0; j < len; j++) {
+            uint8_t c = row[j];
+            if (c == 3) continue;  // '.'
+            int64_t site = rel + j;
+            if (site < site_lo || site >= site_hi) continue;
+            out[2 * site + 1] += cnt;           // cov: C/T/H
+            if (c == 1 || c == 2) out[2 * site] += cnt;  // meth: C/H
+        }
+    }
+}
+
+void pat_pileup(const int32_t* start, const int32_t* length,
+                const int32_t* count, const uint8_t* codes, int64_t n_frags,
+                int64_t max_len, int64_t window_start, int64_t n_sites,
+                int64_t* out, int n_threads) {
+    if (n_frags <= 0 || n_sites <= 0) return;
+    if (n_threads < 2 || n_frags < (1 << 16)) {
+        pileup_range(start, length, count, codes, 0, n_frags, max_len,
+                     window_start, 0, n_sites, out);
+        return;
+    }
+    std::vector<std::thread> ts;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t site_lo = n_sites * t / n_threads;
+        int64_t site_hi = n_sites * (t + 1) / n_threads;
+        // fragments that can touch [site_lo, site_hi): start (1-based,
+        // window-relative rel = start - window_start) in
+        // [site_lo - max_len + 1, site_hi)
+        int32_t lo_key = (int32_t)(site_lo - max_len + 1 + window_start);
+        int32_t hi_key = (int32_t)(site_hi + window_start);
+        const int32_t* b = std::lower_bound(start, start + n_frags, lo_key);
+        const int32_t* e = std::lower_bound(start, start + n_frags, hi_key);
+        int64_t f_lo = b - start, f_hi = e - start;
+        ts.emplace_back(pileup_range, start, length, count, codes, f_lo,
+                        f_hi, max_len, window_start, site_lo, site_hi, out);
+    }
+    for (auto& th : ts) th.join();
 }
 
 }  // extern "C"

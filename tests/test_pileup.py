@@ -137,3 +137,49 @@ def test_fetch_chunked_edges():
     x = jnp.arange(1003 * 2, dtype=jnp.int32).reshape(1003, 2)
     for mb in (8, 128, 4096, 1 << 20):
         assert np.array_equal(fetch_chunked(x, max_bytes=mb), np.asarray(x))
+
+def test_pileup_native_matches_oracle(rng):
+    """C++ host pileup (native/wgbsio.cpp::pat_pileup) == reference
+    stdin2beta == xla path, threaded (sorted input) and single-thread."""
+    from wgbs_tools_tpu.native import pileup_native
+
+    frags = random_frags(rng, 4000, 9000, max_len=18, h_rate=0.07)
+    start, end = 1, 9001
+    if pileup_native(frags.start, frags.length, frags.count, frags.codes,
+                     start, end - start, threads=1) is None:
+        pytest.skip("native library unavailable")
+    expect = ref_pileup(frags, start, end)
+    for threads in (1, 2, 4):
+        got = pileup_native(frags.start, frags.length, frags.count,
+                            frags.codes, start, end - start, threads=threads)
+        assert np.array_equal(got, expect), threads
+    # subwindow clipping (fragments crossing both edges)
+    got = pileup_native(frags.start, frags.length, frags.count, frags.codes,
+                        3000, 2000, threads=3)
+    assert np.array_equal(got, numpy_pileup(frags, 3000, 5000))
+
+
+def test_native_accumulator_matches_host(rng):
+    """PileupAccumulator(backend='native') == the array-path accumulator,
+    streaming chunks, including unsorted chunk handling."""
+    from wgbs_tools_tpu.native import get_lib
+    from wgbs_tools_tpu.ops.pileup import PileupAccumulator
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    frags = random_frags(rng, 25_000, 80_000, max_len=16, max_count=5)
+    win = (1, 80_017)
+    a_ref = PileupAccumulator(win, backend="xla", device_total=False)
+    a_nat = PileupAccumulator(win, backend="native")
+    assert not a_nat.device_total
+    perm = np.random.default_rng(3).permutation(frags.nr_frags)
+    for lo in range(0, frags.nr_frags, 6_000):
+        sl = frags.take(slice(lo, min(lo + 6_000, frags.nr_frags)))
+        a_ref.add(sl)
+        a_nat.add(sl)
+    # one deliberately unsorted chunk (forces the single-thread guard)
+    shuf = frags.take(perm[:5_000])
+    a_ref.add(shuf)
+    a_nat.add(shuf)
+    assert np.array_equal(a_ref.result(), a_nat.result())
+    assert np.array_equal(a_ref.finalize(), a_nat.finalize())

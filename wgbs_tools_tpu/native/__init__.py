@@ -63,6 +63,11 @@ def get_lib():
         ctypes.c_void_p, i64, i64, ctypes.c_void_p, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_float, ctypes.c_void_p,
     ]
+    lib.pat_pileup.restype = None
+    lib.pat_pileup.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        i64, i64, i64, i64, ctypes.c_void_p, ctypes.c_int,
+    ]
     _LIB = lib
     return _LIB
 
@@ -292,3 +297,39 @@ def segment_exact_native(data, loci, max_cpg, max_bp, pseudo_count):
     if rc != 0:
         return None
     return T.astype(np.int64)
+
+
+def pileup_native(start, length, count, codes, window_start, n_sites,
+                  out=None, threads=None):
+    """Host pileup of pat fragments into an int64 (n_sites, 2) [meth, cov]
+    table via the C++ kernel (native/wgbsio.cpp::pat_pileup), or None on
+    fallback. Same reduction as ops/pileup.py (ref: stdin2beta.cpp:59-93).
+
+    `start` must be sorted ascending when threads > 1 (threads partition the
+    site axis and binary-search their fragment range). Adds into `out` when
+    given (must be zero-initialized by the first caller).
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    start = np.ascontiguousarray(start, dtype=np.int32)
+    length = np.ascontiguousarray(length, dtype=np.int32)
+    count = np.ascontiguousarray(count, dtype=np.int32)
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    f = start.shape[0]
+    max_len = codes.shape[1] if codes.ndim == 2 else 0
+    if out is None:
+        out = np.zeros((n_sites, 2), dtype=np.int64)
+    assert out.shape == (n_sites, 2) and out.dtype == np.int64 \
+        and out.flags.c_contiguous
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 8)
+    lib.pat_pileup(
+        start.ctypes.data_as(ctypes.c_void_p),
+        length.ctypes.data_as(ctypes.c_void_p),
+        count.ctypes.data_as(ctypes.c_void_p),
+        codes.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int64(f), ctypes.c_int64(max_len),
+        ctypes.c_int64(int(window_start)), ctypes.c_int64(int(n_sites)),
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int(int(threads)))
+    return out

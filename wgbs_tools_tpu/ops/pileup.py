@@ -97,14 +97,25 @@ class PileupAccumulator:
 
     def __init__(self, window, backend="auto", batch=DEFAULT_BATCH,
                  min_span=1 << 16, device_total=None):
+        import os
+
         self.window = window
         self.n = window[1] - window[0]
+        backend = os.environ.get("WGBS_TPU_PILEUP", backend) or "auto"
+        if backend == "auto" and device_total is not True \
+                and jax.default_backend() != "tpu":
+            # no accelerator: the C++ host kernel beats the XLA-CPU scatter
+            # and skips staging entirely (bit-identical — integer adds)
+            from ..native import get_lib
+
+            backend = "native" if get_lib() is not None else "xla"
         self.backend = backend
         self.batch = batch
         self.min_span = min_span
         if device_total is None:
-            device_total = jax.default_backend() == "tpu"
-        self.device_total = device_total
+            device_total = (jax.default_backend() == "tpu"
+                            and backend != "native")
+        self.device_total = device_total and backend != "native"
         if device_total:
             # running total stays in HBM; add() folds each batch in place
             # (donated buffer) and only finalize()/result() cross back to the
@@ -119,6 +130,18 @@ class PileupAccumulator:
             else frags
         if sel.nr_frags == 0:
             return
+        if self.backend == "native":
+            import os
+
+            from ..native import pileup_native
+
+            st = np.asarray(sel.start)
+            thr = (min(os.cpu_count() or 1, 8)
+                   if st.size < 2 or np.all(np.diff(st) >= 0) else 1)
+            if pileup_native(st, sel.length, sel.count, sel.codes, s,
+                             self.n, out=self.total, threads=thr) is not None:
+                return
+            self.backend = "xla"  # library unavailable: sticky fallback
         lo = max(int(sel.start.min()), s)
         hi = min(int((sel.start.astype(np.int64) + sel.length).max()), e)
         span = max(hi - lo, 1)

@@ -40,20 +40,29 @@ def _accumulate_pat(pat_path, nr_sites, backend="auto", sharded=None,
     else:
         acc = PileupAccumulator(window, backend=backend)
     nf = 0
-    # one-chunk lookahead: the next slab decompresses/parses (native code,
-    # GIL released) while the current one stages and piles up on device
-    from concurrent.futures import ThreadPoolExecutor
-
     it = iter_pat(pat_path, chunk_bytes=chunk_bytes)
-    with ThreadPoolExecutor(1) as ex:
-        fut = ex.submit(next, it, None)
-        while True:
-            chunk = fut.result()
-            if chunk is None:
-                break
+    if getattr(acc, "device_total", True):
+        # one-chunk lookahead: the next slab decompresses/parses (native
+        # code, GIL released) while the current one stages and piles up on
+        # device — add() is mostly device-queue wait, so the host is free
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
             fut = ex.submit(next, it, None)
-            acc.add(chunk)
-            nf += chunk.nr_frags
+            while True:
+                chunk = fut.result()
+                if chunk is None:
+                    break
+                fut = ex.submit(next, it, None)
+                acc.add(chunk)
+                nf += chunk.nr_frags
+        return acc, nf
+    # host-total accumulators (native/xla-CPU) are CPU-bound end to end:
+    # a lookahead thread only oversubscribes the cores (decode already uses
+    # them all), so run the loop inline
+    for chunk in it:
+        acc.add(chunk)
+        nf += chunk.nr_frags
     return acc, nf
 
 
