@@ -187,8 +187,7 @@ def run_segmentation(acc):
     import jax
     import jax.numpy as jnp
 
-    from wgbs_tools_tpu.models.segment import (_segment_windows_fast,
-                                               _traceback)
+    from wgbs_tools_tpu.models.segment import _segment_windows_masks
 
     CHUNK = int(os.environ.get("E2E_CHUNK", 60_000))
     W = int(os.environ.get("E2E_MAXCPG", 1_000))
@@ -217,12 +216,12 @@ def run_segmentation(acc):
     locis = jnp.broadcast_to(loci, (BATCH, CHUNK))
     for bi in range(n_batches):
         pm, pt = batch_prefix(total, np.int32(bi * BATCH), CHUNK, BATCH)
-        outs.append(_segment_windows_fast(pm, pt, locis, W, MAX_BP, PC))
+        outs.append(_segment_windows_masks(pm, pt, locis, W, MAX_BP, PC))
     from wgbs_tools_tpu.ops.pileup import fetch_chunked
 
-    tbs = fetch_chunked(jnp.concatenate(outs, axis=0)).astype(np.int64)
-    n_borders = sum(
-        len(_traceback(tbs[w], CHUNK)) - 1 for w in range(tbs.shape[0]))
+    # the traceback ran on device (pointer doubling); fetch uint8 masks only
+    masks = fetch_chunked(jnp.concatenate(outs, axis=0))
+    n_borders = int(masks.sum()) - masks.shape[0]
     seg_s = time.perf_counter() - t0
     log(f"segment-fast: {n_batches * BATCH} chunks, {n_borders:,} blocks, "
         f"{seg_s:.1f}s")

@@ -226,3 +226,30 @@ def test_segment_ranges_threads_equal(beta_fixture, tmp_path):
     s1, e1 = segment_ranges(paths, ranges, idx, cfg1)
     s4, e4 = segment_ranges(paths, ranges, idx, cfg4)
     assert s1.tolist() == s4.tolist() and e1.tolist() == e4.tolist()
+
+
+def test_borders_mask_matches_host_traceback(rng):
+    """Device pointer-doubling chain marking == the sequential host
+    traceback, on adversarial T arrays (long chains, -1 sentinels, chains
+    that jump straight to 0)."""
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.models.segment import _borders_mask, _traceback
+
+    for n in (1, 2, 5, 64, 1000):
+        for trial in range(4):
+            T = np.empty(n + 1, np.int32)
+            T[0] = 0
+            for i in range(1, n + 1):
+                if trial == 0:
+                    T[i] = i - 1          # worst case: chain of length n
+                elif trial == 1:
+                    T[i] = 0              # single block
+                elif trial == 2:
+                    T[i] = rng.integers(-1, i)  # random incl. -1 sentinel
+                else:
+                    T[i] = max(0, i - int(rng.integers(1, 8)))
+            want = _traceback(T, n)
+            mask = np.asarray(_borders_mask(jnp.asarray(T)))
+            got = np.flatnonzero(mask).astype(np.int64)
+            assert np.array_equal(got, want), (n, trial, got[:10], want[:10])

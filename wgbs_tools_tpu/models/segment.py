@@ -24,6 +24,7 @@ Two implementations:
   sites with a max_cpg-wide vector max per step.
 """
 
+import math
 from functools import partial
 
 import jax
@@ -288,6 +289,33 @@ def _dp_fast_jax(Crev, W):
     return jnp.concatenate([jnp.zeros(1, dtype=jnp.int32), ks])
 
 
+@jax.jit
+def _borders_mask(T):
+    """Device traceback: mark the border chain {n, T[n], T[T[n]], .., 0}.
+
+    The host traceback (_traceback, ref: segmentor.cpp:50-58) is a
+    sequential pointer chase, which would force fetching the whole (n+1,)
+    int32 T per window. Instead the chain is marked on device by pointer
+    doubling: after round k, S holds every chain node reachable from n in
+    < 2^k steps and P is T composed 2^k times, so ceil(log2(n+1)) rounds of
+    one gather + one scatter-max mark the full chain. Only the (n+1,) uint8
+    mask crosses to the host (4x less than T; the walk itself never does).
+    """
+    n1 = T.shape[0]
+    P = jnp.clip(T, 0, n1 - 1).astype(jnp.int32).at[0].set(0)
+    S = jnp.zeros(n1, jnp.uint8).at[n1 - 1].set(1)
+    rounds = max(1, int(math.ceil(math.log2(n1))))
+
+    def body(_, PS):
+        P, S = PS
+        # for every marked p, mark its 2^k-th predecessor P[p]
+        S = S.at[P].max(S)
+        return P[P], S
+
+    _, S = jax.lax.fori_loop(0, rounds, body, (P, S))
+    return S
+
+
 @partial(jax.jit, static_argnames=("W", "max_bp", "B"))
 def _segment_windows_fast(pm, pt, loci, W, max_bp, pc, B=128):
     """vmapped fast-mode segmentation of many equal-size windows at once.
@@ -298,6 +326,18 @@ def _segment_windows_fast(pm, pt, loci, W, max_bp, pc, B=128):
     def one(pm_w, pt_w, loci_w):
         Crev = _cost_fast_jax(pm_w, pt_w, loci_w, W, max_bp, pc)
         return _dp_fast_blocked(Crev, W, B)
+
+    return jax.vmap(one)(pm, pt, loci)
+
+
+@partial(jax.jit, static_argnames=("W", "max_bp", "B"))
+def _segment_windows_masks(pm, pt, loci, W, max_bp, pc, B=128):
+    """Like _segment_windows_fast but returns per-window border masks
+    (nw, n+1) uint8 — DP and traceback both stay on device."""
+
+    def one(pm_w, pt_w, loci_w):
+        Crev = _cost_fast_jax(pm_w, pt_w, loci_w, W, max_bp, pc)
+        return _borders_mask(_dp_fast_blocked(Crev, W, B))
 
     return jax.vmap(one)(pm, pt, loci)
 
@@ -329,17 +369,17 @@ def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
         sel = list(range(lo, min(lo + batch, nw)))
         pad = batch - len(sel)
         sel = sel + [sel[0]] * pad
-        outs.append(_segment_windows_fast(
+        outs.append(_segment_windows_masks(
             jnp.asarray(np.stack([pms[w] for w in sel]), dtype=jnp.int32),
             jnp.asarray(np.stack([pts[w] for w in sel]), dtype=jnp.int32),
             jnp.asarray(locis[sel], dtype=jnp.int32),
             W, max_bp, pc,
         ))
-    Ts = [np.asarray(o).astype(np.int64) for o in outs]
+    masks = [np.asarray(o) for o in outs]
     res = []
     for li, lo in enumerate(range(0, nw, batch)):
         for j in range(min(batch, nw - lo)):
-            res.append(_traceback(Ts[li][j], n))
+            res.append(np.flatnonzero(masks[li][j]).astype(np.int64))
     return res
 
 

@@ -186,12 +186,15 @@ def build_segment_windows_step(mesh, W, max_bp=0, pc=15.0, B=128):
     """
     from jax.sharding import NamedSharding
 
-    from ..models.segment import _cost_fast_jax, _dp_fast_blocked
+    from ..models.segment import (_borders_mask, _cost_fast_jax,
+                                  _dp_fast_blocked)
 
     def fn(pm, pt, loci):
         def one(pm_w, pt_w, loci_w):
             Crev = _cost_fast_jax(pm_w, pt_w, loci_w, W, max_bp, pc)
-            return _dp_fast_blocked(Crev, W, B)
+            # traceback chain is marked on device (pointer doubling);
+            # only the uint8 border mask leaves the device
+            return _borders_mask(_dp_fast_blocked(Crev, W, B))
 
         return jax.vmap(one)(pm, pt, loci)
 
@@ -205,7 +208,7 @@ def segment_windows_sharded(mesh, datas, locis, max_cpg=1000, max_bp=2000,
     (n_devices * per_device_batch) windows (tail padded with window 0), all
     dispatched before one sync; returns per-window relative border arrays.
     Fixed launch shape = one compile; bounded per-device memory."""
-    from ..models.segment import _prefix_sums, _traceback
+    from ..models.segment import _prefix_sums
 
     datas = np.asarray(datas)
     locis = np.asarray(locis)
@@ -231,9 +234,9 @@ def segment_windows_sharded(mesh, datas, locis, max_cpg=1000, max_bp=2000,
         ))
     res = []
     for li, lo in enumerate(range(0, nw, launch)):
-        T = np.asarray(outs[li]).astype(np.int64)
+        mask = np.asarray(outs[li])
         for j in range(min(launch, nw - lo)):
-            res.append(_traceback(T[j], n))
+            res.append(np.flatnonzero(mask[j]).astype(np.int64))
     return res
 
 
