@@ -42,6 +42,7 @@ N_FRAGS = int(os.environ.get("E2E_FRAGS", 20_000_000))
 N_SITES = int(os.environ.get("E2E_SITES", 28_217_448))
 RUN_REF = os.environ.get("E2E_REF", "1") != "0"
 RUN_SEG = os.environ.get("E2E_SEG", "1") != "0"
+RUN_DEVICE = os.environ.get("E2E_DEVICE", "1") != "0"  # 0 = host-only run
 KEEP = os.environ.get("E2E_KEEP", "")
 REFERENCE = os.environ.get("WGBS_REFERENCE", "/root/reference")
 MAX_LEN = 24
@@ -235,28 +236,40 @@ def main():
     if not op.exists(pat_path):
         make_pat(pat_path)
 
-    t, nf, acc, beta = run_ours(pat_path, beta_path)
-    log(f"ours pat2beta: {t['total']:.1f}s total = "
-        f"{t['decode']:.1f} decode + {t['pileup']:.1f} stage/pileup + "
-        f"{t['finalize_fetch']:.1f} saturate/fetch + {t['write']:.1f} write "
-        f"({nf / t['total'] / 1e6:.2f} M frags/s job rate)")
-    cov_mean = float(beta[:, 1].astype(np.float64).mean())
-    log(f"beta: {op.getsize(beta_path) / 1e6:.0f} MB, mean cov {cov_mean:.1f}")
+    if RUN_DEVICE:
+        t, nf, acc, beta = run_ours(pat_path, beta_path)
+        log(f"ours pat2beta: {t['total']:.1f}s total = "
+            f"{t['decode']:.1f} decode + {t['pileup']:.1f} stage/pileup + "
+            f"{t['finalize_fetch']:.1f} saturate/fetch + {t['write']:.1f} "
+            f"write ({nf / t['total'] / 1e6:.2f} M frags/s job rate)")
+        cov_mean = float(beta[:, 1].astype(np.float64).mean())
+        log(f"beta: {op.getsize(beta_path) / 1e6:.0f} MB, "
+            f"mean cov {cov_mean:.1f}")
 
-    t_overlap = run_ours_overlapped(pat_path, beta_path + ".2")
-    same = open(beta_path, "rb").read() == open(beta_path + ".2", "rb").read()
-    log(f"production pat2beta (prefetch-overlapped): {t_overlap:.1f}s, "
-        f"byte-identical={same}")
+        t_overlap = run_ours_overlapped(pat_path, beta_path + ".2")
+        same = (open(beta_path, "rb").read()
+                == open(beta_path + ".2", "rb").read())
+        log(f"production pat2beta (prefetch-overlapped): {t_overlap:.1f}s, "
+            f"byte-identical={same}")
+    else:
+        t = {"total": float("inf")}
+        t_overlap = float("inf")
+        nf = N_FRAGS
+        same = True
+        acc = None
 
     t_native = run_ours_native(pat_path, beta_path + ".3")
-    same_native = (open(beta_path, "rb").read()
-                   == open(beta_path + ".3", "rb").read())
+    if RUN_DEVICE:
+        same_native = (open(beta_path, "rb").read()
+                       == open(beta_path + ".3", "rb").read())
+    else:
+        same_native = True
     log(f"host-kernel pat2beta (backend=native): {t_native:.1f}s, "
         f"byte-identical={same_native}")
     same = same and same_native
 
     seg_s = seg_chunks = None
-    if RUN_SEG:
+    if RUN_SEG and acc is not None:
         seg_s, seg_chunks = run_segmentation(acc)
 
     ref_s = run_reference(pat_path) if RUN_REF else None
@@ -269,8 +282,10 @@ def main():
         "n_frags": nf,
         "n_sites": N_SITES,
         "ours_s": round(min(t["total"], t_overlap, t_native), 2),
-        "stages_s": {k: round(v, 2) for k, v in t.items()},
-        "overlapped_s": round(t_overlap, 2),
+        "stages_s": {k: round(v, 2) for k, v in t.items()
+                     if v != float("inf")},
+        "overlapped_s": (None if t_overlap == float("inf")
+                         else round(t_overlap, 2)),
         "native_s": round(t_native, 2),
         "segment_fast_s": None if seg_s is None else round(seg_s, 2),
         "reference_s": None if ref_s is None else round(ref_s, 2),

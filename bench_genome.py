@@ -43,9 +43,9 @@ def main():
 
     from wgbs_tools_tpu.models.segment import (
         _prefix_sums,
-        _segment_windows_fast,
-        _traceback,
+        _segment_windows_masks,
     )
+    from wgbs_tools_tpu.ops.pileup import fetch_chunked
 
     rng = np.random.default_rng(20260817)
     n_chunks = (TOTAL_SITES + CHUNK - 1) // CHUNK
@@ -68,38 +68,31 @@ def main():
     host_batches = [make_batch() for _ in range(min(n_launch, 4))]
 
     # compile + warm up (excluded from the timed run)
-    out = _segment_windows_fast(
+    out = _segment_windows_masks(
         jnp.asarray(host_batches[0][0]), jnp.asarray(host_batches[0][1]),
         jnp.asarray(host_batches[0][2]), MAX_CPG, MAX_BP, PC)
     np.asarray(out[:1, :1])
-    t0 = time.perf_counter()
-    for _ in range(3):
-        np.asarray(out[:1, :1])
-    fetch = (time.perf_counter() - t0) / 3
-    print(f"[bench_genome] compiled; fetch latency {fetch*1e3:.0f} ms")
+    print("[bench_genome] compiled")
 
     # timed: dispatch every launch asynchronously (host data cycles through
-    # pre-staged batches — device transfer overlaps compute), sync once
+    # pre-staged batches — device transfer overlaps compute), then drain the
+    # per-window uint8 border masks (the traceback already ran on device)
     t0 = time.perf_counter()
     outs = []
     for i in range(n_launch):
         b = host_batches[i % len(host_batches)]
-        outs.append(_segment_windows_fast(
+        outs.append(_segment_windows_masks(
             jnp.asarray(b[0]), jnp.asarray(b[1]), jnp.asarray(b[2]),
             MAX_CPG, MAX_BP, PC))
-    np.asarray(outs[-1][:1, :1])  # in-order device queue: all done
-    dt = time.perf_counter() - t0 - fetch
+    n_borders = 0
+    for o in outs:
+        m = fetch_chunked(o)
+        n_borders += int(m.sum()) - m.shape[0]
+    dt = time.perf_counter() - t0
     per_chunk = dt / (n_launch * BATCH)
-    print(f"[bench_genome] device total {dt:.2f}s "
-          f"({per_chunk*1e3:.1f} ms/chunk, {n_launch * BATCH} chunks)")
-
-    # host traceback cost on one batch (numpy, would overlap device work)
-    T = np.asarray(outs[0]).astype(np.int64)
-    t0 = time.perf_counter()
-    for w in range(BATCH):
-        _traceback(T[w], CHUNK)
-    tb_dt = (time.perf_counter() - t0) / BATCH * n_chunks
-    print(f"[bench_genome] host traceback, genome-wide: {tb_dt:.2f}s")
+    print(f"[bench_genome] device total incl. mask fetch {dt:.2f}s "
+          f"({per_chunk*1e3:.1f} ms/chunk, {n_launch * BATCH} chunks, "
+          f"{n_borders:,} borders)")
 
     print(json.dumps({
         "metric": "segment_fast_genome_s",

