@@ -28,7 +28,7 @@ def test_sharded_pileup_matches_single_device(rng, samples_axis, sites_shards):
         sites_shards,
     )
     step = build_analysis_step(mesh, n_sites, halo=32, W=16, max_bp=0, pc=15.0)
-    counts, tb, total_cov = step(
+    counts, tb, cov_lo, cov_f = step(
         jnp.asarray(rs), jnp.asarray(ln), jnp.asarray(cn), jnp.asarray(cd),
         jnp.asarray(sample_counts), jnp.asarray(loci[:, None]),
     )
@@ -37,8 +37,37 @@ def test_sharded_pileup_matches_single_device(rng, samples_axis, sites_shards):
                         1, n_sites)
     got = np.asarray(counts)
     assert (got == expect).all()
-    assert int(total_cov) == int(expect[:, 1].sum())
+    from wgbs_tools_tpu.parallel.sharded import decode_sum64
+    assert decode_sum64(cov_lo, cov_f) == int(expect[:, 1].sum())
     assert tb.shape == (n_sites,)
+
+
+def test_decode_sum64_past_int32(rng):
+    """The overflow-safe coverage total is exact past 2^31 (the int64->int32
+    silent truncation this replaces) and at wrap-adjacent values."""
+    from wgbs_tools_tpu.parallel.sharded import _psum64, decode_sum64
+
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    mesh = make_mesh(4, samples_axis=1)
+    from jax.sharding import PartitionSpec as P
+    from wgbs_tools_tpu.parallel.sharded import shard_map
+
+    def f(x):
+        lo, fl = _psum64(x, ("sites",))
+        return lo, fl
+
+    step = jax.jit(shard_map(f, mesh, in_specs=(P("sites"),),
+                             out_specs=(P(), P())))
+    for total in (2**31 + 12345, 2**32 - 7, 2**32 + 3, 3 * 2**32 + 2**31,
+                  2**40 + 987654321, 1000, 0):
+        n = 1 << 12
+        base, rem = divmod(total, n)
+        assert base < 2**31
+        x = np.full(n, base, dtype=np.int64)
+        x[:rem] += 1
+        lo, fl = step(jnp.asarray(x, jnp.int32))
+        assert decode_sum64(lo, fl) == total, total
 
 
 def test_halo_crossing_reads(rng):
@@ -62,7 +91,7 @@ def test_halo_crossing_reads(rng):
     step = build_analysis_step(mesh, n_sites, halo=32, W=8, max_bp=0, pc=1.0)
     sample_counts = np.zeros((1, n_sites, 2), dtype=np.int32)
     loci = np.arange(1, n_sites + 1, dtype=np.int32) * 3
-    out, _, _ = step(
+    out, _, _, _ = step(
         jnp.asarray(rs), jnp.asarray(ln), jnp.asarray(cn), jnp.asarray(cd),
         jnp.asarray(sample_counts), jnp.asarray(loci[:, None]),
     )
@@ -161,7 +190,7 @@ def test_analysis_step_window_tb_matches_single_device(rng):
         np.arange(1, F + 1, dtype=np.int32) * 100,
         np.full(F, 4, np.int32), np.ones(F, np.int32),
         np.full((F, 4), 1, np.uint8), n_sites, sites_shards)
-    _, tb, _ = step(jnp.asarray(rs), jnp.asarray(ln), jnp.asarray(cn),
+    _, tb, _, _ = step(jnp.asarray(rs), jnp.asarray(ln), jnp.asarray(cn),
                     jnp.asarray(cd), jnp.asarray(sample_counts),
                     jnp.asarray(loci[:, None]))
     tb = np.asarray(tb)

@@ -159,6 +159,57 @@ def test_pileup_native_matches_oracle(rng):
     assert np.array_equal(got, numpy_pileup(frags, 3000, 5000))
 
 
+def test_pileup_native_threaded_partition(rng):
+    """The multithreaded native branch (site-axis partition + lower_bound
+    fragment ranges, wgbsio.cpp) only engages at >= 1<<16 fragments; exercise
+    it for real against the single-thread result and the numpy oracle,
+    including a subwindow whose edges fall inside thread partitions."""
+    from wgbs_tools_tpu.native import pileup_native
+
+    n_frags = (1 << 16) + 4_321
+    frags = random_frags(rng, n_frags, 50_000, max_len=20, max_count=4,
+                         h_rate=0.03)
+    order = np.argsort(frags.start, kind="stable")
+    frags = frags.take(order)  # threaded path requires sorted starts
+    if pileup_native(frags.start, frags.length, frags.count, frags.codes,
+                     1, 50_000, threads=1) is None:
+        pytest.skip("native library unavailable")
+    expect = numpy_pileup(frags, 1, 50_001)
+    for threads in (2, 3, 4, 8):
+        got = pileup_native(frags.start, frags.length, frags.count,
+                            frags.codes, 1, 50_000, threads=threads)
+        assert np.array_equal(got, expect), threads
+    # subwindow: partition boundaries + window clipping together
+    got = pileup_native(frags.start, frags.length, frags.count, frags.codes,
+                        17_001, 9_000, threads=4)
+    assert np.array_equal(got, numpy_pileup(frags, 17_001, 26_001))
+
+
+def test_backend_env_override_only_applies_to_auto(rng, monkeypatch):
+    """WGBS_TPU_PILEUP must not override an explicitly requested backend
+    (keeps A/B comparisons meaningful); native+device_total=True must
+    resolve to a host total without crashing."""
+    from wgbs_tools_tpu.native import get_lib
+    from wgbs_tools_tpu.ops.pileup import PileupAccumulator
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    monkeypatch.setenv("WGBS_TPU_PILEUP", "native")
+    a = PileupAccumulator((1, 1001), backend="xla", device_total=False)
+    assert a.backend == "xla"
+    a = PileupAccumulator((1, 1001), backend="auto", device_total=False)
+    assert a.backend == "native"
+    monkeypatch.delenv("WGBS_TPU_PILEUP")
+    # explicit native + device_total=True: total must be a host array and
+    # add() must not feed a device array to the C++ kernel
+    a = PileupAccumulator((1, 2001), backend="native", device_total=True)
+    assert not a.device_total
+    assert isinstance(a.total, np.ndarray)
+    frags = random_frags(rng, 300, 2000, max_len=8)
+    a.add(frags)
+    assert np.array_equal(a.result(), numpy_pileup(frags, 1, 2001))
+
+
 def test_native_accumulator_matches_host(rng):
     """PileupAccumulator(backend='native') == the array-path accumulator,
     streaming chunks, including unsorted chunk handling."""

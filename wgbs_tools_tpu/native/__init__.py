@@ -41,9 +41,17 @@ def get_lib():
                 stderr=subprocess.DEVNULL,
             )
         lib = ctypes.CDLL(_SO)
+        _bind_symbols(lib)
     except Exception:
+        # includes AttributeError from a stale cached .so missing a newer
+        # symbol: honor the module contract (return None, callers fall back)
         return None
 
+    _LIB = lib
+    return _LIB
+
+
+def _bind_symbols(lib):
     i64 = ctypes.c_int64
     lib.pat_scan.restype = ctypes.c_int
     lib.pat_scan.argtypes = [ctypes.c_char_p, i64, ctypes.POINTER(i64),
@@ -68,8 +76,6 @@ def get_lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         i64, i64, i64, i64, ctypes.c_void_p, ctypes.c_int,
     ]
-    _LIB = lib
-    return _LIB
 
 
 def _ptr(arr, ctype):

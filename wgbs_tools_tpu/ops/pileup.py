@@ -101,7 +101,10 @@ class PileupAccumulator:
 
         self.window = window
         self.n = window[1] - window[0]
-        backend = os.environ.get("WGBS_TPU_PILEUP", backend) or "auto"
+        if backend == "auto":
+            # env override applies only to unspecified backends so explicit
+            # A/B comparisons (tests, benchmarks) stay meaningful
+            backend = os.environ.get("WGBS_TPU_PILEUP") or "auto"
         if backend == "auto" and device_total is not True \
                 and jax.default_backend() != "tpu":
             # no accelerator: the C++ host kernel beats the XLA-CPU scatter
@@ -116,7 +119,7 @@ class PileupAccumulator:
             device_total = (jax.default_backend() == "tpu"
                             and backend != "native")
         self.device_total = device_total and backend != "native"
-        if device_total:
+        if self.device_total:
             # running total stays in HBM; add() folds each batch in place
             # (donated buffer) and only finalize()/result() cross back to the
             # host — per-batch d2h round-trips disappear entirely.

@@ -121,7 +121,9 @@ def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
         (sharded over samples x sites);
       loci: (n_sites,) int32.
 
-    Returns (counts (n_sites, 2), window_tb (n_sites,), total_cov scalar).
+    Returns (counts (n_sites, 2), window_tb (n_sites,), cov_lo, cov_f) where
+    (cov_lo, cov_f) is the overflow-safe total-coverage pair — feed to
+    decode_sum64 for the exact 64-bit value.
 
     window_tb semantics: each sites-shard segments its own site window
     INDEPENDENTLY (costs psum'd over the samples axis, fast-float32 DP run
@@ -156,10 +158,8 @@ def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
         cost = jax.lax.psum(cost, "samples")
         tb = _dp_scan(cost, W, vary_axes=("sites",))
 
-        total_cov = jax.lax.psum(
-            jnp.sum(counts[:, 1], dtype=jnp.int64), ("sites",)
-        )
-        return counts, tb, total_cov
+        cov_lo, cov_f = _psum64(counts[:, 1], ("sites",))
+        return counts, tb, cov_lo, cov_f
 
     sharded = shard_map(
         step,
@@ -168,9 +168,32 @@ def build_analysis_step(mesh, n_sites, halo, W, max_bp=0, pc=15.0):
             P("sites"), P("sites"), P("sites"), P("sites", None),
             P("samples", "sites", None), P("sites", None),
         ),
-        out_specs=(P("sites", None), P("sites"), P()),
+        out_specs=(P("sites", None), P("sites"), P(), P()),
     )
     return jax.jit(sharded)
+
+
+def _psum64(x, axis_names):
+    """Overflow-safe 64-bit total of int32 values without enable_x64.
+
+    jnp.sum(..., dtype=int64) silently truncates to int32 when x64 is off —
+    a real overflow for genome-wide coverage at >=60x (28.2M sites * 76 >
+    2^31). Instead return (lo, f): `lo` is the exact total mod 2^32 (XLA
+    int32 adds wrap, two's complement), `f` a float32 estimate that recovers
+    the high word. decode_sum64 reconstructs the exact value while the true
+    total < ~2^44 (float32 tree-sum error stays far below the 2^31 needed to
+    misround the high word) — 5 orders of magnitude past any WGBS total.
+    """
+    lo = jax.lax.psum(jnp.sum(x, dtype=jnp.int32), axis_names)
+    f = jax.lax.psum(jnp.sum(x.astype(jnp.float32)), axis_names)
+    return lo, f
+
+
+def decode_sum64(lo, f):
+    """Host-side exact reconstruction of a _psum64 pair -> python int."""
+    lo_u = int(np.uint32(np.int32(np.asarray(lo))))
+    hi = int(np.round((float(np.asarray(f)) - lo_u) / 4294967296.0))
+    return hi * 4294967296 + lo_u
 
 
 def build_segment_windows_step(mesh, W, max_bp=0, pc=15.0, B=128):
