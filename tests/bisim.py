@@ -155,14 +155,25 @@ def dump_bam(reads, seqs, path):
     ref_lengths = [len(s) for s in seqs.values()]
     order = sorted(range(len(reads)), key=lambda i: (ref_names.index(reads[i].chrom),
                                                      reads[i].pos0))
+    # mate coordinates (RNEXT/PNEXT) as an aligner would emit them — the
+    # streaming bam2pat path uses them to retire mate-lost singles
+    mate_of = {}
+    for i, rd in enumerate(reads):
+        if rd.flag & 1:
+            other = mate_of.setdefault(rd.qname, [])
+            other.append(i)
     records = []
     for i in order:
         rd = reads[i]
         qual = b"" if rd.qual is None else bytes(
             q - 33 for q in rd.qual.encode())
-        records.append(
-            BamRecord(rd.qname, rd.flag, ref_names.index(rd.chrom), rd.pos0,
-                      rd.mapq, rd.cigar_list(), rd.seq, qual, b"")
-        )
+        rec = BamRecord(rd.qname, rd.flag, ref_names.index(rd.chrom), rd.pos0,
+                        rd.mapq, rd.cigar_list(), rd.seq, qual, b"")
+        mates = mate_of.get(rd.qname, ())
+        if len(mates) == 2:
+            m = reads[mates[1] if mates[0] == i else mates[0]]
+            rec.next_ref_id = ref_names.index(m.chrom)
+            rec.next_pos = m.pos0
+        records.append(rec)
     write_bam(path, ref_names, ref_lengths, records)
     return path

@@ -64,6 +64,13 @@ def main(argv):
     p.add_argument("--blacklist", nargs="?", const=True, default=None,
                    help="drop reads overlapping this bed "
                         "(genome default when no path given)")
+    stream_g = p.add_mutually_exclusive_group()
+    stream_g.add_argument("--stream", action="store_true", default=None,
+                          help="bounded-memory slab streaming (automatic "
+                               "for BAMs over WGBS_TPU_STREAM_BYTES, "
+                               "default 256 MB)")
+    stream_g.add_argument("--no_stream", dest="stream", action="store_false",
+                          help="force the whole-file in-memory path")
     add_gr_args(p)
     args = p.parse_args(argv)
     if args.verbose or args.debug:
@@ -98,7 +105,7 @@ def main(argv):
                 blueprint=args.blueprint, threads=args.threads,
                 include_flags=args.include_flags,
                 top_strand=args.top_strand, bottom_strand=args.bottom_strand,
-                read_group=args.read_group,
+                read_group=args.read_group, stream=args.stream,
             )
             if args.read_group and pat_path and op.isfile(pat_path):
                 # ref: bam2pat.py:406-407 — suffix the pat with the RG name

@@ -112,6 +112,73 @@ def write_csi(path, chrom_names, rec_chrom_ids, rec_begs, rec_voffs,
     return path
 
 
+class CsiAccumulator:
+    """Incremental CSI construction for streaming writers.
+
+    write_csi needs every record's (chrom, beg, voff) at once — ~10 GB of
+    arrays for a genome-wide pat. Coordinate-sorted pat records land in the
+    deepest bin level (1-bp intervals), so bins arrive in non-decreasing
+    order per chromosome and each (chrom, bin) collapses to a handful of
+    merged chunks: the accumulator folds each flushed batch into a per-bin
+    chunk dict (~genome/16kb entries) and emits the same CSI layout at
+    close. Mirrors the reference's `tabix -C` over a streamed bgzip
+    (ref: src/python/index.py:126-139)."""
+
+    def __init__(self):
+        # (rid, bin) -> [loff, [ [cs, ce], ... ]] in first-seen file order
+        self._bins = {}
+
+    def add(self, rec_chrom_ids, rec_begs, rec_voffs, rec_voff_ends):
+        rec_chrom_ids = np.asarray(rec_chrom_ids)
+        rec_begs = np.asarray(rec_begs, dtype=np.int64)
+        rec_voffs = np.asarray(rec_voffs, dtype=np.uint64)
+        rec_voff_ends = np.asarray(rec_voff_ends, dtype=np.uint64)
+        bins = reg2bin(rec_begs, rec_begs + 1)
+        # group consecutive records with the same (rid, bin): within a batch
+        # records are file-contiguous, so each run is one chunk
+        key_change = np.ones(rec_begs.shape[0], dtype=bool)
+        key_change[1:] = (bins[1:] != bins[:-1]) | (
+            rec_chrom_ids[1:] != rec_chrom_ids[:-1])
+        starts = np.nonzero(key_change)[0]
+        ends = np.concatenate([starts[1:], [rec_begs.shape[0]]])
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            key = (int(rec_chrom_ids[s]), int(bins[s]))
+            cs, ce = int(rec_voffs[s]), int(rec_voff_ends[e - 1])
+            ent = self._bins.get(key)
+            if ent is None:
+                self._bins[key] = [cs, [[cs, ce]]]
+            else:
+                chunks = ent[1]
+                if chunks[-1][1] == cs:
+                    chunks[-1][1] = ce
+                else:
+                    chunks.append([cs, ce])
+
+    def write(self, path, chrom_names):
+        n_ref = len(chrom_names)
+        body = bytearray()
+        body += CSI_MAGIC
+        body += struct.pack("<ii", MIN_SHIFT, DEPTH)
+        names_blob = b"".join(c.encode() + b"\x00" for c in chrom_names)
+        aux = struct.pack("<7i", TBX_PRESET, 1, 2, 2, ord("#"), 0,
+                          len(names_blob)) + names_blob
+        body += struct.pack("<i", len(aux)) + aux
+        body += struct.pack("<i", n_ref)
+        by_rid = {}
+        for (rid, b), ent in self._bins.items():
+            by_rid.setdefault(rid, []).append((b, ent))
+        for rid in range(n_ref):
+            ents = sorted(by_rid.get(rid, []))
+            body += struct.pack("<i", len(ents))
+            for b, (loff, chunks) in ents:
+                body += struct.pack("<IQi", b, loff, len(chunks))
+                for cs, ce in chunks:
+                    body += struct.pack("<QQ", cs, ce)
+        with BgzfWriter(path) as w:
+            w.write(bytes(body))
+        return path
+
+
 def read_csi(path):
     """Parse a CSI file back into python structures (for tests/queries)."""
     from .bgzf import decompress_file

@@ -499,6 +499,127 @@ def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE,
     return path
 
 
+class PatStreamWriter:
+    """Incremental writer of a sorted pat.gz: batches are serialized,
+    BGZF-compressed (multithreaded native path) and appended as they
+    arrive, with the .cdx sidecar and .csi index accumulated on the fly —
+    bounded host memory regardless of output size. The streaming analogue
+    of write_pat (same sidecars; BGZF block framing differs, decompressed
+    bytes are identical), mirroring the reference's per-chromosome part
+    files + `cat` concat (ref: src/python/bam2pat.py:398-422).
+
+    Batches must arrive in global pat order (non-decreasing startCpG; rows
+    with equal start must not be split across batches or collapse/ordering
+    would be violated — callers flush on start boundaries)."""
+
+    def __init__(self, path, level=6, index=True, stride=INDEX_STRIDE,
+                 csi=True):
+        self.path = path
+        self.level = level
+        self.index = index
+        self.csi = csi and index
+        self.stride = stride
+        self._f = open(path, "wb")
+        self._coff = 0          # compressed bytes written so far
+        self._n_lines = 0
+        self._nr_frags = 0
+        self._max_len = 1
+        self._last_start = None
+        self._cdx_sites = []
+        self._cdx_voffs = []
+        self._chrom_names = []
+        self._chrom_lookup = {}
+        if self.csi:
+            from .csi import CsiAccumulator
+
+            self._csi_acc = CsiAccumulator()
+
+    def write_frags(self, frags: PatFrags):
+        if frags.nr_frags == 0:
+            return
+        if self._last_start is not None \
+                and int(frags.start[0]) < self._last_start:
+            raise IllegalArgumentError(
+                "PatStreamWriter batches must be globally sorted: got start "
+                f"{int(frags.start[0])} after {self._last_start}")
+        self._last_start = int(frags.start[-1])
+        text = frags_to_bytes(frags)
+        comp = None
+        try:
+            from ..native import bgzf_compress_native
+
+            comp = bgzf_compress_native(text, level=self.level)
+        except Exception:
+            comp = None
+        if comp is None:
+            from .bgzf import compress_bytes
+
+            comp = compress_bytes(text, level=self.level)
+        comp = comp[:-28]  # strip the per-buffer EOF block; one at close()
+        if self.index:
+            rows = np.arange(frags.nr_frags)
+            offs_all = np.concatenate([_line_offsets(text, rows),
+                                       [len(text)]])
+            coffs, uoffs = _bgzf_block_table(comp)
+            blk = np.searchsorted(uoffs, offs_all, side="right") - 1
+            voffs_all = ((coffs[blk] + self._coff) << 16) \
+                | (offs_all - uoffs[blk])
+            # the batch's final end-voff points at the next batch's first
+            # byte: compressed offset after this batch, in-block offset 0
+            voffs_all[-1] = (self._coff + len(comp)) << 16
+            first = (-self._n_lines) % self.stride
+            for i in range(first, frags.nr_frags, self.stride):
+                self._cdx_sites.append(int(frags.start[i]))
+                self._cdx_voffs.append(int(voffs_all[i]))
+            if self.csi:
+                gids = np.empty(frags.nr_frags, dtype=np.int64)
+                local_to_global = []
+                for name in frags.chrom_names:
+                    if name not in self._chrom_lookup:
+                        self._chrom_lookup[name] = len(self._chrom_names)
+                        self._chrom_names.append(name)
+                    local_to_global.append(self._chrom_lookup[name])
+                gids[:] = np.asarray(local_to_global,
+                                     dtype=np.int64)[frags.chrom_id]
+                self._csi_acc.add(gids, frags.start.astype(np.int64) - 1,
+                                  voffs_all[:-1], voffs_all[1:])
+            self._max_len = max(self._max_len,
+                                int(frags.length.max(initial=1)))
+            self._n_lines += frags.nr_frags
+        self._nr_frags += frags.nr_frags
+        self._f.write(comp)
+        self._coff += len(comp)
+
+    @property
+    def nr_frags(self):
+        return self._nr_frags
+
+    def close(self):
+        if self._f is None:
+            return self.path
+        from .bgzf import _BGZF_EOF
+
+        self._f.write(_BGZF_EOF)
+        self._f.close()
+        self._f = None
+        if self.index:
+            np.savez(
+                self.path + PAT_INDEX_SUFFIX,
+                sites=np.asarray(self._cdx_sites, dtype=np.int64),
+                voffsets=np.asarray(self._cdx_voffs, dtype=np.int64),
+                max_len=np.int64(self._max_len),
+            )
+            if self.csi and self._n_lines:
+                self._csi_acc.write(self.path + ".csi", self._chrom_names)
+        return self.path
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def _line_offsets(text: bytes, rows):
     """Byte offsets of the given (sorted) line numbers within `text`."""
     nl = np.frombuffer(text, dtype=np.uint8) == ord("\n")

@@ -39,7 +39,7 @@ MIN_MAPQ = 10
 
 class BamRecord:
     __slots__ = ("qname", "flag", "ref_id", "pos", "mapq", "cigar", "seq",
-                 "qual", "tags")
+                 "qual", "tags", "next_ref_id", "next_pos")
 
     def __init__(self, qname, flag, ref_id, pos, mapq, cigar, seq, qual, tags):
         self.qname = qname

@@ -107,13 +107,53 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
             with_qname=False, nanopore=None, np_thresh=0.667, cpc_call="C",
             combine_mods=False, whitelist=None, blacklist=None,
             blueprint=False, threads=1, include_flags=None, top_strand=False,
-            bottom_strand=False, read_group=None):
+            bottom_strand=False, read_group=None, stream=None,
+            slab_bytes=None):
     """Convert a BAM to a sorted/collapsed PatFrags batch (and pat.gz file).
 
-    Returns (frags, out_path or None, stats).
+    Returns (frags, out_path or None, stats). `stream=True` (or BAMs larger
+    than WGBS_TPU_STREAM_BYTES, default 256 MB, with stream=None) takes the
+    bounded-memory slab-streaming path (pipeline/bam_stream.py) — host RSS
+    stays O(slab) instead of O(BAM); the returned frags are then empty
+    (the pat.gz on disk is the output). The reference bounds memory with
+    per-chromosome `samtools view` pipes (ref: bam2pat.py:144-209).
     """
+    import os
+
     g = genome if genome is not None else Genome(None)
     idx = g.index
+
+    if stream is None and not blueprint and not with_qname and write_output:
+        auto = int(os.environ.get("WGBS_TPU_STREAM_BYTES", 256 << 20))
+        try:
+            stream = op.getsize(bam_path) >= auto
+        except OSError:
+            stream = False
+    if stream and write_output and not blueprint and not with_qname:
+        from .bam_stream import (DEFAULT_SLAB, StreamUnsupported,
+                                 bam2pat_streaming)
+
+        wl = bl = None
+        if whitelist:
+            wl_path = g.whitelist if whitelist is True else whitelist
+            wl = _load_region_bed(wl_path) if wl_path else None
+        elif blacklist:
+            bl_path = g.blacklist if blacklist is True else blacklist
+            bl = _load_region_bed(bl_path) if bl_path else None
+        out_path = op.join(out_dir, pretty_name(bam_path) + ".pat.gz")
+        try:
+            return bam2pat_streaming(
+                bam_path, g, idx, out_path, min_mapq, exclude_flags,
+                clip=clip, min_cpg=min_cpg, include_chroms=include_chroms,
+                nanopore=nanopore, np_thresh=np_thresh, cpc_call=cpc_call,
+                combine_mods=combine_mods, include_flags=include_flags,
+                top_strand=top_strand, bottom_strand=bottom_strand,
+                read_group=read_group, wl=wl, bl=bl,
+                mbias_prefix=mbias_prefix,
+                slab_bytes=slab_bytes or DEFAULT_SLAB)
+        except StreamUnsupported as e:
+            logger.info("bam2pat: streaming path unavailable (%s); using "
+                        "the in-memory path", e)
 
     # columnar fast path: no per-record python objects (native scan +
     # vectorized decode); falls back for nanopore / blueprint runs

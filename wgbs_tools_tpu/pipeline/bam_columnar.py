@@ -76,10 +76,15 @@ def scan_bam_columnar(path):
 _M_OP = CIGAR_OPS.index("M")
 
 
-def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
-                           chrom_name, paired, clip, min_cpg, stats,
-                           with_qname, mbias=None):
-    """Call + pair one chromosome's reads (row indices into cols/offs)."""
+def decode_and_call(buf, bufarr, cols, offs, idx_rows, loci, site_base,
+                    paired, clip, stats, mbias=None, need_qnames=False):
+    """Decode + CIGAR-normalize + methylation-call one batch of reads.
+
+    Rows are processed in (stable) position-sorted order. Returns
+    (starts, patmat, span, qnames|None, bad) where starts < 0 marks reads
+    with no CpG call (counted nr_empty unless `bad`, i.e. invalid CIGAR).
+    Shared by the whole-chromosome columnar path and the bounded-memory
+    slab-streaming path (pipeline/bam_stream.py)."""
     sub_cols = cols[idx_rows]
     sub_offs = offs[idx_rows]
     order = np.argsort(sub_cols[:, 1], kind="stable")
@@ -157,7 +162,7 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
 
     # qnames (needed for pairing / --long output)
     qnames = None
-    if paired or with_qname:
+    if paired or need_qnames:
         lq = sub_cols[:, 7].astype(np.int64)
         LQ = max(int(lq.max(initial=1)), 1)
         qidx = np.minimum(sub_offs[:, 0][:, None] + np.arange(LQ)[None, :],
@@ -165,6 +170,18 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
         qmat = bufarr[qidx].copy()
         qmat[np.arange(LQ)[None, :] >= (lq - 1)[:, None]] = 0
         qnames = qmat.view(f"S{LQ}").ravel()
+    return starts, patmat, span, qnames, bad
+
+
+def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
+                           chrom_name, paired, clip, min_cpg, stats,
+                           with_qname, mbias=None):
+    """Call + pair one chromosome's reads (row indices into cols/offs)."""
+    starts, patmat, span, qnames, bad = decode_and_call(
+        buf, bufarr, cols, offs, idx_rows, loci, site_base, paired, clip,
+        stats, mbias=mbias, need_qnames=with_qname)
+    has = starts >= 0
+    R = starts.shape[0]
 
     if with_qname:
         return _emit_with_qnames(starts, patmat, span, qnames, paired,
@@ -196,7 +213,7 @@ def process_chrom_columnar(buf, bufarr, cols, offs, idx_rows, loci, site_base,
         hasA, hasB = has[a_rows], has[b_rows]
         both = hasA & hasB
         am, bm = a_rows[both], b_rows[both]
-        if device:
+        if mbias is None and use_device_calling():
             from ..ops.calling_tpu import merge_pe_device as _merge
         else:
             _merge = merge_pe_mat
