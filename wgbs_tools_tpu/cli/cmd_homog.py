@@ -7,8 +7,6 @@ import numpy as np
 
 from ..formats.bgzf import BgzfWriter
 from ..formats.blocks import load_blocks
-from ..formats.pat import read_pat
-from ..ops.frag_ops import homog_counts
 from ..utils import (
     IllegalArgumentError,
     delete_or_skip,
@@ -31,16 +29,23 @@ def trim_uxm_to_uint(data, nr_bits=8):
 
 
 def homog_pat(pat_path, blocks, ranges, min_len=3, inclusive=False):
-    """Counts (B, nbins) for one pat file over (possibly unsorted) blocks."""
+    """Counts (B, nbins) for one pat file over (possibly unsorted) blocks.
+
+    Streams the pat in bounded-memory chunks: per-fragment block counts are
+    additive, so chunk sums are bit-identical to a whole-file pass (the
+    analogue of the reference's sliding block deque over the pat stream,
+    ref: src/homog/homog.cpp:58-145)."""
+    from ..pipeline.pat_stream import homog_pat_streaming
+
     bstart = blocks["startCpG"]
     bend = blocks["endCpG"]
     if (bstart < 0).any():
         raise IllegalArgumentError("Some blocks are empty (NA)")
     order = np.argsort(bstart, kind="stable")
     inv = np.argsort(order, kind="stable")
-    frags = read_pat(pat_path)
-    counts = homog_counts(frags, bstart[order], bend[order], ranges,
-                          min_cpgs=min_len, inclusive=inclusive)
+    counts = homog_pat_streaming(pat_path, bstart[order], bend[order],
+                                 ranges, min_len=min_len,
+                                 inclusive=inclusive)
     return counts[inv]
 
 

@@ -12,15 +12,9 @@ import numpy as np
 
 from ..formats.beta import merge_betas
 from ..formats.blocks import load_blocks
-from ..formats.pat import (
-    PatFrags,
-    index_pat,
-    read_pat,
-    write_pat,
-)
+from ..formats.pat import PatFrags, index_pat
 from ..genome.refdir import Genome
 from ..genome.region import GenomicRegion
-from ..ops.frag_ops import mask_sites
 from ..pipeline.pat2beta import pat2beta
 from ..utils import (
     IllegalArgumentError,
@@ -123,20 +117,13 @@ def _concat_frags(frag_list, labels=None):
 
 def merge_pats(pat_paths, out_path, genome, labels=None, view_kwargs=None,
                sub_samples=None, seed=None):
-    """Merge pat files: filter each, concat, sort, collapse, write
+    """Merge pat files with a bounded-memory k-way streaming merge
     (ref: merge.py:55-120 — `sort -m` of cview streams + collapse)."""
-    view_kwargs = view_kwargs or {}
-    parts = []
-    for i, pat in enumerate(pat_paths):
-        kw = dict(view_kwargs)
-        if sub_samples is not None:
-            kw["sub_sample"] = sub_samples[i]
-            kw["seed"] = None if seed is None else seed + i
-        parts.append(view_pat(pat, genome, no_sort=True, **kw))
-    merged = _concat_frags(parts, labels)
-    merged = merged.sort().collapse()
-    write_pat(merged, out_path)
-    return out_path
+    from ..pipeline.pat_stream import merge_pats_streaming
+
+    return merge_pats_streaming(pat_paths, out_path, genome, labels=labels,
+                                view_kwargs=view_kwargs,
+                                sub_samples=sub_samples, seed=seed)
 
 
 def main_merge(argv):
@@ -204,13 +191,10 @@ def main_mask_pat(argv):
     bstart = blocks["startCpG"][keep][order]
     bend = blocks["endCpG"][keep][order]
     gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
-    if gr.is_whole():
-        frags = read_pat(args.pat)
-    else:
-        frags = read_pat(args.pat, region_sites=gr.sites)
-    masked = mask_sites(frags, bstart, bend, strip=True)
-    masked = masked.sort().collapse()
-    write_pat(masked, out)
+    from ..pipeline.pat_stream import mask_pat_streaming
+
+    mask_pat_streaming(args.pat, out, bstart, bend, g,
+                       region_sites=None if gr.is_whole() else gr.sites)
     if args.beta or args.lbeta:
         pat2beta(out, op.dirname(out) or ".", genome=g, lbeta=args.lbeta)
     return 0

@@ -51,23 +51,53 @@ def main(argv):
 def main_cview(argv):
     args = _parse(argv, "cview")
     genome = Genome(args.genome)
-    frags = view_pat(
-        args.input_file,
-        genome,
-        region=args.region,
-        sites=args.sites,
-        bed_file=getattr(args, "bed_file", None),
-        strict=args.strict,
-        strip=args.strip,
-        min_len=args.min_len,
-        no_gaps=args.no_gaps,
-        sub_sample=args.sub_sample,
-        seed=args.seed,
-        no_sort=args.no_sort,
-    )
-    if getattr(args, "shuffle", False):
-        from .cmd_vis import _shuffle_within_start
+    # streamed in bounded-memory chunks: a whole-genome `view` of a 30x pat
+    # never holds the full file (the reference pipes gunzip|cview likewise,
+    # ref: cview.py:25-52); region reads are one index-bounded batch
+    from ..formats.pat import frags_to_bytes
+    from ..pipeline.pat_stream import SortedStreamEmitter, iter_view_pat
 
-        frags = _shuffle_within_start(frags, args.seed)
-    print_frags(frags, args.out_path if args.out_path else sys.stdout)
+    shuffle = getattr(args, "shuffle", False)
+    out = args.out_path if args.out_path else sys.stdout
+    sink_close = None
+    if isinstance(out, str) and out.endswith(".gz"):
+        from ..formats.bgzf import BgzfWriter
+
+        w = BgzfWriter(out)
+        write_frags, sink_close = (lambda fr: w.write(frags_to_bytes(fr))), \
+            w.close
+    elif isinstance(out, str):
+        fh = open(out, "wb")
+        write_frags, sink_close = (lambda fr: fh.write(frags_to_bytes(fr))), \
+            fh.close
+    else:
+        def write_frags(fr):
+            print_frags(fr, out)
+
+    def emit(fr):
+        if fr.nr_frags == 0:
+            return
+        if shuffle:
+            from .cmd_vis import _shuffle_within_start
+
+            fr = _shuffle_within_start(fr, args.seed)
+        write_frags(fr)
+
+    chunks = iter_view_pat(
+        args.input_file, genome, region=args.region, sites=args.sites,
+        bed_file=getattr(args, "bed_file", None), strict=args.strict,
+        strip=args.strip, min_len=args.min_len, no_gaps=args.no_gaps,
+        sub_sample=args.sub_sample, seed=args.seed)
+    try:
+        if args.no_sort:
+            for fr, _wm in chunks:
+                emit(fr)
+        else:
+            em = SortedStreamEmitter(emit)
+            for fr, wm in chunks:
+                em.push(fr, wm)
+            em.close()
+    finally:
+        if sink_close is not None:
+            sink_close()
     return 0
