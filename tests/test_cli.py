@@ -282,3 +282,49 @@ def test_pat2pairs_cli(workdir, mini_genome):
                         dtype=np.uint32).reshape(-1, 4)
     assert pairs.shape[0] == mini_genome.get_nr_sites()
     assert pairs.sum() > 0
+
+
+def test_index_bed_cli(workdir, tmp_path):
+    """`index` on a plain (unsorted) bed sorts by startCpG, bgzips, and
+    writes a functional .tbi (ref Indxer bed branch, index.py:20-29)."""
+    import shutil
+
+    from wgbs_tools_tpu.formats.bgzf import decompress_file
+    from wgbs_tools_tpu.formats.csi import read_tbi
+
+    rows = open(workdir / "blocks.bed", "rb").read().splitlines(True)
+    shuffled = [rows[i] for i in np.random.default_rng(5).permutation(
+        len(rows))]
+    bed = tmp_path / "shuf.bed"
+    bed.write_bytes(b"".join(shuffled))
+    assert cli_main(["index", str(bed)]) == 0
+    gz = str(bed) + ".gz"
+    assert op.isfile(gz) and op.isfile(gz + ".tbi")
+    assert not op.isfile(str(bed))  # consumed, like bgzip
+    got = decompress_file(gz)
+    assert got == b"".join(rows)  # re-sorted by col4
+    tbi = read_tbi(gz + ".tbi")
+    assert tbi["names"] == ["chr1"]
+    # chunk voffs decode rows covering the queried interval
+    from wgbs_tools_tpu.formats.bgzf import BgzfReader
+
+    bins, lin = tbi["refs"][0]
+    r = BgzfReader(gz)
+    some = [c for b, chunks in bins.items() if b != 37450 for c in chunks]
+    r.seek_virtual(some[0][0])
+    line = r.readline()
+    assert line.startswith(b"chr1\t")
+    r.close()
+
+
+def test_segment_gz_output_indexed(workdir, mini_genome, tmp_path):
+    from wgbs_tools_tpu.formats.bgzf import decompress_file
+
+    plain = str(tmp_path / "seg.bed")
+    gz = str(tmp_path / "seg2.bed.gz")
+    args = ["segment", "--betas", str(workdir / "sample.beta"),
+            "-r", "chr1", "--mode", "fast"]
+    assert cli_main(args + ["-o", plain]) == 0
+    assert cli_main(args + ["-o", gz]) == 0
+    assert op.isfile(gz) and op.isfile(gz + ".tbi")
+    assert decompress_file(gz) == open(plain, "rb").read()

@@ -260,3 +260,29 @@ def test_bai_chunk_offsets_point_at_bam_records():
         assert 0 <= pos < 3 << 28
     r.close()
     reader.close()
+
+
+def test_write_tbi_matches_htslib_fixture(tmp_path):
+    """Rebuilding the .tbi for the htslib-produced annotations bed yields
+    the SAME index field-for-field: bins, merged chunks (incl. the
+    compress_binning parent-merge and block-level chunk merge), the 16kb
+    linear index, and the 37450 pseudo-bin record counts."""
+    import shutil
+
+    from wgbs_tools_tpu.formats.blocks import index_bed
+    from wgbs_tools_tpu.formats.csi import read_tbi
+
+    dst = str(tmp_path / "anno.bed.gz")
+    shutil.copy(ANNO, dst)
+    index_bed(dst)
+    ours = read_tbi(dst + ".tbi")
+    theirs = read_tbi(TBI)
+    assert ours["names"] == theirs["names"]
+    assert ours["preset"] == theirs["preset"]
+    assert ours["cols"] == theirs["cols"]
+    for rid in range(len(theirs["names"])):
+        ob, ol = ours["refs"][rid]
+        tb, tl = theirs["refs"][rid]
+        assert {k: [tuple(c) for c in v] for k, v in ob.items()} == \
+            {k: [tuple(c) for c in v] for k, v in tb.items()}, rid
+        assert ol == tl, rid

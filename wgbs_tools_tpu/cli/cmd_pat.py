@@ -52,8 +52,9 @@ def main_pat2beta(argv):
 
 
 def main_index(argv):
-    p = argparse.ArgumentParser(prog="index",
-                                description="Build random-access index (.cdx)")
+    p = argparse.ArgumentParser(
+        prog="index",
+        description="bgzip and index pat (.cdx/.csi) or bed (.tbi) files")
     p.add_argument("input_files", nargs="+")
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("-@", "--threads", type=int, default=None,
@@ -61,10 +62,24 @@ def main_index(argv):
     args = p.parse_args(argv)
     for f in args.input_files:
         validate_single_file(f)
-        if op.isfile(f + ".cdx") and not args.force:
-            logger.info("index exists for %s (use -f)", f)
-            continue
-        index_pat(f)
+        suff = splitextgz(f)[1][1:]
+        if "bed" in suff:
+            # bed branch: sort-check, bgzip, .tbi (ref: index.py:20-29)
+            from ..formats.blocks import index_bed
+
+            gz = f if f.endswith(".gz") else f + ".gz"
+            if op.isfile(gz + ".tbi") and not args.force:
+                logger.info("index exists for %s (use -f)", f)
+                continue
+            index_bed(f)
+        elif "pat" in suff:
+            if op.isfile(f + ".cdx") and not args.force:
+                logger.info("index exists for %s (use -f)", f)
+                continue
+            index_pat(f)
+        else:
+            raise IllegalArgumentError(
+                "Index only supports pat, bed formats")
     return 0
 
 

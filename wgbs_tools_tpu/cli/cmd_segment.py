@@ -83,12 +83,21 @@ def main(argv):
     eprint(f"[wt segment] found {len(starts):,} blocks")
 
     blocks = sites_blocks(idx, np.stack([starts, ends], axis=1))
-    out = open(args.out_path, "w") if args.out_path else sys.stdout
+    out_path = args.out_path
+    gz = bool(out_path) and out_path.endswith(".gz")
+    txt_path = out_path[:-3] if gz else out_path
+    out = open(txt_path, "w") if out_path else sys.stdout
     for i in range(len(starts)):
         out.write(
             f"{blocks['chr'][i]}\t{blocks['start'][i]}\t{blocks['end'][i]}"
             f"\t{blocks['startCpG'][i]}\t{blocks['endCpG'][i]}\n"
         )
-    if args.out_path:
+    if out_path:
         out.close()
+        if gz:
+            # bgzip + .tbi like the reference's Indxer on block outputs
+            # (ref: src/python/index.py:96-139)
+            from ..formats.blocks import index_bed
+
+            index_bed(txt_path)
     return 0

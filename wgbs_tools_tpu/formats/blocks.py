@@ -59,6 +59,99 @@ def _int_or_na(tok):
     return int(t)
 
 
+def index_bed(path, level=6):
+    """bgzip (when needed) + native .tbi index for a wgbstools bed.
+
+    Mirrors the reference Indxer's bed branch (ref: src/python/index.py:
+    20-29,96-139): plain or gzip input is sort-checked on the startCpG
+    column (`sort -k4,4n`), sorted if needed, BGZF-compressed, and indexed;
+    an already-BGZF input is indexed in place. Returns the final .gz path.
+    """
+    import os
+
+    from ..native import bgzf_compress_native
+    from .bgzf import compress_bytes
+    from .csi import write_tbi
+
+    with open(path, "rb") as f:
+        head = f.read(18)
+    is_bgzf = len(head) >= 18 and head[:4] == b"\x1f\x8b\x08\x04"
+    if is_bgzf:
+        comp = open(path, "rb").read()
+        from .bgzf import decompress_file
+
+        text = decompress_file(path)
+        out_path = path
+    else:
+        opener = gzip.open if is_gzip(path) else open
+        with opener(path, "rb") as f:
+            text = f.read()
+        lines = text.splitlines(keepends=True)
+        meta = [l for l in lines if l.startswith(b"#")]
+        rows = [l for l in lines if l and not l.startswith(b"#")]
+        keys = []
+        for l in rows:
+            t = l.split(b"\t")
+            k = t[3].strip() if len(t) > 3 else b""
+            keys.append(int(k) if k.isdigit() else -1)
+        keys = np.asarray(keys, dtype=np.int64)
+        if (np.diff(keys) < 0).any():
+            # not sorted by startCpG: sort stably (ref sort -k4,4n)
+            order = np.argsort(keys, kind="stable")
+            rows = [rows[i] for i in order]
+        text = b"".join(meta + rows)
+        comp = None
+        try:
+            comp = bgzf_compress_native(text, level=level)
+        except Exception:
+            comp = None
+        if comp is None:
+            comp = compress_bytes(text, level=level)
+        out_path = path if path.endswith(".gz") else path + ".gz"
+        with open(out_path, "wb") as f:
+            f.write(comp)
+        if out_path != path:
+            os.remove(path)
+
+    # per-line voffsets from the block table
+    from .pat import _bgzf_block_table
+
+    nl = np.frombuffer(text, dtype=np.uint8) == ord("\n")
+    line_starts = np.concatenate([[0], np.nonzero(nl)[0] + 1])
+    if line_starts.shape[0] and line_starts[-1] >= len(text):
+        line_starts = line_starts[:-1]
+    offs_all = np.concatenate([line_starts, [len(text)]])
+    coffs, uoffs = _bgzf_block_table(comp)
+    blk = np.searchsorted(uoffs, offs_all, side="right") - 1
+    voffs_all = (coffs[blk] << 16) | (offs_all - uoffs[blk])
+
+    chrom_names, lookup = [], {}
+    cids, begs, ends, keep = [], [], [], []
+    pos = 0
+    for i, lo in enumerate(line_starts):
+        hi = offs_all[i + 1]
+        line = text[lo:hi]
+        if not line or line.startswith(b"#"):
+            continue
+        t = line.split(b"\t")
+        if len(t) < 3 or not t[1].strip().isdigit():
+            continue
+        c = t[0].decode()
+        if c not in lookup:
+            lookup[c] = len(chrom_names)
+            chrom_names.append(c)
+        cids.append(lookup[c])
+        begs.append(int(t[1]))
+        ends.append(int(t[2]))
+        keep.append(i)
+    keep = np.asarray(keep, dtype=np.int64)
+    write_tbi(out_path + ".tbi", chrom_names,
+              np.asarray(cids), np.asarray(begs, dtype=np.int64),
+              np.asarray(ends, dtype=np.int64),
+              voffs_all[keep], voffs_all[keep + 1])
+    return out_path
+
+
 def is_block_file_nice(blocks):
     """Sorted / non-empty / non-overlapping validation
     (exact rule set of ref: beta_to_blocks.py:23-47)."""
