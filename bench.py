@@ -188,15 +188,26 @@ def bench_tpu(frags, n_sites, iters=5):
     return dt, out
 
 
+TRIALS = int(os.environ.get("BENCH_TRIALS", 5))
+
+
 def _measure(frags):
-    if KERNEL == "v2":
+    """Median of TRIALS independent device timings (each already averages
+    `iters` kernel launches). The median separates steady-state kernel rate
+    from transient tunnel/host noise; the per-trial spread is reported so a
+    regression can be told apart from a noisy run."""
+    fn = bench_tpu_v2 if KERNEL == "v2" else bench_tpu
+    dts = []
+    for _ in range(TRIALS):
         try:
-            tpu_dt, _ = bench_tpu_v2(frags, N_SITES)
+            dt, _ = fn(frags, N_SITES)
         except Exception:
-            tpu_dt, _ = bench_tpu(frags, N_SITES)
-    else:
-        tpu_dt, _ = bench_tpu(frags, N_SITES)
-    return tpu_dt
+            if fn is bench_tpu:
+                raise
+            fn = bench_tpu
+            dt, _ = fn(frags, N_SITES)
+        dts.append(dt)
+    return dts
 
 
 def _measure_with_watchdog(frags):
@@ -233,11 +244,19 @@ def main():
             "BENCH_WATCHDOG", "1") == "1":
         _measure_with_watchdog(frags)  # execs the child and exits
 
-    tpu_dt = _measure(frags)
-    tpu_rate = F / tpu_dt
+    tpu_dts = _measure(frags)
+    rates = sorted(F / dt for dt in tpu_dts)
+    tpu_rate = rates[len(rates) // 2]  # median
+    spread_pct = 100 * (rates[-1] - rates[0]) / tpu_rate
 
-    ref_dt = bench_reference(frags, N_SITES)
-    vs_baseline = (F / ref_dt and tpu_rate / (F / ref_dt)) if ref_dt else None
+    # the reference baseline is re-measured per run and is the noisier
+    # quantity (CPU contention); median of its own trials, reported
+    # separately so kernel vs baseline variance can be told apart
+    ref_dts = [bench_reference(frags, N_SITES)
+               for _ in range(max(3, TRIALS - 2))]
+    ref_dts = sorted(d for d in ref_dts if d)
+    ref_rate = F / ref_dts[len(ref_dts) // 2] if ref_dts else None
+    vs_baseline = tpu_rate / ref_rate if ref_rate else None
 
     print(
         json.dumps(
@@ -246,6 +265,10 @@ def main():
                 "value": round(tpu_rate, 1),
                 "unit": "frags/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "trials": len(rates),
+                "kernel_spread_pct": round(spread_pct, 1),
+                "baseline_frags_per_s": round(ref_rate, 1)
+                if ref_rate else None,
             }
         )
     )

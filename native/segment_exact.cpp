@@ -29,6 +29,51 @@
 #include <limits>
 #include <vector>
 
+namespace {
+
+// ll(nm, nt) memoization. The per-dataset float chain
+//   p  = (nm + pc) / (nt + 2*pc)                       [float]
+//   ll = fl(fl(nm * log2((double)p)) + (nt-nm) * log2(1-(double)p))
+// is a pure function of the integer-valued float pair (nm, nt) and pc, so
+// its output can be cached and replayed bit-identically. Realistic blocks
+// (max_bp ~2kb at >=30x) keep nt within a few thousand, making a
+// triangular table L2/L3-resident; the libm log2 calls it replaces are
+// ~80% of the exact kernel's cycles. Larger pairs fall through to the
+// direct computation. Table is per-thread and rebuilt when pc changes.
+constexpr int64_t NT_CAP = 512;  // pairs with nt < NT_CAP are cached
+constexpr size_t TBL_SIZE = (size_t)NT_CAP * (NT_CAP + 1) / 2;
+
+inline float ll_direct(float nmk, float ntk, float pc) {
+    const float p = (nmk + pc) / (ntk + 2 * pc);
+    float ll = 0.0f;
+    if (p > 0.0) ll += nmk * log2((double)p);
+    if (p < 1.0) ll += (ntk - nmk) * log2(1.0 - (double)p);
+    return ll;
+}
+
+struct LLMemo {
+    std::vector<float> tbl;
+    float pc = std::numeric_limits<float>::quiet_NaN();
+
+    void reset(float new_pc) {
+        if (pc == new_pc && !tbl.empty()) return;
+        pc = new_pc;
+        tbl.assign(TBL_SIZE, std::numeric_limits<float>::quiet_NaN());
+    }
+
+    // caller guarantees nmk/ntk are exact integers with 0<=nmk<=ntk<NT_CAP
+    inline float get_small(float nmk, float ntk) {
+        const int64_t nti = (int64_t)ntk;
+        float& slot = tbl[(size_t)nti * (nti + 1) / 2 + (int64_t)nmk];
+        if (std::isnan(slot)) slot = ll_direct(nmk, ntk, pc);
+        return slot;
+    }
+};
+
+thread_local LLMemo g_memo;
+
+}  // namespace
+
 extern "C" {
 
 // data:  (K, n, 2) float32, [meth, total] per site (integer-valued)
@@ -40,6 +85,20 @@ int64_t segment_exact_dp(const float* data, int64_t K, int64_t n,
                          uint32_t max_bp, float pseudo_count,
                          int32_t* T_out) {
     if (n <= 0 || K <= 0 || max_cpg <= 0) return -1;
+    // memoization is valid only for exact-integer counts (always true for
+    // beta-derived data); verified once so the hot loop needs no per-cell
+    // integrality checks
+    bool memo_ok = true;
+    double cov_sum = 0.0;
+    for (int64_t x = 0; x < K * n * 2; x++) {
+        const float v = data[x];
+        if (v < 0.0f || v != (float)(int64_t)v || v >= 16777216.0f) {
+            memo_ok = false;
+            break;
+        }
+        if (x & 1) cov_sum += v;
+    }
+    const float nt_cap_f = (float)NT_CAP;
     const double NEG_INF = -std::numeric_limits<double>::infinity();
     const int64_t W = max_cpg;
 
@@ -74,6 +133,26 @@ int64_t segment_exact_dp(const float* data, int64_t K, int64_t n,
         }
     }
 
+    // enable the memo only when typical in-band block totals fit the cap:
+    // at high coverage the sub-cap prefix cells have little reuse and the
+    // scattered table lookups cost more than the libm calls they replace
+    // (measured: 1.8x faster at ~4x coverage, ~5% slower at 30x without
+    // this gate)
+    if (memo_ok) {
+        double band_est = (double)W;
+        if (monotone && max_bp && n > 1) {
+            int64_t s = 0, cnt = 0;
+            for (int64_t i = 0; i < n; i += 64) {
+                s += band_hi[i] - i;
+                cnt++;
+            }
+            band_est = (double)s / (double)cnt;
+        }
+        const double mean_cov = cov_sum / (double)(n * K);
+        memo_ok = mean_cov * band_est <= (double)NT_CAP;
+        if (memo_ok) g_memo.reset(pseudo_count);
+    }
+
     int64_t k_lo = 0;  // smallest k whose band can still reach i
     T_out[0] = 0;
     for (int64_t i = 0; i < n; i++) {
@@ -98,11 +177,9 @@ int64_t segment_exact_dp(const float* data, int64_t K, int64_t n,
                     nt[k] += t_add;
                     const float ntk = nt[k], nmk = nm[k];
                     if (!ntk) continue;  // unreachable here (t_add > 0)
-                    const float p =
-                        (nmk + pseudo_count) / (ntk + 2 * pseudo_count);
-                    float ll = 0.0f;
-                    if (p > 0.0) ll += nmk * log2((double)p);
-                    if (p < 1.0) ll += (ntk - nmk) * log2(1.0 - (double)p);
+                    const float ll = (memo_ok && ntk < nt_cap_f)
+                        ? g_memo.get_small(nmk, ntk)
+                        : ll_direct(nmk, ntk, pseudo_count);
                     ll_cache[k] = ll;
                     ll_sum += ll;
                 }
@@ -126,12 +203,9 @@ int64_t segment_exact_dp(const float* data, int64_t K, int64_t n,
                     nt[k] += data[((size_t)k * n + i + j) * 2 + 1];
                     const float ntk = nt[k], nmk = nm[k];
                     if (!ntk) continue;
-                    const float p =
-                        (nmk + pseudo_count) / (ntk + 2 * pseudo_count);
-                    float ll = 0.0f;
-                    if (p > 0.0) ll += nmk * log2((double)p);
-                    if (p < 1.0) ll += (ntk - nmk) * log2(1.0 - (double)p);
-                    ll_sum += ll;
+                    ll_sum += (memo_ok && ntk < nt_cap_f)
+                        ? g_memo.get_small(nmk, ntk)
+                        : ll_direct(nmk, ntk, pseudo_count);
                 }
                 if (ll_sum != 0.0) row[j] = ll_sum;
             }
