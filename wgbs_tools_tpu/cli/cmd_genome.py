@@ -11,10 +11,11 @@ def main_init_genome(argv):
     p = argparse.ArgumentParser(prog="init_genome",
                                 description="Init genome reference.")
     p.add_argument("name", help="genome name (e.g. hg19)")
-    p.add_argument("--fasta_path", required=True,
-                   help="reference genome FASTA (.fa or .fa.gz). "
-                   "Unlike the reference implementation there is no UCSC "
-                   "auto-download (no egress); provide the file.")
+    p.add_argument("--fasta_path", default=None,
+                   help="reference genome FASTA (.fa or .fa.gz). When "
+                   "omitted, the UCSC auto-download seam is invoked "
+                   "(unavailable in no-egress environments; see "
+                   "genome.init_genome.download_fasta).")
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("--no_default", action="store_true")
     p.add_argument("--no_sort", action="store_true")
@@ -39,6 +40,14 @@ def main_init_genome(argv):
         from ..utils.log import set_verbose
 
         set_verbose()
+    if args.fasta_path is None:
+        # the reference auto-downloads from UCSC here (init_genome.py:60-92)
+        from ..genome.init_genome import download_fasta
+        from ..genome.refdir import references_root
+        import os.path as _op
+
+        args.fasta_path = download_fasta(
+            args.name, _op.join(references_root(), args.name))
     init_genome(
         args.name,
         args.fasta_path,

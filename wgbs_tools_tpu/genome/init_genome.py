@@ -25,6 +25,29 @@ from .refdir import references_root, set_default_ref
 
 KNOWN_NR_SITES = {"mm9": 13120864, "hg19": 28217448}  # ref: init_genome.py:215-218
 
+# UCSC download scheme the reference uses (ref: init_genome.py:60-92)
+UCSC_FASTA_URL = "https://hgdownload.soe.ucsc.edu/goldenPath/{name}/bigZips/{name}.fa.gz"
+
+
+def download_fasta(name, out_dir, url=None):
+    """Seam for the reference's FASTA auto-download (ref: init_genome.py:
+    60-92: curl/wget of UCSC goldenPath, gunzip, faidx).
+
+    PERMANENT LIMITATION in this build environment: there is no network
+    egress, so auto-download cannot work here by construction — this is the
+    one reference feature that is environmentally infeasible rather than
+    unimplemented. Deployments with egress can implement this seam (fetch
+    `url or UCSC_FASTA_URL.format(name=name)` into out_dir, gunzip, return
+    the path); everything downstream (init_genome) consumes a plain FASTA
+    path and needs no change.
+    """
+    raise IllegalArgumentError(
+        f"No --fasta_path given and FASTA auto-download is unavailable in "
+        f"this environment (no network egress). Download "
+        f"{url or UCSC_FASTA_URL.format(name=name)} yourself and pass it "
+        "via --fasta_path."
+    )
+
 
 def init_genome(
     name,
