@@ -170,3 +170,51 @@ def test_device_calling_bit_identical(mini_genome, tmp_path, monkeypatch):
         f_dev, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
         assert frags_to_bytes(f_dev) == frags_to_bytes(f_np)
         assert f_dev.nr_frags > 100
+        # v2 (gather-free one-hot kernel) is bit-identical too
+        monkeypatch.setenv("WGBS_TPU_DEVICE_CALLING", "2")
+        f_v2, _, _ = bam2pat(bam, genome=mini_genome, write_output=False)
+        assert frags_to_bytes(f_v2) == frags_to_bytes(f_np)
+
+
+def test_call_kernel_v2_matches_host_direct(mini_genome):
+    """call_reads_device_v2 == calling.call_reads_mat on raw matrices,
+    including clip, bottom-strand reads, reads with no CpGs, and chunk
+    boundaries (chunk=64 forces many tiles)."""
+    from wgbs_tools_tpu.ops.calling_tpu import call_reads_device_v2
+    from wgbs_tools_tpu.pipeline.calling import call_reads_mat
+
+    rng = np.random.default_rng(23)
+    idx = mini_genome.index
+    loci = idx.chrom_loci("chr1")
+    site_base, _ = idx.chrom_site_bounds("chr1")
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads({"chr1": seqs["chr1"]}, rng, n_reads=500,
+                              paired=True)
+    reads.sort(key=lambda r: r.pos0)
+    R = len(reads)
+    L = max(len(r.seq) for r in reads)
+    chars = np.zeros((R, L), dtype=np.uint8)
+    lens = np.zeros(R, dtype=np.int64)
+    pos1 = np.zeros(R, dtype=np.int64)
+    flags = np.zeros(R, dtype=np.int64)
+    for i, r in enumerate(reads):
+        chars[i, : len(r.seq)] = np.frombuffer(r.seq, np.uint8)
+        lens[i] = len(r.seq)
+        pos1[i] = r.pos0 + 1
+        flags[i] = r.flag
+    for clip in (0, 3):
+        s_h, p_h, sp_h = call_reads_mat(pos1, flags, True, loci, site_base,
+                                        chars, lens, clip=clip)
+        s_d, p_d, sp_d = call_reads_device_v2(pos1, flags, True, loci,
+                                              site_base, chars, lens,
+                                              clip=clip, chunk=64)
+        assert np.array_equal(s_h, s_d)
+        assert np.array_equal(sp_h, sp_d)
+        W = max(p_h.shape[1], p_d.shape[1])
+
+        def padW(p):
+            out = np.full((p.shape[0], W), ord("."), np.uint8)
+            out[:, : p.shape[1]] = p
+            return out
+
+        assert np.array_equal(padW(p_h), padW(p_d))

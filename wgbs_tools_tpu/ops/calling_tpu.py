@@ -156,6 +156,159 @@ def _pow2(n, lo=256):
     return b
 
 
+# ---------------------------------------------------------------------------
+# v2: gather-free calling kernel
+#
+# The v1 kernel above is bound by (R, K) gathers (~0.1 G gathered elements/s
+# on v5e — measured, BENCHMARKS.md "Device-side calling"). v2 removes every
+# gather:
+#   - k0/k1 window bounds come from a vectorized host searchsorted (the
+#     device binary search was itself ~25 serialized gathers per read);
+#   - per-read loci windows are selected from a small per-chunk loci tile by
+#     a one-hot masked reduction (reads are position-sorted, so a chunk's
+#     reads cover a contiguous, small site range);
+#   - sequence bytes at the CpG offsets (and their +-1 neighbours) come from
+#     one broadcast-compare-reduce over the read length axis;
+#   - the final left-alignment shift is a one-hot over the K slot axis.
+# All selects are exact integer ops — results stay bit-identical to the
+# host path (ref: patter.cpp:105-184 semantics via calling.call_reads_mat).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("K", "clip"))
+def _call_kernel_v2(seqmat, lens, pos1, bottom, k0_rel, nvalid, loci_tile,
+                    K, clip):
+    """seqmat (R,L) u8; loci_tile (U,) i32 covering every read's window;
+    k0_rel (R,) i32 index of each read's first site within the tile;
+    nvalid (R,) i32 = k1-k0. Returns (first, span, packed) as in v1."""
+    R, L = seqmat.shape
+    U = loci_tile.shape[0]
+    kcols = jnp.arange(K, dtype=jnp.int32)[None, :]
+    valid = kcols < nvalid[:, None]
+
+    # loci_g[r, kc] = loci_tile[k0_rel[r] + kc] — one-hot masked reduction
+    # over the tile axis (no gather)
+    kk = k0_rel[:, None] + kcols  # (R, K)
+    uu = jnp.arange(U, dtype=jnp.int32)
+    onehot = (kk[:, :, None] == uu[None, None, :])
+    loci_g = jnp.sum(jnp.where(onehot, loci_tile[None, None, :], 0),
+                     axis=2, dtype=jnp.int32)
+
+    i = loci_g - pos1[:, None]
+    j = i + bottom[:, None].astype(jnp.int32)
+    n_r = lens[:, None].astype(jnp.int32)
+
+    # seq bytes at offsets j-1, j, j+1 via one compare-reduce over L
+    jl = jnp.arange(L, dtype=jnp.int32)
+    jj = j[:, :, None]
+    sq = seqmat[:, None, :].astype(jnp.int32)
+    s = jnp.sum(jnp.where(jj == jl, sq, 0), axis=2).astype(jnp.uint8)
+    prev = jnp.sum(jnp.where(jj - 1 == jl, sq, 0), axis=2).astype(jnp.uint8)
+    nxt = jnp.sum(jnp.where(jj + 1 == jl, sq, 0), axis=2).astype(jnp.uint8)
+
+    bot = bottom[:, None].astype(bool)
+    iscpg = jnp.where(
+        bot,
+        (j > 0) & ((s == B_G) | (s == B_A)) & (prev == B_C),
+        (j < n_r - 1) & ((s == B_C) | (s == B_T)) & (nxt == B_G),
+    )
+    ref_chr = jnp.where(bot, B_G, B_C)
+    unmeth_chr = jnp.where(bot, B_A, B_T)
+    codes = jnp.full((R, K), 3, dtype=jnp.uint8)
+    codes = jnp.where(iscpg & (s == unmeth_chr), 0, codes)
+    codes = jnp.where(iscpg & (s == ref_chr), 1, codes)
+    if clip > 0:
+        codes = jnp.where((j >= clip) & (j < n_r - clip), codes, 3)
+    codes = jnp.where((j >= 0) & (j < n_r) & valid, codes, 3)
+
+    known = codes != 3
+    any_ = known.any(axis=1)
+    first = jnp.argmax(known, axis=1).astype(jnp.int32)
+    last = (K - 1 - jnp.argmax(known[:, ::-1], axis=1)).astype(jnp.int32)
+    span = jnp.where(any_, last - first + 1, 0).astype(jnp.int32)
+
+    # left-align by `first`: one-hot shift over the K axis
+    shift = (kcols + first[:, None])[:, :, None]  # target source slot
+    kidx = jnp.arange(K, dtype=jnp.int32)
+    aligned = jnp.sum(
+        jnp.where(shift == kidx, codes[:, None, :].astype(jnp.int32), 0),
+        axis=2).astype(jnp.uint8)
+    aligned = jnp.where(kcols < span[:, None], aligned, 3).astype(jnp.uint8)
+    first = jnp.where(any_, first, -1)
+    return first, span, _pack2bit(aligned)
+
+
+def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
+                         lens, clip=0, chunk=1 << 13, tile_pow2=True):
+    """Gather-free device calling; same contract as call_reads_device."""
+    from ..pipeline.calling import FREVERSE
+
+    R = seqmat.shape[0]
+    no_calls = (np.full(R, -1, dtype=np.int64),
+                np.full((R, 1), DOT, dtype=np.uint8),
+                np.zeros(R, dtype=np.int64))
+    if R == 0:
+        return no_calls
+    lens = np.asarray(lens, dtype=np.int64)
+    pos1 = np.asarray(positions, dtype=np.int64)
+    flags = np.asarray(flags, dtype=np.int64)
+    if paired:
+        bottom = ((flags & 0x53) == 83) | ((flags & 0xA3) == 163)
+    else:
+        bottom = (flags & FREVERSE) != 0
+    loci = np.ascontiguousarray(loci, dtype=np.int64)
+
+    Lmax = int(lens.max(initial=0))
+    K = _pow2(min(Lmax // 2 + 2, 1 << 17), lo=16)
+    L = seqmat.shape[1]
+    L_b = (L + 31) // 32 * 32
+
+    # host-side window bounds (vectorized binary search)
+    k0 = np.searchsorted(loci, pos1, side="left")
+    k1 = np.searchsorted(loci, pos1 + lens, side="left")
+
+    outs = []
+    for lo in range(0, R, chunk):
+        hi = min(lo + chunk, R)
+        n = hi - lo
+        Rb = _pow2(n, lo=min(chunk, 256))
+        sl = slice(lo, hi)
+        u0 = int(k0[sl].min(initial=0))
+        u1 = int(k1[sl].max(initial=0)) + K  # slack for the kk overrun
+        U = _pow2(max(u1 - u0, 1), lo=256) if tile_pow2 else max(u1 - u0, 1)
+        tile = np.zeros(U, dtype=np.int32)
+        seg = loci[u0 : min(u0 + U, loci.shape[0])]
+        tile[: seg.shape[0]] = seg
+        seq_b = np.zeros((Rb, L_b), dtype=np.uint8)
+        seq_b[:n, :L] = seqmat[sl]
+        lens_b = np.zeros(Rb, dtype=np.int32)
+        lens_b[:n] = lens[sl]
+        pos_b = np.ones(Rb, dtype=np.int32)
+        pos_b[:n] = pos1[sl]
+        bot_b = np.zeros(Rb, dtype=np.int32)
+        bot_b[:n] = bottom[sl]
+        k0_b = np.zeros(Rb, dtype=np.int32)
+        k0_b[:n] = k0[sl] - u0
+        nv_b = np.zeros(Rb, dtype=np.int32)
+        nv_b[:n] = k1[sl] - k0[sl]
+        outs.append((n, sl, u0, _call_kernel_v2(
+            jnp.asarray(seq_b), jnp.asarray(lens_b), jnp.asarray(pos_b),
+            jnp.asarray(bot_b), jnp.asarray(k0_b), jnp.asarray(nv_b),
+            jnp.asarray(tile), K, int(clip))))
+
+    starts = np.full(R, -1, dtype=np.int64)
+    spans = np.zeros(R, dtype=np.int64)
+    pats = np.full((R, K), 3, dtype=np.uint8)
+    for n, sl, u0, (first, span, packed) in outs:
+        first = np.asarray(first)[:n]
+        spans[sl] = np.asarray(span)[:n]
+        has = first >= 0
+        starts[sl] = np.where(has, site_base + k0[sl] + first, -1)
+        pats[sl] = _unpack2bit_host(np.asarray(packed)[:n], K)
+    maxspan = max(int(spans.max(initial=1)), 1)
+    return starts, _CODE2CHAR[pats[:, :maxspan]], spans
+
+
 _LOCI_CACHE = {}
 
 

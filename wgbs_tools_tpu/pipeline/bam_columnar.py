@@ -40,6 +40,11 @@ def use_device_calling():
     return False
 
 
+def device_calling_version():
+    """2 selects the gather-free one-hot kernel (calling_tpu v2)."""
+    return 2 if os.environ.get("WGBS_TPU_DEVICE_CALLING") == "2" else 1
+
+
 def scan_bam_columnar(path):
     """(buf, header info, cols, offs, rec_end) or None when unavailable."""
     try:
@@ -148,11 +153,12 @@ def decode_and_call(buf, bufarr, cols, offs, idx_rows, loci, site_base,
     pos1 = sub_cols[:, 1].astype(np.int64) + 1
     device = mbias is None and use_device_calling()
     if device:
-        from ..ops.calling_tpu import call_reads_device
+        from ..ops.calling_tpu import call_reads_device, call_reads_device_v2
 
-        starts, patmat, span = call_reads_device(pos1, flags, paired, loci,
-                                                 site_base, chars, lens,
-                                                 clip=clip)
+        fn = (call_reads_device_v2 if device_calling_version() == 2
+              else call_reads_device)
+        starts, patmat, span = fn(pos1, flags, paired, loci,
+                                  site_base, chars, lens, clip=clip)
     else:
         starts, patmat, span = call_reads_mat(pos1, flags, paired, loci,
                                               site_base, chars, lens,
