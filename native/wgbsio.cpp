@@ -622,4 +622,79 @@ void pat_pileup(const int32_t* start, const int32_t* length,
     for (auto& th : ts) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Row packing for the v3 pileup kernel: pieces (each inside one 128-site
+// sub-block) are bin-packed into shared kernel rows. Two pieces may share a
+// row iff they have the same sub-block g, the same repeat count (the row
+// count is a scalar multiplier in the kernel), and disjoint [rr, rr+len)
+// site intervals — enforced exactly with a 128-bit occupancy mask per row
+// (first-fit). Pieces must arrive grouped by ascending g (sorted pat order
+// guarantees it); rows come out grouped by g in creation order.
+// Returns n_rows (or -1 on bad input).
+int64_t pack_rows128(const int32_t* g, const int32_t* count,
+                     const int32_t* rr, const int32_t* len, int64_t n,
+                     int32_t* piece_row, int32_t* row_g, int32_t* row_count) {
+    struct Row {
+        uint64_t m0, m1;
+        int32_t idx;
+    };
+    // per-count open rows of the CURRENT g (counts are few distinct values;
+    // linear scan over classes is fine)
+    std::vector<int32_t> class_count;
+    std::vector<std::vector<Row>> class_rows;
+    int64_t n_rows = 0;
+    int32_t cur_g = n ? g[0] : 0;
+    for (int64_t i = 0; i < n; i++) {
+        if (g[i] < cur_g) return -1;  // not grouped
+        if (g[i] != cur_g) {
+            class_count.clear();
+            class_rows.clear();
+            cur_g = g[i];
+        }
+        const int32_t r0 = rr[i], ln = len[i];
+        if (r0 < 0 || ln <= 0 || r0 + ln > 128) return -1;
+        uint64_t m0 = 0, m1 = 0;
+        {
+            // bits [r0, r0+ln) across the two 64-bit halves
+            int lo = r0, hi = r0 + ln;
+            if (lo < 64) {
+                int h = hi < 64 ? hi : 64;
+                m0 = (h - lo == 64) ? ~0ULL : (((1ULL << (h - lo)) - 1) << lo);
+            }
+            if (hi > 64) {
+                int l2 = lo > 64 ? lo - 64 : 0;
+                int h2 = hi - 64;
+                m1 = (h2 - l2 == 64) ? ~0ULL
+                                     : (((1ULL << (h2 - l2)) - 1) << l2);
+            }
+        }
+        size_t cls = 0;
+        for (; cls < class_count.size(); cls++)
+            if (class_count[cls] == count[i]) break;
+        if (cls == class_count.size()) {
+            class_count.push_back(count[i]);
+            class_rows.emplace_back();
+        }
+        auto& rows = class_rows[cls];
+        int32_t target = -1;
+        for (auto& r : rows) {
+            if ((r.m0 & m0) == 0 && (r.m1 & m1) == 0) {
+                r.m0 |= m0;
+                r.m1 |= m1;
+                target = r.idx;
+                break;
+            }
+        }
+        if (target < 0) {
+            target = (int32_t)n_rows;
+            rows.push_back({m0, m1, target});
+            row_g[n_rows] = cur_g;
+            row_count[n_rows] = count[i];
+            n_rows++;
+        }
+        piece_row[i] = target;
+    }
+    return n_rows;
+}
+
 }  // extern "C"

@@ -1,0 +1,100 @@
+"""Row-packed pileup kernel (v3) correctness (interpret mode) + the native
+interval packer's invariants."""
+
+import numpy as np
+import pytest
+
+from tests.synth import random_frags
+from wgbs_tools_tpu.native import get_lib, pack_rows_native
+from wgbs_tools_tpu.ops.pileup import pileup_xla
+from wgbs_tools_tpu.ops.pileup_tpu3 import SB, pileup_pallas_v3, stage_v3
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native packer unavailable")
+
+
+def _compare(frags, ws, wl):
+    got = pileup_pallas_v3(frags.start, frags.length, frags.count,
+                           frags.codes, ws, wl, interpret=True)
+    expect = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                        ws, wl)
+    assert (got == expect).all()
+
+
+def test_v3_small(rng):
+    _compare(random_frags(rng, 400, 2000, max_len=12, h_rate=0.05), 1, 2000)
+
+
+def test_v3_multi_tile(rng):
+    _compare(random_frags(rng, 3000, 5000, max_len=20, dot_rate=0.1), 1, 5000)
+
+
+def test_v3_offset_window(rng):
+    _compare(random_frags(rng, 2000, 6000, max_len=16), 2500, 2048)
+
+
+def test_v3_long_fragments_split(rng):
+    _compare(random_frags(rng, 300, 9000, max_len=400), 1, 9000)
+
+
+def test_v3_counts_and_boundaries(rng):
+    from wgbs_tools_tpu.formats.pat import CODE_C, PatFrags
+
+    # sub-block/tile boundary crossers with heterogeneous counts: count
+    # classes must not mix within packed rows
+    starts = np.array([120, 125, 126, 127, 128, 1020, 1023, 1024, 2047,
+                       2048], dtype=np.int32)
+    n = starts.shape[0]
+    frags = PatFrags(starts, np.full(n, 10, np.int32),
+                     np.array([1, 7, 1, 250000, 1, 2, 2, 1, 3, 1],
+                              np.int32),
+                     np.full((n, 10), CODE_C, np.uint8),
+                     np.zeros(n, np.int16), ["chr1"], None)
+    _compare(frags, 1, 3072)
+
+
+def test_v3_dense_overlap(rng):
+    """Deep coverage of a narrow window forces many rows per sub-block."""
+    from wgbs_tools_tpu.formats.pat import PatFrags
+
+    F = 3000
+    starts = rng.integers(1, 200, size=F).astype(np.int32)
+    lengths = rng.integers(1, 30, size=F).astype(np.int32)
+    codes = rng.integers(0, 4, size=(F, 30)).astype(np.uint8)
+    codes[np.arange(30)[None] >= lengths[:, None]] = 3
+    frags = PatFrags(np.sort(starts), lengths,
+                     rng.integers(1, 4, size=F).astype(np.int32), codes,
+                     np.zeros(F, np.int16), ["chr1"], None)
+    _compare(frags, 1, 1024)
+
+
+def test_pack_rows_disjoint_invariant(rng):
+    """Rows returned by the native packer never contain overlapping pieces
+    and always share (g, count)."""
+    n = 5000
+    g = np.sort(rng.integers(0, 40, size=n)).astype(np.int32)
+    rr = rng.integers(0, 120, size=n).astype(np.int32)
+    ln = np.minimum(rng.integers(1, 40, size=n), 128 - rr).astype(np.int32)
+    cnt = rng.integers(1, 4, size=n).astype(np.int32)
+    piece_row, row_g, row_count = pack_rows_native(g, cnt, rr, ln)
+    occupancy = {}
+    for i in range(n):
+        r = int(piece_row[i])
+        assert row_g[r] == g[i]
+        assert row_count[r] == cnt[i]
+        mask = occupancy.setdefault(r, np.zeros(128, bool))
+        seg = mask[rr[i] : rr[i] + ln[i]]
+        assert not seg.any(), "overlapping pieces share a row"
+        seg[:] = True
+    # packing actually compresses (deep overlap data would be ~n rows
+    # unpacked; disjoint packing should do far better)
+    assert row_g.shape[0] < n / 2
+
+
+def test_v3_empty_and_tiny():
+    from wgbs_tools_tpu.formats.pat import empty_frags
+
+    f = empty_frags()
+    got = pileup_pallas_v3(f.start, f.length, f.count, f.codes, 1, 1500,
+                           interpret=True)
+    assert got.shape == (1500, 2) and not got.any()

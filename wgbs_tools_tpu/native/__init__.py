@@ -76,6 +76,9 @@ def _bind_symbols(lib):
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         i64, i64, i64, i64, ctypes.c_void_p, ctypes.c_int,
     ]
+    lib.pack_rows128.restype = i64
+    lib.pack_rows128.argtypes = [ctypes.c_void_p] * 4 + [i64] \
+        + [ctypes.c_void_p] * 3
 
 
 def _ptr(arr, ctype):
@@ -303,6 +306,33 @@ def segment_exact_native(data, loci, max_cpg, max_bp, pseudo_count):
     if rc != 0:
         return None
     return T.astype(np.int64)
+
+
+def pack_rows_native(g, count, rr, ln):
+    """First-fit 128-bit-mask interval packing for the v3 pileup staging.
+
+    Pieces grouped by ascending sub-block g; same-(g, count) pieces with
+    disjoint [rr, rr+len) share a kernel row. Returns (piece_row int32[n],
+    row_g int32[R], row_count int32[R]) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    g = np.ascontiguousarray(g, dtype=np.int32)
+    count = np.ascontiguousarray(count, dtype=np.int32)
+    rr = np.ascontiguousarray(rr, dtype=np.int32)
+    ln = np.ascontiguousarray(ln, dtype=np.int32)
+    n = g.shape[0]
+    piece_row = np.empty(max(n, 1), dtype=np.int32)
+    row_g = np.empty(max(n, 1), dtype=np.int32)
+    row_count = np.empty(max(n, 1), dtype=np.int32)
+    nr = lib.pack_rows128(
+        g.ctypes.data, count.ctypes.data, rr.ctypes.data, ln.ctypes.data,
+        ctypes.c_int64(n), piece_row.ctypes.data, row_g.ctypes.data,
+        row_count.ctypes.data)
+    if nr < 0:
+        return None
+    nr = int(nr)
+    return piece_row[:n], row_g[:nr], row_count[:nr]
 
 
 def pileup_native(start, length, count, codes, window_start, n_sites,

@@ -186,13 +186,28 @@ def _call_kernel_v2(seqmat, lens, pos1, bottom, k0_rel, nvalid, loci_tile,
     kcols = jnp.arange(K, dtype=jnp.int32)[None, :]
     valid = kcols < nvalid[:, None]
 
-    # loci_g[r, kc] = loci_tile[k0_rel[r] + kc] — one-hot masked reduction
-    # over the tile axis (no gather)
-    kk = k0_rel[:, None] + kcols  # (R, K)
+    # loci_g[r, kc] = loci_tile[k0_rel[r] + kc] with no gather: the K-wide
+    # windows are rows of a Hankel skew of the tile, and selecting row
+    # k0_rel[r] is a one-hot MXU matmul. Loci exceed f32's exact-integer
+    # range, so the tile is split into byte planes (values < 256 are exact
+    # through any matmul precision) and recombined. Cost: R*U*K MACs on the
+    # MXU — vs the (R,K) element gathers that bound the v1 kernel.
     uu = jnp.arange(U, dtype=jnp.int32)
-    onehot = (kk[:, :, None] == uu[None, None, :])
-    loci_g = jnp.sum(jnp.where(onehot, loci_tile[None, None, :], 0),
-                     axis=2, dtype=jnp.int32)
+    onehot = (k0_rel[:, None] == uu[None, :]).astype(jnp.float32)  # (R, U)
+    pad = jnp.zeros(K, jnp.int32)
+    tile_pad = jnp.concatenate([loci_tile, pad])
+
+    def _hankel(x):  # (U + K,) -> H (U, K), H[u, kc] = x[u + kc]
+        Lh = U + K - 1
+        t = jnp.tile(x[:Lh], K + 1)[: K * (Lh + 1)].reshape(K, Lh + 1)
+        return t[:, :U].T
+
+    loci_g = jnp.zeros((R, K), dtype=jnp.int32)
+    for b in range(4):
+        plane = ((tile_pad >> (8 * b)) & 0xFF).astype(jnp.float32)
+        sel = jnp.dot(onehot, _hankel(plane),
+                      preferred_element_type=jnp.float32)
+        loci_g = loci_g | (sel.astype(jnp.int32) << (8 * b))
 
     i = loci_g - pos1[:, None]
     j = i + bottom[:, None].astype(jnp.int32)
@@ -239,7 +254,7 @@ def _call_kernel_v2(seqmat, lens, pos1, bottom, k0_rel, nvalid, loci_tile,
 
 
 def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
-                         lens, clip=0, chunk=1 << 13, tile_pow2=True):
+                         lens, clip=0, chunk=1 << 11, tile_pow2=True):
     """Gather-free device calling; same contract as call_reads_device."""
     from ..pipeline.calling import FREVERSE
 

@@ -261,9 +261,10 @@ def pileup_frags(frags: PatFrags, window, backend="auto",
                  batch=DEFAULT_BATCH, **kw):
     """Pileup a PatFrags batch over a 1-based [s, e) site window.
 
-    backend: "pallas2" = sub-block grouped TPU kernel (fastest steady-state),
+    backend: "pallas3" = row-packed TPU kernel (fastest; falls back to v2
+    without the native packer), "pallas2" = sub-block grouped TPU kernel,
     "pallas" = tile/halo TPU kernel, "xla" = scatter path; "auto" picks
-    pallas2 on TPU, xla elsewhere. to_host=False returns a device array.
+    pallas3 on TPU, xla elsewhere. to_host=False returns a device array.
     `batch` bounds the xla path's per-launch fragment count (the Pallas
     kernels chunk internally).
     """
@@ -271,7 +272,13 @@ def pileup_frags(frags: PatFrags, window, backend="auto",
     n = e - s
     sel = frags.slice_sites(s, e, min_overlap=1) if frags.nr_frags else frags
     if backend == "auto":
-        backend = "pallas2" if jax.default_backend() == "tpu" else "xla"
+        backend = "pallas3" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas3":
+        from .pileup_tpu3 import pileup_pallas_v3
+
+        return pileup_pallas_v3(
+            sel.start, sel.length, sel.count, sel.codes, s, n, **kw
+        )
     if backend == "pallas2":
         from .pileup_tpu2 import pileup_pallas_v2
 

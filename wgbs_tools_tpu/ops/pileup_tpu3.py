@@ -1,0 +1,298 @@
+"""Row-packed Pallas pileup kernel (v3).
+
+The v2 kernel (pileup_tpu2.py) gives every fragment its own 256-lane row;
+with WGBS fragments averaging ~12 sites, ~95% of lanes compute masked-off
+work — BENCHMARKS.md's roofline pegs it at ~10% VPU occupancy. v3 closes
+most of that gap:
+
+- fragments are split at 128-site sub-block boundaries (<= 2 pieces each;
+  piece pileups are independent, so this is exact);
+- pieces of the same sub-block and repeat count with DISJOINT site
+  intervals are bin-packed into shared kernel rows (native first-fit with
+  128-bit occupancy masks — native/wgbsio.cpp::pack_rows128), cutting row
+  count to roughly the local coverage depth;
+- codes are pre-placed at their in-sub-block offsets on the host (gaps and
+  padding decode to '.', which the kernel treats as unobserved), so the
+  kernel needs NO barrel rolls and no per-fragment start/length meta: just
+  unpack -> compare -> one-hot matmul into per-sub-block strips -> aligned
+  adds. Rows never cross tiles, so the v2 halo carry disappears too.
+
+Bit-exactness: identical integer adds in a different grouping (and the
+same f32 one-hot matmul bound as v2: per-site per-chunk count sums must
+stay < 2^24, true for any real data).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats.pat import CODE_DOT
+from .pileup_tpu2 import _split_long, planar_pack_cols
+
+SB = 128          # sub-block width (lanes) — also the row width
+TILE_SB = 8       # sub-blocks per output tile -> tile = 1024 sites
+ROW_CHUNK = 256   # packed rows per chunk (row rc-1 is always padding)
+G_MAX = 8         # max distinct sub-blocks per chunk
+
+
+def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
+            acc_m, acc_c, sem_out, *, tile, rc, g_max):
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    n_c = pl.num_programs(1)
+
+    @pl.when(c == 0)
+    def _():
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+    active = (c0_ref[i] + c) < c1_ref[i]
+
+    @pl.when(active)
+    def _():
+        counts = meta_blk[0, 0].reshape(rc, 1)
+        dg = meta_blk[0, 1].reshape(rc)
+        base_g = meta_blk[0, 1, rc - 1] - g_max  # stashed in the padding row
+
+        words = words_blk[...]
+        work = jnp.concatenate(
+            [(words >> (2 * j)) & 3 for j in range(16)], axis=1
+        )  # (rc, SB) — codes pre-placed at their in-sub-block offsets
+        observed = work != CODE_DOT
+        meth_call = observed & (work != 0)  # codes 1 (C) and 2 (H)
+
+        mv = jnp.where(meth_call, counts, 0).astype(jnp.float32)
+        cv = jnp.where(observed, counts, 0).astype(jnp.float32)
+        onehot = (
+            dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
+        ).astype(jnp.float32)
+        strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
+        strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+
+        off0 = base_g * SB - i * tile
+        for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
+            off = off0 + g * SB
+            ok = (off >= 0) & (off + SB <= tile)
+            offc = pl.multiple_of(jnp.clip(off, 0, tile - SB), SB)
+            acc_m[:, pl.ds(offc, SB)] += \
+                jnp.where(ok, strips_m[g], 0.0).astype(jnp.int32)[None]
+            acc_c[:, pl.ds(offc, SB)] += \
+                jnp.where(ok, strips_c[g], 0.0).astype(jnp.int32)[None]
+
+    @pl.when(c == n_c - 1)
+    def _():
+        cp_m = pltpu.make_async_copy(acc_m, meth_out.at[i], sem_out.at[0])
+        cp_c = pltpu.make_async_copy(acc_c, cov_out.at[i], sem_out.at[1])
+        cp_m.start()
+        cp_c.start()
+        cp_m.wait()
+        cp_c.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_len", "tile", "rc", "g_max", "max_chunks",
+                     "interpret"),
+)
+def _call(c0, c1, meta, words, window_len, tile, rc, g_max, max_chunks,
+          interpret=False):
+    num_tiles = (window_len + tile - 1) // tile
+    n_chunks = meta.shape[0]
+
+    def meta_idx(i, c, c0_ref, c1_ref):
+        return (jnp.minimum(c0_ref[i] + c, n_chunks - 1), 0, 0)
+
+    def words_idx(i, c, c0_ref, c1_ref):
+        return (jnp.minimum(c0_ref[i] + c, n_chunks - 1), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_tiles, max_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 2, rc), meta_idx),
+            pl.BlockSpec((rc, words.shape[1]), words_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel, tile=tile, rc=rc, g_max=g_max)
+    meth, cov = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(c0, c1, meta, words)
+    return meth.reshape(-1)[:window_len], cov.reshape(-1)[:window_len]
+
+
+def _prep_window(start, length, count, codes, window_start, window_len):
+    """Split long frags, clip to the window; returns (rel, length, count,
+    codes) with rel in [0, window_len) and length <= SB."""
+    codes = np.asarray(codes)
+    start, length, count, codes = _split_long(start, length, count, codes)
+    rel = (np.asarray(start) - window_start).astype(np.int64)
+    keep = (rel + length > 0) & (rel < window_len)
+    rel, length, count, codes = (rel[keep], length[keep], count[keep],
+                                 codes[keep])
+    neg = np.nonzero(rel < 0)[0]
+    if neg.size:
+        codes = codes.copy()
+        width = codes.shape[1]
+        for idx in neg:
+            sh = int(-rel[idx])
+            row = np.full(width, CODE_DOT, dtype=np.uint8)
+            ln = max(int(length[idx]) - sh, 0)
+            if ln > 0:
+                row[:ln] = codes[idx, sh : sh + ln]
+            codes[idx] = row
+            length[idx] = ln
+            rel[idx] = 0
+        pos = length > 0
+        rel, length, count, codes = (rel[pos], length[pos], count[pos],
+                                     codes[pos])
+    return rel, length, count, codes
+
+
+def stage_v3(start, length, count, codes, window_start, window_len,
+             tile=SB * TILE_SB, rc=ROW_CHUNK, g_max=G_MAX):
+    """Host staging: window prep, sub-block split, native row packing,
+    code placement, chunking. Returns (c0, c1, meta, words, max_chunks) or
+    None when the native packer is unavailable."""
+    from ..native import pack_rows_native
+
+    rel, length, count, codes = _prep_window(
+        start, length, count, codes, window_start, window_len)
+    F = rel.shape[0]
+    W = codes.shape[1]
+
+    # split at sub-block boundaries: each fragment (len <= SB) yields <= 2
+    # pieces, each inside a single sub-block
+    rr_all = (rel % SB).astype(np.int64)
+    g_all = (rel // SB).astype(np.int64)
+    len1 = np.minimum(length, SB - rr_all).astype(np.int64)
+    len2 = (length - len1).astype(np.int64)
+    has2 = len2 > 0
+
+    p_g = np.concatenate([g_all, g_all[has2] + 1])
+    p_rr = np.concatenate([rr_all, np.zeros(int(has2.sum()), np.int64)])
+    p_len = np.concatenate([len1, len2[has2]])
+    p_cnt = np.concatenate([count, count[has2]]).astype(np.int32)
+    # piece code source: (frag index, column offset within the fragment)
+    p_src = np.concatenate([np.arange(F), np.nonzero(has2)[0]])
+    p_off = np.concatenate([np.zeros(F, np.int64), len1[has2]])
+
+    order = np.argsort(p_g, kind="stable")
+    p_g, p_rr, p_len, p_cnt = (p_g[order], p_rr[order], p_len[order],
+                               p_cnt[order])
+    p_src, p_off = p_src[order], p_off[order]
+
+    packed = pack_rows_native(p_g, p_cnt, p_rr, p_len) if F else \
+        (np.zeros(0, np.int32),) * 3
+    if packed is None:
+        return None
+    piece_row, row_g, row_count = packed
+    R = row_g.shape[0]
+
+    # place piece codes into the dense (R, SB) row matrix (DOT-gapped)
+    rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
+    if F:
+        P = p_g.shape[0]
+        m = np.arange(W)[None, :] < p_len[:, None]  # ragged piece columns
+        src_cols = p_off[:, None] + np.arange(W)[None, :]
+        flat_src = (p_src[:, None] * W + np.minimum(src_cols, W - 1))[m]
+        vals = codes.reshape(-1)[flat_src]
+        dst = (piece_row.astype(np.int64)[:, None] * SB
+               + p_rr[:, None] + np.arange(W)[None, :])[m]
+        rowmat.reshape(-1)[dst] = vals
+
+    # chunking over rows: bounded rows, sub-block span, single tile
+    row_tile = row_g // TILE_SB
+    breaks = [0]
+    cstart = 0
+    while cstart < R:
+        lim1 = cstart + rc - 1
+        lim2 = int(np.searchsorted(row_g, row_g[cstart] + g_max, side="left"))
+        lim3 = int(np.searchsorted(row_tile, row_tile[cstart] + 1,
+                                   side="left"))
+        nxt = max(min(lim1, lim2, lim3, R), cstart + 1)
+        breaks.append(nxt)
+        cstart = nxt
+    n_real = max(len(breaks) - 1, 1)
+    gran = 1 << max(4, n_real.bit_length() - 3)
+    n_chunks = (n_real + gran - 1) // gran * gran
+
+    w_cols = SB // 16
+    meta = np.zeros((n_chunks, 2, rc), dtype=np.int32)
+    meta[:, 1, :] = g_max  # padding rows select no one-hot group
+    words = np.full((n_chunks * rc, w_cols), -1, dtype=np.int32)  # all '.'
+    all_words = (planar_pack_cols(rowmat, w_cols) if R else
+                 np.zeros((0, w_cols), dtype=np.int32))
+    bstarts = np.asarray(breaks[:-1], dtype=np.int64)
+    bends = np.asarray(breaks[1:], dtype=np.int64)
+    if R:
+        lens_c = bends - bstarts
+        ci_arr = np.repeat(np.arange(n_real), lens_c)
+        pos_arr = np.arange(R) - np.repeat(bstarts, lens_c)
+        base_g = row_g[bstarts]
+        meta[ci_arr, 0, pos_arr] = row_count
+        meta[ci_arr, 1, pos_arr] = (row_g - base_g[ci_arr]).astype(np.int32)
+        # base_g stashed in the guaranteed-padding row rc-1 (offset by g_max
+        # so the padding default there still selects no group after decode)
+        meta[:n_real, 1, rc - 1] = base_g + G_MAX
+        words[ci_arr * rc + pos_arr] = all_words
+        chunk_tile = row_tile[bstarts]
+    else:
+        chunk_tile = np.zeros(n_real, dtype=np.int64)
+
+    num_tiles = (window_len + tile - 1) // tile
+    if R:
+        c0 = np.searchsorted(chunk_tile, np.arange(num_tiles), side="left")
+        c1 = np.searchsorted(chunk_tile, np.arange(num_tiles), side="right")
+    else:
+        c0 = np.zeros(num_tiles, dtype=np.int64)
+        c1 = np.zeros(num_tiles, dtype=np.int64)
+    max_chunks = max(int((c1 - c0).max(initial=1)), 1)
+    max_chunks = 1 << (max_chunks - 1).bit_length()
+    return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
+            max_chunks)
+
+
+def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
+                     interpret=None, packed=False, to_host=True):
+    """Pileup over 1-based [window_start, window_start + window_len)."""
+    from ..formats.pat import unpack_codes
+
+    if packed:
+        codes = unpack_codes(np.asarray(codes))
+    staged = stage_v3(start, length, count, codes, window_start, window_len)
+    if staged is None:  # native packer unavailable: v2 does the same job
+        from .pileup_tpu2 import pileup_pallas_v2
+
+        return pileup_pallas_v2(start, length, count, codes, window_start,
+                                window_len, interpret=interpret,
+                                to_host=to_host)
+    c0, c1, meta, words, max_chunks = staged
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    meth, cov = _call(
+        jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
+        jnp.asarray(words),
+        window_len, SB * TILE_SB, ROW_CHUNK, G_MAX, max_chunks, interpret,
+    )
+    if not to_host:
+        return jnp.stack([meth, cov], axis=1)
+    return np.stack([np.asarray(meth), np.asarray(cov)], axis=1)
