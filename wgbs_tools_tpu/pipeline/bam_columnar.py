@@ -108,8 +108,9 @@ def decode_and_call(buf, bufarr, cols, offs, idx_rows, loci, site_base,
     # sequence matrix: vectorized decode for simple reads
     nb = (l_seq + 1) // 2
     NBmax = max(int(nb.max(initial=1)), 1)
-    gidx = np.minimum(sub_offs[:, 2][:, None] + np.arange(NBmax)[None, :],
-                      bufarr.shape[0] - 1)
+    from ..utils import outer_add
+
+    gidx = np.minimum(outer_add(sub_offs[:, 2], NBmax), bufarr.shape[0] - 1)
     chars = _PAIR_LUT[bufarr[gidx]].view(np.uint8).reshape(R, 2 * NBmax)
     lens = l_seq.copy()
 
@@ -171,7 +172,9 @@ def decode_and_call(buf, bufarr, cols, offs, idx_rows, loci, site_base,
     if paired or need_qnames:
         lq = sub_cols[:, 7].astype(np.int64)
         LQ = max(int(lq.max(initial=1)), 1)
-        qidx = np.minimum(sub_offs[:, 0][:, None] + np.arange(LQ)[None, :],
+        from ..utils import outer_add
+
+        qidx = np.minimum(outer_add(sub_offs[:, 0], LQ),
                           bufarr.shape[0] - 1)
         qmat = bufarr[qidx].copy()
         qmat[np.arange(LQ)[None, :] >= (lq - 1)[:, None]] = 0
