@@ -175,9 +175,8 @@ def _pow2(n, lo=256):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("K", "clip"))
-def _call_kernel_v2(seqmat, lens, pos1, bottom, k0_rel, nvalid, loci_tile,
-                    K, clip):
+def _call_kernel_v2_impl(seqmat, lens, pos1, bottom, k0_rel, nvalid,
+                         loci_tile, K, clip):
     """seqmat (R,L) u8; loci_tile (U,) i32 covering every read's window;
     k0_rel (R,) i32 index of each read's first site within the tile;
     nvalid (R,) i32 = k1-k0. Returns (first, span, packed) as in v1."""
@@ -253,8 +252,25 @@ def _call_kernel_v2(seqmat, lens, pos1, bottom, k0_rel, nvalid, loci_tile,
     return first, span, _pack2bit(aligned)
 
 
+_call_kernel_v2 = partial(jax.jit, static_argnames=("K", "clip"))(
+    _call_kernel_v2_impl)
+
+
+@partial(jax.jit, static_argnames=("K", "clip"))
+def _call_kernel_v2_batched(seqmat, lens, pos1, bottom, k0_rel, nvalid,
+                            loci_tile, K, clip):
+    """vmapped single-launch form: all chunk tensors stacked on a leading
+    axis, ONE h2d + ONE dispatch — per-chunk dispatch latency over the
+    tunneled device dominated the chunked form (BENCHMARKS.md)."""
+    return jax.vmap(
+        lambda a, b, c, d, e, f, g: _call_kernel_v2_impl(a, b, c, d, e, f,
+                                                         g, K, clip)
+    )(seqmat, lens, pos1, bottom, k0_rel, nvalid, loci_tile)
+
+
 def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
-                         lens, clip=0, chunk=1 << 11, tile_pow2=True):
+                         lens, clip=0, chunk=1 << 11, tile_pow2=True,
+                         single_launch=True):
     """Gather-free device calling; same contract as call_reads_device."""
     from ..pipeline.calling import FREVERSE
 
@@ -282,15 +298,21 @@ def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
     k0 = np.searchsorted(loci, pos1, side="left")
     k1 = np.searchsorted(loci, pos1 + lens, side="left")
 
-    outs = []
-    for lo in range(0, R, chunk):
-        hi = min(lo + chunk, R)
+    bounds = [(lo, min(lo + chunk, R)) for lo in range(0, R, chunk)]
+    Rb = _pow2(min(chunk, R), lo=min(chunk, 256))
+    # common tile width across chunks (single compiled shape)
+    u_maxw = 1
+    for lo, hi in bounds:
+        sl = slice(lo, hi)
+        u_maxw = max(u_maxw,
+                     int(k1[sl].max(initial=0)) - int(k0[sl].min(initial=0)))
+    U = _pow2(u_maxw + K, lo=256) if tile_pow2 else u_maxw + K
+
+    staged = []
+    for lo, hi in bounds:
         n = hi - lo
-        Rb = _pow2(n, lo=min(chunk, 256))
         sl = slice(lo, hi)
         u0 = int(k0[sl].min(initial=0))
-        u1 = int(k1[sl].max(initial=0)) + K  # slack for the kk overrun
-        U = _pow2(max(u1 - u0, 1), lo=256) if tile_pow2 else max(u1 - u0, 1)
         tile = np.zeros(U, dtype=np.int32)
         seg = loci[u0 : min(u0 + U, loci.shape[0])]
         tile[: seg.shape[0]] = seg
@@ -306,10 +328,27 @@ def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
         k0_b[:n] = k0[sl] - u0
         nv_b = np.zeros(Rb, dtype=np.int32)
         nv_b[:n] = k1[sl] - k0[sl]
-        outs.append((n, sl, u0, _call_kernel_v2(
-            jnp.asarray(seq_b), jnp.asarray(lens_b), jnp.asarray(pos_b),
-            jnp.asarray(bot_b), jnp.asarray(k0_b), jnp.asarray(nv_b),
-            jnp.asarray(tile), K, int(clip))))
+        staged.append((n, sl, u0, seq_b, lens_b, pos_b, bot_b, k0_b, nv_b,
+                       tile))
+
+    if single_launch:
+        # stack everything: one h2d, one dispatch, one fetch
+        stk = [np.stack([s[i] for s in staged]) for i in range(3, 10)]
+        f_all, sp_all, pk_all = _call_kernel_v2_batched(
+            *(jnp.asarray(x) for x in stk), K, int(clip))
+        f_all = np.asarray(f_all)
+        sp_all = np.asarray(sp_all)
+        pk_all = np.asarray(pk_all)
+        outs = [(s[0], s[1], s[2], (f_all[c], sp_all[c], pk_all[c]))
+                for c, s in enumerate(staged)]
+    else:
+        outs = [
+            (n, sl, u0, _call_kernel_v2(
+                jnp.asarray(seq_b), jnp.asarray(lens_b), jnp.asarray(pos_b),
+                jnp.asarray(bot_b), jnp.asarray(k0_b), jnp.asarray(nv_b),
+                jnp.asarray(tile), K, int(clip)))
+            for n, sl, u0, seq_b, lens_b, pos_b, bot_b, k0_b, nv_b, tile
+            in staged]
 
     starts = np.full(R, -1, dtype=np.int64)
     spans = np.zeros(R, dtype=np.int64)
