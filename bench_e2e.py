@@ -188,7 +188,8 @@ def run_segmentation(acc):
     import jax
     import jax.numpy as jnp
 
-    from wgbs_tools_tpu.models.segment import _segment_windows_masks
+    from wgbs_tools_tpu.models.segment import (_segment_windows_masks_packed,
+                                               unpack_mask_bits)
 
     CHUNK = int(os.environ.get("E2E_CHUNK", 60_000))
     W = int(os.environ.get("E2E_MAXCPG", 1_000))
@@ -217,11 +218,14 @@ def run_segmentation(acc):
     locis = jnp.broadcast_to(loci, (BATCH, CHUNK))
     for bi in range(n_batches):
         pm, pt = batch_prefix(total, np.int32(bi * BATCH), CHUNK, BATCH)
-        outs.append(_segment_windows_masks(pm, pt, locis, W, MAX_BP, PC))
+        outs.append(_segment_windows_masks_packed(pm, pt, locis, W, MAX_BP,
+                                                  PC))
     from wgbs_tools_tpu.ops.pileup import fetch_chunked
 
-    # the traceback ran on device (pointer doubling); fetch uint8 masks only
-    masks = fetch_chunked(jnp.concatenate(outs, axis=0))
+    # traceback ran on device (pointer doubling); fetch bit-packed masks
+    # only (8x less d2h than the uint8 masks — material on this tunnel)
+    masks = unpack_mask_bits(
+        fetch_chunked(jnp.concatenate(outs, axis=0)), CHUNK + 1)
     n_borders = int(masks.sum()) - masks.shape[0]
     seg_s = time.perf_counter() - t0
     log(f"segment-fast: {n_batches * BATCH} chunks, {n_borders:,} blocks, "
@@ -237,8 +241,14 @@ def main():
         make_pat(pat_path)
 
     if RUN_DEVICE:
+        t_cold, nf, acc, beta = run_ours(pat_path, beta_path)
+        log(f"ours pat2beta (cold process — includes every remote compile; "
+            f"the tunneled backend has no persistent compile cache): "
+            f"{t_cold['total']:.1f}s")
+        # warm pass in the same process: the meaningful stage table (what a
+        # long-lived service or a locally-attached chip would see per job)
         t, nf, acc, beta = run_ours(pat_path, beta_path)
-        log(f"ours pat2beta: {t['total']:.1f}s total = "
+        log(f"ours pat2beta (warm): {t['total']:.1f}s total = "
             f"{t['decode']:.1f} decode + {t['pileup']:.1f} stage/pileup + "
             f"{t['finalize_fetch']:.1f} saturate/fetch + {t['write']:.1f} "
             f"write ({nf / t['total'] / 1e6:.2f} M frags/s job rate)")
@@ -253,6 +263,7 @@ def main():
             f"byte-identical={same}")
     else:
         t = {"total": float("inf")}
+        t_cold = {}
         t_overlap = float("inf")
         nf = N_FRAGS
         same = True
@@ -284,6 +295,7 @@ def main():
         "ours_s": round(min(t["total"], t_overlap, t_native), 2),
         "stages_s": {k: round(v, 2) for k, v in t.items()
                      if v != float("inf")},
+        "cold_process_s": {k: round(v, 2) for k, v in t_cold.items()},
         "overlapped_s": (None if t_overlap == float("inf")
                          else round(t_overlap, 2)),
         "native_s": round(t_native, 2),

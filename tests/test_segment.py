@@ -253,3 +253,21 @@ def test_borders_mask_matches_host_traceback(rng):
             mask = np.asarray(_borders_mask(jnp.asarray(T)))
             got = np.flatnonzero(mask).astype(np.int64)
             assert np.array_equal(got, want), (n, trial, got[:10], want[:10])
+
+
+def test_pack_mask_bits_roundtrip():
+    """Device bit-packing of border masks == numpy packbits (MSB-first),
+    including non-multiple-of-8 widths and all-ones / all-zeros rows."""
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.models.segment import pack_mask_bits, unpack_mask_bits
+
+    rng = np.random.default_rng(41)
+    for m in (1, 7, 8, 9, 60001, 256):
+        masks = (rng.random((3, m)) < 0.3).astype(np.uint8)
+        masks[0] = 1
+        masks[1] = 0
+        packed = np.asarray(pack_mask_bits(jnp.asarray(masks)))
+        want = np.packbits(masks, axis=1)
+        assert np.array_equal(packed, want), m
+        assert np.array_equal(unpack_mask_bits(packed, m), masks)

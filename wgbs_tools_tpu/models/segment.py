@@ -351,6 +351,35 @@ def _segment_windows_masks(pm, pt, loci, W, max_bp, pc, B=128):
     return jax.vmap(one)(pm, pt, loci)
 
 
+@jax.jit
+def pack_mask_bits(masks):
+    """uint8 0/1 masks (nw, m) -> bit-packed (nw, ceil(m/8)) uint8,
+    numpy-`unpackbits`-compatible (MSB first).
+
+    Border masks cross device->host once per launch; on thin links (the
+    axon tunnel moves ~1.4 MB/s d2h) the 8x smaller fetch is material —
+    whole-genome fast segmentation moves 3.5 MB instead of 28 MB.
+    """
+    nw, m = masks.shape
+    m8 = (m + 7) // 8 * 8
+    p = jnp.zeros((nw, m8), jnp.uint8).at[:, :m].set(masks)
+    p = p.reshape(nw, m8 // 8, 8).astype(jnp.uint32)
+    w = (1 << jnp.arange(7, -1, -1, dtype=jnp.uint32))
+    return jnp.sum(p * w, axis=2).astype(jnp.uint8)
+
+
+def unpack_mask_bits(packed, m):
+    """Host inverse of pack_mask_bits: (nw, m8/8) uint8 -> (nw, m) uint8."""
+    return np.unpackbits(np.asarray(packed), axis=1)[:, :m]
+
+
+@partial(jax.jit, static_argnames=("W", "max_bp", "B"))
+def _segment_windows_masks_packed(pm, pt, loci, W, max_bp, pc, B=128):
+    """_segment_windows_masks with the masks bit-packed on device."""
+    return pack_mask_bits(_segment_windows_masks(pm, pt, loci, W, max_bp,
+                                                 pc, B))
+
+
 def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
                          pseudo_count=15.0, batch=8):
     """Batch-segment many equal-size windows (fast float32 mode).
@@ -378,13 +407,13 @@ def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
         sel = list(range(lo, min(lo + batch, nw)))
         pad = batch - len(sel)
         sel = sel + [sel[0]] * pad
-        outs.append(_segment_windows_masks(
+        outs.append(_segment_windows_masks_packed(
             jnp.asarray(np.stack([pms[w] for w in sel]), dtype=jnp.int32),
             jnp.asarray(np.stack([pts[w] for w in sel]), dtype=jnp.int32),
             jnp.asarray(locis[sel], dtype=jnp.int32),
             W, max_bp, pc,
         ))
-    masks = [np.asarray(o) for o in outs]
+    masks = [unpack_mask_bits(o, n + 1) for o in outs]
     res = []
     for li, lo in enumerate(range(0, nw, batch)):
         for j in range(min(batch, nw - lo)):

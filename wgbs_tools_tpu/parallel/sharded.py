@@ -210,16 +210,17 @@ def build_segment_windows_step(mesh, W, max_bp=0, pc=15.0, B=128):
     from jax.sharding import NamedSharding
 
     from ..models.segment import (_borders_mask, _cost_fast_jax,
-                                  _dp_fast_blocked)
+                                  _dp_fast_blocked, pack_mask_bits)
 
     def fn(pm, pt, loci):
         def one(pm_w, pt_w, loci_w):
             Crev = _cost_fast_jax(pm_w, pt_w, loci_w, W, max_bp, pc)
             # traceback chain is marked on device (pointer doubling);
-            # only the uint8 border mask leaves the device
+            # only the bit-packed border mask leaves the device (8x less
+            # d2h than uint8 masks)
             return _borders_mask(_dp_fast_blocked(Crev, W, B))
 
-        return jax.vmap(one)(pm, pt, loci)
+        return pack_mask_bits(jax.vmap(one)(pm, pt, loci))
 
     sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return jax.jit(fn, in_shardings=(sh, sh, sh), out_shardings=sh)
@@ -255,9 +256,11 @@ def segment_windows_sharded(mesh, datas, locis, max_cpg=1000, max_bp=2000,
             jnp.asarray(np.stack([pts[w] for w in sel]), dtype=jnp.int32),
             jnp.asarray(locis[sel], dtype=jnp.int32),
         ))
+    from ..models.segment import unpack_mask_bits
+
     res = []
     for li, lo in enumerate(range(0, nw, launch)):
-        mask = np.asarray(outs[li])
+        mask = unpack_mask_bits(np.asarray(outs[li]), n + 1)
         for j in range(min(launch, nw - lo)):
             res.append(np.flatnonzero(mask[j]).astype(np.int64))
     return res
