@@ -300,19 +300,21 @@ def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
 
     bounds = [(lo, min(lo + chunk, R)) for lo in range(0, R, chunk)]
     Rb = _pow2(min(chunk, R), lo=min(chunk, 256))
-    # common tile width across chunks (single compiled shape)
+    # common tile width across chunks (single compiled shape). NB: bounds
+    # slices are never empty, so plain .min()/.max() are safe — a min with
+    # `initial=0` would clamp every chunk's tile origin to the dict start
+    # and blow U up to the whole-dictionary width (R*U*K Hankel temps).
     u_maxw = 1
     for lo, hi in bounds:
         sl = slice(lo, hi)
-        u_maxw = max(u_maxw,
-                     int(k1[sl].max(initial=0)) - int(k0[sl].min(initial=0)))
+        u_maxw = max(u_maxw, int(k1[sl].max()) - int(k0[sl].min()))
     U = _pow2(u_maxw + K, lo=256) if tile_pow2 else u_maxw + K
 
     staged = []
     for lo, hi in bounds:
         n = hi - lo
         sl = slice(lo, hi)
-        u0 = int(k0[sl].min(initial=0))
+        u0 = int(k0[sl].min())
         tile = np.zeros(U, dtype=np.int32)
         seg = loci[u0 : min(u0 + U, loci.shape[0])]
         tile[: seg.shape[0]] = seg
@@ -331,6 +333,13 @@ def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
         staged.append((n, sl, u0, seq_b, lens_b, pos_b, bot_b, k0_b, nv_b,
                        tile))
 
+    # the batched form's dominant HLO temp is the per-chunk Hankel skew,
+    # (n_chunks, K+1, U+K) bf16; refuse the single launch when that alone
+    # would crowd HBM (sparse dicts / huge-span chunks) and fall back to
+    # per-chunk dispatch rather than OOM the device
+    hankel_bytes = len(staged) * (K + 1) * (U + K) * 2
+    if single_launch and hankel_bytes > (4 << 30):
+        single_launch = False
     if single_launch:
         # stack everything: one h2d, one dispatch, one fetch
         stk = [np.stack([s[i] for s in staged]) for i in range(3, 10)]
