@@ -90,13 +90,17 @@ int64_t segment_exact_dp(const float* data, int64_t K, int64_t n,
     // integrality checks
     bool memo_ok = true;
     double cov_sum = 0.0;
-    for (int64_t x = 0; x < K * n * 2; x++) {
-        const float v = data[x];
-        if (v < 0.0f || v != (float)(int64_t)v || v >= 16777216.0f) {
+    for (int64_t x = 0; x < K * n; x++) {
+        const float m = data[2 * x], t = data[2 * x + 1];
+        // meth > cov (malformed beta) would accumulate nm > nt and index
+        // past the triangular memo row — an OOB heap write, not just a
+        // garbage likelihood; such input must fall through to ll_direct
+        if (m < 0.0f || t < 0.0f || m != (float)(int64_t)m
+            || t != (float)(int64_t)t || t >= 16777216.0f || m > t) {
             memo_ok = false;
             break;
         }
-        if (x & 1) cov_sum += v;
+        cov_sum += t;
     }
     const float nt_cap_f = (float)NT_CAP;
     const double NEG_INF = -std::numeric_limits<double>::infinity();

@@ -9,6 +9,7 @@ from wgbs_tools_tpu.formats.pat import (
     CODE_T,
     frags_to_bytes,
     index_pat,
+    load_pat_index,
     pack_codes,
     parse_pat_bytes,
     read_pat,
@@ -124,3 +125,35 @@ def test_slice_sites_semantics():
     assert f.slice_sites(15, 30).nr_frags == 1
     assert f.slice_sites(1, 10).nr_frags == 0
     assert f.slice_sites(1, 11).nr_frags == 1
+
+
+def test_cdx_sidecar_actually_loadable(tmp_path, rng):
+    """Regression: np.savez on a str path appends '.npz', which silently made
+    every .cdx sidecar unloadable — region reads fell back to whole-file
+    parsing while the existing tests still passed on the fallback."""
+    import os
+
+    f = random_frags(rng, 2000, 50000, max_len=12)
+    for maker in ("write_pat", "stream", "index_pat"):
+        path = str(tmp_path / f"{maker}.pat.gz")
+        if maker == "write_pat":
+            write_pat(f, path, stride=256)
+        elif maker == "stream":
+            from wgbs_tools_tpu.formats.pat import PatStreamWriter
+
+            with PatStreamWriter(path, stride=256) as w:
+                w.write_frags(f)
+        else:
+            write_pat(f, path, index=False)
+            index_pat(path, stride=256)
+        assert os.path.isfile(path + ".cdx"), maker
+        idx = load_pat_index(path)
+        assert idx is not None, maker
+        sites, voffs, max_len = idx
+        assert len(sites) == len(voffs) > 1
+        assert max_len >= int(f.length.max())
+    # legacy '.cdx.npz' sidecars (pre-fix) still load
+    legacy = str(tmp_path / "legacy.pat.gz")
+    write_pat(f, legacy, stride=256)
+    os.replace(legacy + ".cdx", legacy + ".cdx.npz")
+    assert load_pat_index(legacy) is not None

@@ -162,3 +162,46 @@ def test_cview_cli_streams_whole_file(rng, tmp_path, capsys, monkeypatch):
     out_file = str(tmp_path / "out.pat")
     assert main_cview([p, "--out_path", out_file]) == 0
     assert open(out_file, "rb").read() == frags_to_bytes(frags)
+
+
+def test_streaming_consumers_preserve_extra_columns(rng, tmp_path):
+    """Regression: the streamed cview/merge/mask paths dropped pat extra
+    columns (iter_pat's keep_extras default is False) while the pre-
+    streaming whole-file paths kept them — extras must survive all three."""
+    from wgbs_tools_tpu.formats.pat import PatFrags, parse_pat_bytes
+    from wgbs_tools_tpu.ops.frag_ops import mask_sites
+
+    base = random_frags(np.random.default_rng(99), 400, 20000,
+                        max_len=10).sort().collapse()
+    extras = np.array([b"rg%d" % (i % 3) for i in range(base.nr_frags)],
+                      dtype=object)
+    frags = PatFrags(base.start, base.length, base.count, base.codes,
+                     base.chrom_id, base.chrom_names, extras)
+    path = str(tmp_path / "x.pat.gz")
+    write_pat(frags, path)
+    g = _G(20000)
+
+    # cview stream (whole-file): extras survive chunked filter+emit
+    got = []
+    for fr, wm in iter_view_pat(path, g, chunk_bytes=TINY,
+                                keep_extras=True):
+        got.append(fr)
+    assert all(fr.extras is not None for fr in got if fr.nr_frags)
+
+    # merge stream without labels: extras survive (reference sort -m keeps
+    # whole lines)
+    out = str(tmp_path / "m.pat.gz")
+    merge_pats_streaming([path, path], out, g, chunk_bytes=TINY)
+    m = parse_pat_bytes(decompress_file(out))
+    assert m.extras is not None
+    assert all(b"rg" in e for e in m.extras)
+
+    # mask stream (whole-file branch): extras survive
+    out2 = str(tmp_path / "k.pat.gz")
+    mask_pat_streaming(path, out2, np.array([5000]), np.array([6000]), g,
+                       chunk_bytes=TINY)
+    k = parse_pat_bytes(decompress_file(out2))
+    assert k.extras is not None
+    want = mask_sites(frags, np.array([5000]), np.array([6000]),
+                      strip=True).sort().collapse()
+    assert frags_to_bytes(k) == frags_to_bytes(want)

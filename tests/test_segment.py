@@ -271,3 +271,23 @@ def test_pack_mask_bits_roundtrip():
         want = np.packbits(masks, axis=1)
         assert np.array_equal(packed, want), m
         assert np.array_equal(unpack_mask_bits(packed, m), masks)
+
+
+def test_exact_native_malformed_meth_gt_cov():
+    """Malformed input with meth > cov must not corrupt memory: the ll memo
+    is indexed by (nmeth, ntotal) triangularly, so nm > nt would write past
+    the row (found in round-3 review). The scan now disables the memo for
+    such input; the DP still returns borders (garbage-likelihood-tolerant,
+    like the reference) without crashing."""
+    from wgbs_tools_tpu.models.segment import segment_borders
+
+    rng = np.random.default_rng(5)
+    n, K = 800, 3
+    data = rng.integers(0, 6, size=(K, n, 2)).astype(np.int64)
+    data[:, :, 1] = data[:, :, 0] + rng.integers(0, 5, size=(K, n))
+    data[1, 37, 0] = data[1, 37, 1] + 7  # meth > cov at one site
+    loci = np.cumsum(rng.integers(2, 50, size=n)).astype(np.int64)
+    res = segment_borders(data, loci, max_cpg=100, max_bp=2000,
+                          pseudo_count=15.0, mode="exact")
+    assert res[0] == 0 and res[-1] == n
+    assert np.all(np.diff(res) > 0)

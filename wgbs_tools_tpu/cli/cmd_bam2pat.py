@@ -112,7 +112,7 @@ def main(argv):
                 import os
 
                 os.replace(pat_path, out_pat)
-                for ext in (".cdx", ".csi"):
+                for ext in (".cdx", ".cdx.npz", ".csi"):
                     if op.isfile(pat_path + ext):
                         os.replace(pat_path + ext, out_pat + ext)
                 pat_path = out_pat

@@ -62,8 +62,12 @@ def main_index(argv):
     args = p.parse_args(argv)
     for f in args.input_files:
         validate_single_file(f)
+        # exact suffix check, like the reference Indxer's validation
+        # (ref: index.py:115-123 rejects anything but .pat/.bed[.gz]) —
+        # a loose "bed in suffix" match would route .bedgraph files into
+        # the destructive sort-check/re-sort path
         suff = splitextgz(f)[1][1:]
-        if "bed" in suff:
+        if suff in ("bed", "bed.gz"):
             # bed branch: sort-check, bgzip, .tbi (ref: index.py:20-29)
             from ..formats.blocks import index_bed
 
@@ -72,7 +76,7 @@ def main_index(argv):
                 logger.info("index exists for %s (use -f)", f)
                 continue
             index_bed(f)
-        elif "pat" in suff:
+        elif suff in ("pat", "pat.gz"):
             if op.isfile(f + ".cdx") and not args.force:
                 logger.info("index exists for %s (use -f)", f)
                 continue

@@ -87,7 +87,10 @@ def main_cview(argv):
         args.input_file, genome, region=args.region, sites=args.sites,
         bed_file=getattr(args, "bed_file", None), strict=args.strict,
         strip=args.strip, min_len=args.min_len, no_gaps=args.no_gaps,
-        sub_sample=args.sub_sample, seed=args.seed)
+        sub_sample=args.sub_sample, seed=args.seed,
+        # extra pat columns pass through, like the reference cview's
+        # whole-line processing (the pre-streaming view_pat kept them too)
+        keep_extras=True)
     try:
         if args.no_sort:
             for fr, _wm in chunks:

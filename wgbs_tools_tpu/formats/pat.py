@@ -39,6 +39,13 @@ INDEX_STRIDE = 4096
 PAT_INDEX_SUFFIX = ".cdx"
 
 
+def _save_cdx(idx_path, **arrays):
+    """np.savez to the EXACT path (savez on a str appends '.npz', which
+    made every .cdx sidecar unloadable by load_pat_index — found round 3)."""
+    with open(idx_path, "wb") as f:
+        np.savez(f, **arrays)
+
+
 @dataclass
 class PatFrags:
     """A batch of pat fragments (host-side numpy SoA)."""
@@ -490,7 +497,7 @@ def write_pat(frags: PatFrags, path, level=6, index=True, stride=INDEX_STRIDE,
                 w.write(row)
     if index:
         max_len = int(frags.length.max()) if frags.nr_frags else 1
-        np.savez(
+        _save_cdx(
             path + PAT_INDEX_SUFFIX,
             sites=np.asarray(samples_sites, dtype=np.int64),
             voffsets=np.asarray(samples_voff, dtype=np.int64),
@@ -594,6 +601,24 @@ class PatStreamWriter:
     def nr_frags(self):
         return self._nr_frags
 
+    def abort(self):
+        """Close WITHOUT finalizing — no EOF block, no index sidecars — and
+        remove the partial file. A failed run must not leave output that is
+        indistinguishable from a complete one (a finalized-but-truncated
+        pat.gz would pass delete_or_skip and feed downstream tools
+        silently)."""
+        import os
+
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+        for p in (self.path, self.path + PAT_INDEX_SUFFIX,
+                  self.path + ".csi"):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
     def close(self):
         if self._f is None:
             return self.path
@@ -603,7 +628,7 @@ class PatStreamWriter:
         self._f.close()
         self._f = None
         if self.index:
-            np.savez(
+            _save_cdx(
                 self.path + PAT_INDEX_SUFFIX,
                 sites=np.asarray(self._cdx_sites, dtype=np.int64),
                 voffsets=np.asarray(self._cdx_voffs, dtype=np.int64),
@@ -659,7 +684,11 @@ def _bgzf_block_table(comp: bytes):
 def load_pat_index(path):
     idx_path = path + PAT_INDEX_SUFFIX
     if not op.isfile(idx_path):
-        return None
+        # legacy sidecars written via np.savez(str) got '.npz' appended
+        if op.isfile(idx_path + ".npz"):
+            idx_path += ".npz"
+        else:
+            return None
     z = np.load(idx_path)
     return z["sites"], z["voffsets"], int(z["max_len"])
 
@@ -693,7 +722,7 @@ def index_pat(path, stride=INDEX_STRIDE, csi=True):
         i += 1
     end_voff = reader.virtual_offset
     reader.close()
-    np.savez(
+    _save_cdx(
         path + PAT_INDEX_SUFFIX,
         sites=np.asarray(sites, dtype=np.int64),
         voffsets=np.asarray(voffs, dtype=np.int64),

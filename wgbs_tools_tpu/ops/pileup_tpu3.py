@@ -215,16 +215,21 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
     if F:
         P = p_g.shape[0]
-        colw = np.arange(W, dtype=np.int32)
-        m = colw[None, :] < p_len[:, None].astype(np.int32)
-        buf = np.empty((P, W), dtype=np.int32)
+        # int32 indices halve the hot buffer's footprint, but flat offsets
+        # reach F*W / R*SB — switch to int64 before they could wrap (a
+        # direct pileup_frags call on a >=17M-fragment batch at W=128)
+        idt = (np.int64 if max(int(F) * W, (R + 1) * SB) >= (1 << 31)
+               else np.int32)
+        colw = np.arange(W, dtype=idt)
+        m = colw[None, :] < p_len[:, None].astype(idt)
+        buf = np.empty((P, W), dtype=idt)
         buf[:] = colw
-        np.minimum(buf, (p_len - 1).astype(np.int32)[:, None], out=buf)
-        buf += (p_src.astype(np.int64) * W + p_off).astype(np.int32)[:, None]
+        np.minimum(buf, (p_len - 1).astype(idt)[:, None], out=buf)
+        buf += (p_src.astype(np.int64) * W + p_off).astype(idt)[:, None]
         vals = codes.reshape(-1)[buf[m]]
         buf[:] = colw
         buf += (piece_row.astype(np.int64) * SB + p_rr).astype(
-            np.int32)[:, None]
+            idt)[:, None]
         rowmat.reshape(-1)[buf[m]] = vals
 
     # chunking over rows: bounded rows, sub-block span, single tile

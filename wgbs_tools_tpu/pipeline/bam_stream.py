@@ -155,18 +155,33 @@ def _i32_at(bufarr, addr):
 class _ChromState:
     """Per-chromosome streaming state: open mate window + pending reorder
     buffer. Pairing semantics equal the whole-chromosome path's
-    first-two-occurrences-in-position-order rule (bam_columnar.py)."""
+    first-two-occurrences-in-position-order rule (bam_columnar.py). The
+    reorder buffer is the shared SortedStreamEmitter (pat_stream.py) — one
+    implementation of the watermark-flush/collapse-boundary invariant."""
 
-    def __init__(self, chrom, site_base, loci):
+    def __init__(self, chrom, site_base, loci, writer=None):
+        from .pat_stream import SortedStreamEmitter
+
         self.chrom = chrom
         self.site_base = site_base
         self.loci = loci
         # qname -> (start, pattern bytes | None, next_pos)
         self.outstanding = {}
-        self.pending = []  # list of PatFrags awaiting the watermark
         self.stats = ReadStats()
         self.emitted = 0
         self.last_pos = -1
+        self._writer = writer
+        self.em = SortedStreamEmitter(self._sink)
+
+    def _sink(self, frags):
+        if self._writer is not None:
+            self._writer.write_frags(frags)
+        self.emitted += frags.nr_frags
+
+    @property
+    def pending(self):
+        """PatFrags batches awaiting the watermark (the emitter's buffer)."""
+        return self.em.pending
 
 
 def _pad_rows(rows, W):
@@ -289,10 +304,20 @@ def _process_group_se(state, buf, bufarr, cols, offs, rec_end, rows, clip,
     if ont is not None:
         from .bam_columnar_ont import process_chrom_columnar_ont
 
-        frags = process_chrom_columnar_ont(
-            buf, bufarr, cols, offs, rec_end, rs, state.loci,
-            state.site_base, state.chrom, clip, min_cpg, state.stats,
-            False, **ont)
+        try:
+            frags = process_chrom_columnar_ont(
+                buf, bufarr, cols, offs, rec_end, rs, state.loci,
+                state.site_base, state.chrom, clip, min_cpg, state.stats,
+                False, **ont)
+        except RuntimeError as e:
+            # the in-memory path gates the ONT columnar kernel behind a
+            # whole-file scan_mmml pre-validation and falls back to the
+            # record path on failure (bam2pat_run.py); streaming can't
+            # pre-scan, so an unparseable MM/ML record surfaces here —
+            # hand the file back for the in-memory fallback (the caller
+            # aborts the partial output)
+            raise StreamUnsupported(f"MM/ML record not columnar-parseable "
+                                    f"({e})") from e
         if frags.nr_frags:
             state.pending.append(frags)
     else:
@@ -332,35 +357,17 @@ def _watermark(state):
     return w
 
 
-def _flush_pending(state, writer, final=False):
-    if not state.pending:
-        return
-    if len(state.pending) == 1:
-        frags = state.pending[0]
-    else:
-        from ..cli.cmd_pat import _concat_frags
-
-        frags = _concat_frags(state.pending)
+def _flush_pending(state, final=False):
     if final:
-        emit, state.pending = frags, []
+        state.em.close()
     else:
-        w = _watermark(state)
-        mask = frags.start < w
-        if not mask.any():
-            state.pending = [frags]
-            return
-        emit = frags.take(mask)
-        rest = frags.take(~mask)
-        state.pending = [rest] if rest.nr_frags else []
-    if emit.nr_frags and writer is not None:
-        writer.write_frags(emit.sort().collapse())
-        state.emitted += emit.nr_frags
+        state.em.push(None, _watermark(state))
 
 
 def _finalize_chrom(state, writer, min_cpg, total_stats):
     _emit_entries(state, list(state.outstanding.values()), min_cpg)
     state.outstanding.clear()
-    _flush_pending(state, writer, final=True)
+    _flush_pending(state, final=True)
     for k in state.stats.__dict__:
         total_stats.__dict__[k] += state.stats.__dict__[k]
     logger.info("bam2pat: %s", state.stats.summary(state.chrom))
@@ -416,6 +423,9 @@ def bam2pat_streaming(bam_path, g, idx, out_path, min_mapq, exclude_flags,
             if paired is None:
                 paired, nanopore = _detect_first(
                     buf, cols, offs, rec_end, nanopore)
+                if paired is None:
+                    # no mapped record yet: skip this slab, keep detecting
+                    continue
                 if nanopore:
                     if paired:
                         raise IllegalArgumentError(
@@ -449,7 +459,7 @@ def bam2pat_streaming(bam_path, g, idx, out_path, min_mapq, exclude_flags,
             if rows_all.shape[0] == 0:
                 if state is not None:
                     _retire_lost_mates(state, min_cpg)
-                    _flush_pending(state, writer)
+                    _flush_pending(state)
                 continue
             rids = cols[rows_all, 0]
             cuts = np.concatenate(
@@ -471,7 +481,7 @@ def bam2pat_streaming(bam_path, g, idx, out_path, min_mapq, exclude_flags,
                             "are not contiguous")
                     site_base, _ = idx.chrom_site_bounds(chrom)
                     state = _ChromState(chrom, site_base,
-                                        idx.chrom_loci(chrom))
+                                        idx.chrom_loci(chrom), writer)
                 rows = rows_all[a:b]
                 if wl is not None or bl is not None:
                     start0 = cols[rows, 1].astype(np.int64)
@@ -492,13 +502,15 @@ def bam2pat_streaming(bam_path, g, idx, out_path, min_mapq, exclude_flags,
                                       ont)
             if state is not None:
                 _retire_lost_mates(state, min_cpg)
-                _flush_pending(state, writer)
+                _flush_pending(state)
         if state is not None:
             _finalize_chrom(state, writer, min_cpg, total_stats)
         nr = writer.nr_frags
         writer.close()
     except BaseException:
-        writer.close()
+        # do NOT finalize: a truncated-but-EOF-terminated pat.gz with index
+        # sidecars would look complete to delete_or_skip and downstream
+        writer.abort()
         raise
     if mbias is not None:
         mbias.dump(mbias_prefix)
@@ -507,13 +519,17 @@ def bam2pat_streaming(bam_path, g, idx, out_path, min_mapq, exclude_flags,
 
 
 def _detect_first(buf, cols, offs, rec_end, nanopore):
-    """(paired, nanopore) from the first mapped record of the first slab
-    (ref: bam2pat.py:243-267)."""
+    """(paired, nanopore) from the first mapped record — or (None, nanopore)
+    when this slab has no mapped record, so the caller keeps detecting on
+    later slabs instead of locking in a default (ref: bam2pat.py:243-267
+    scans until the first mapped read)."""
     from .bam import parse_tag
 
     mapped = np.nonzero((cols[:, 2] & FUNMAP == 0) & (cols[:, 0] >= 0))[0]
-    paired = bool(cols[mapped[0], 2] & FPAIRED) if mapped.size else False
-    if not nanopore and mapped.size:
+    if not mapped.size:
+        return None, bool(nanopore)
+    paired = bool(cols[mapped[0], 2] & FPAIRED)
+    if not nanopore:
         r = mapped[0]
         tags = bytes(buf[offs[r, 4] : rec_end[r]])
         nanopore = (parse_tag(tags, b"MM") is not None

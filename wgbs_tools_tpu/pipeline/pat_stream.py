@@ -165,8 +165,10 @@ def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
         if sub_samples is not None:
             kw["sub_sample"] = sub_samples[i]
             kw["seed"] = None if seed is None else seed + i
+        # always carry extra columns (the reference's sort -m line merge
+        # preserves them); --labels appends on top of any existing extras
         srcs.append(iter_view_pat(pat, genome, chunk_bytes=chunk_bytes,
-                                  keep_extras=labels is not None, **kw))
+                                  keep_extras=True, **kw))
 
     def _labelled(frags, i):
         if labels is None or frags.nr_frags == 0:
@@ -207,8 +209,10 @@ def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
             if live:
                 em.push(None, min(live))  # flush rows below the new min
         em.close()
-    finally:
-        writer.close()
+    except BaseException:
+        writer.abort()  # never leave finalized-looking partial output
+        raise
+    writer.close()
     return out_path
 
 
@@ -227,15 +231,20 @@ def mask_pat_streaming(pat_path, out_path, bstart, bend, genome,
         if region_sites is not None:
             chunks = [read_pat(pat_path, region_sites=region_sites)]
         else:
-            chunks = iter_pat(pat_path, chunk_bytes=chunk_bytes)
+            # keep extra columns in both branches (read_pat above defaults
+            # keep_extras=True; mask output preserves the input's columns)
+            chunks = iter_pat(pat_path, chunk_bytes=chunk_bytes,
+                              keep_extras=True)
         for frags in chunks:
             if frags.nr_frags == 0:
                 continue
             wm = int(frags.start.max())
             em.push(mask_sites(frags, bstart, bend, strip=True), wm)
         em.close()
-    finally:
-        writer.close()
+    except BaseException:
+        writer.abort()  # never leave finalized-looking partial output
+        raise
+    writer.close()
     return out_path
 
 

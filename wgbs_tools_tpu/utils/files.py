@@ -43,7 +43,8 @@ def delete_or_skip(output_file, force):
         return True
     if op.isfile(output_file):
         if force:
-            for f in (output_file, output_file + ".csi", output_file + ".cdx"):
+            for f in (output_file, output_file + ".csi", output_file + ".cdx",
+                      output_file + ".cdx.npz"):
                 safe_remove(f)
         else:
             eprint(
