@@ -98,3 +98,28 @@ def test_v3_empty_and_tiny():
     got = pileup_pallas_v3(f.start, f.length, f.count, f.codes, 1, 1500,
                            interpret=True)
     assert got.shape == (1500, 2) and not got.any()
+
+
+def test_v3_flat_vs_tiled_grids(rng):
+    """Both kernel grids (flat chunk-indexed and tiled num_tiles x
+    max_chunks) produce identical counts, incl. sparse coverage (most tiles
+    chunk-less -> exercised `covered` masking) and empty input."""
+    from wgbs_tools_tpu.ops.pileup_tpu3 import call_staged
+
+    cases = [
+        random_frags(rng, 2500, 5000, max_len=18, dot_rate=0.05),
+        random_frags(rng, 60, 50000, max_len=10),   # sparse: most tiles empty
+        random_frags(rng, 1, 1500, max_len=5),
+    ]
+    for frags in cases:
+        wl = int(frags.start.max()) + 64
+        staged = stage_v3(frags.start, frags.length, frags.count,
+                          frags.codes, 1, wl)
+        flat = call_staged(staged, wl, interpret=True, grid="flat")
+        tiled = call_staged(staged, wl, interpret=True, grid="tiled")
+        assert (np.asarray(flat[0]) == np.asarray(tiled[0])).all()
+        assert (np.asarray(flat[1]) == np.asarray(tiled[1])).all()
+        expect = pileup_xla(frags.start, frags.length, frags.count,
+                            frags.codes, 1, wl)
+        assert (np.stack([np.asarray(flat[0]), np.asarray(flat[1])],
+                         axis=1) == expect).all()

@@ -93,6 +93,156 @@ def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
         cp_c.wait()
 
 
+def _kernel_flat(ctile_ref, meta_blk, words_blk, meth_out, cov_out,
+                 acc_m, acc_c, sem_out, *, tile, rc, g_max):
+    """Flat chunk-indexed grid: one step per packed row chunk.
+
+    The tiled grid above runs (num_tiles x max_chunks) steps and skips the
+    inactive ones — but with coverage spread thin (chunks/tile << pow2 max)
+    most steps are pure prefetch+predicate overhead, which dominated the
+    measured launch (BENCHMARKS.md round-3 roofline: ~0.8 ms of VPU work
+    inside a 6.1 ms launch). Here the grid is exactly the chunk list,
+    sorted by tile; the accumulator flushes whenever the next chunk belongs
+    to a different tile (ctile is padded with a sentinel repeat so the
+    lookahead is always in range). Tiles with no chunks are zeroed by the
+    caller's `covered` mask.
+    """
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+    t = ctile_ref[c]
+    counts = meta_blk[0, 0].reshape(rc, 1)
+    dg = meta_blk[0, 1].reshape(rc)
+    base_g = meta_blk[0, 1, rc - 1] - g_max  # stashed in the padding row
+
+    words = words_blk[...]
+    work = jnp.concatenate(
+        [(words >> (2 * j)) & 3 for j in range(16)], axis=1
+    )  # (rc, SB) — codes pre-placed at their in-sub-block offsets
+    observed = work != CODE_DOT
+    meth_call = observed & (work != 0)  # codes 1 (C) and 2 (H)
+
+    mv = jnp.where(meth_call, counts, 0).astype(jnp.float32)
+    cv = jnp.where(observed, counts, 0).astype(jnp.float32)
+    onehot = (
+        dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
+    ).astype(jnp.float32)
+    strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
+    strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+
+    off0 = base_g * SB - t * tile
+    for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
+        off = off0 + g * SB
+        ok = (off >= 0) & (off + SB <= tile)
+        offc = pl.multiple_of(jnp.clip(off, 0, tile - SB), SB)
+        acc_m[:, pl.ds(offc, SB)] += \
+            jnp.where(ok, strips_m[g], 0.0).astype(jnp.int32)[None]
+        acc_c[:, pl.ds(offc, SB)] += \
+            jnp.where(ok, strips_c[g], 0.0).astype(jnp.int32)[None]
+
+    flush = (c == n_c - 1) | (ctile_ref[c + 1] != t)
+
+    @pl.when(flush)
+    def _():
+        cp_m = pltpu.make_async_copy(acc_m, meth_out.at[t], sem_out.at[0])
+        cp_c = pltpu.make_async_copy(acc_c, cov_out.at[t], sem_out.at[1])
+        cp_m.start()
+        cp_c.start()
+        cp_m.wait()
+        cp_c.wait()
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_len", "tile", "rc", "g_max", "interpret"),
+)
+def _call_flat(ctile, covered, meta, words, window_len, tile, rc, g_max,
+               interpret=False):
+    num_tiles = (window_len + tile - 1) // tile
+    n_chunks = meta.shape[0]
+
+    def meta_idx(c, ctile_ref):
+        return (c, 0, 0)
+
+    def words_idx(c, ctile_ref):
+        return (c, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, 2, rc), meta_idx),
+            pl.BlockSpec((rc, words.shape[1]), words_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_flat, tile=tile, rc=rc, g_max=g_max)
+    meth, cov = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ctile, meta, words)
+    # tiles with no chunks are never flushed (uninitialized HBM): mask them
+    cvr = covered[:, None, None]
+    meth = jnp.where(cvr, meth, 0)
+    cov = jnp.where(cvr, cov, 0)
+    return meth.reshape(-1)[:window_len], cov.reshape(-1)[:window_len]
+
+
+def _flat_args(c0, c1, n_chunks):
+    """(ctile, covered) for the flat grid, from the per-tile chunk ranges.
+
+    ctile[c] = tile id of chunk c (chunks are already sorted by tile),
+    padded past the real chunk count with a repeat of the last tile and one
+    sentinel lookahead slot, so padding chunks (all-padding rows) fold into
+    the final tile's accumulator as zeros and never trigger a flush early.
+    """
+    c0 = np.asarray(c0, dtype=np.int64)
+    c1 = np.asarray(c1, dtype=np.int64)
+    lens = c1 - c0
+    real = np.repeat(np.arange(c0.shape[0], dtype=np.int32),
+                     lens.astype(np.int64))
+    ctile = np.empty(n_chunks + 1, dtype=np.int32)
+    last = real[-1] if real.size else 0
+    ctile[: real.size] = real
+    ctile[real.size :] = last
+    return ctile, (lens > 0)
+
+
+def call_staged(staged, window_len, interpret=False, grid="flat"):
+    """Dispatch a staged (c0, c1, meta, words, max_chunks) tuple to a
+    kernel grid: 'flat' (default, one step per chunk) or 'tiled' (the
+    original num_tiles x max_chunks form, kept for A/B benchmarking)."""
+    c0, c1, meta, words, max_chunks = staged
+    if grid == "tiled":
+        return _call(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
+                     jnp.asarray(words), window_len, SB * TILE_SB,
+                     ROW_CHUNK, G_MAX, max_chunks, interpret)
+    ctile, covered = _flat_args(c0, c1, meta.shape[0])
+    return _call_flat(jnp.asarray(ctile), jnp.asarray(covered),
+                      jnp.asarray(meta), jnp.asarray(words), window_len,
+                      SB * TILE_SB, ROW_CHUNK, G_MAX, interpret)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("window_len", "tile", "rc", "g_max", "max_chunks",
@@ -298,14 +448,12 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
         return pileup_pallas_v2(start, length, count, codes, window_start,
                                 window_len, interpret=interpret,
                                 to_host=to_host)
-    c0, c1, meta, words, max_chunks = staged
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    meth, cov = _call(
-        jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
-        jnp.asarray(words),
-        window_len, SB * TILE_SB, ROW_CHUNK, G_MAX, max_chunks, interpret,
-    )
+    import os
+
+    grid = os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
+    meth, cov = call_staged(staged, window_len, interpret, grid)
     if not to_host:
         return jnp.stack([meth, cov], axis=1)
     return np.stack([np.asarray(meth), np.asarray(cov)], axis=1)
