@@ -33,10 +33,20 @@ from jax.experimental.pallas import tpu as pltpu
 from ..formats.pat import CODE_DOT
 from .pileup_tpu2 import _split_long, planar_pack_cols
 
+import os as _os
+
 SB = 128          # sub-block width (lanes) — also the row width
-TILE_SB = 8       # sub-blocks per output tile -> tile = 1024 sites
-ROW_CHUNK = 256   # packed rows per chunk (row rc-1 is always padding)
-G_MAX = 8         # max distinct sub-blocks per chunk
+# grid geometry (env-overridable for on-chip A/B sweeps; defaults chosen
+# by measurement — see BENCHMARKS.md "Roofline / speed-of-light"):
+# sub-blocks per output tile -> tile = TILE_SB * 128 sites. Chunks never
+# cross tiles, so at typical coverage the tile cap (not ROW_CHUNK) sets
+# rows/chunk; larger tiles -> fuller chunks -> fewer grid steps.
+TILE_SB = int(_os.environ.get("WGBS_TPU_V3_TILE_SB", 8))
+ROW_CHUNK = int(_os.environ.get("WGBS_TPU_V3_RC", 256))  # rows per chunk
+G_MAX = int(_os.environ.get("WGBS_TPU_V3_G_MAX", TILE_SB))  # sub-blocks/chunk
+# measured on-chip (flat grid, headline shape): TILE_SB=8/RC=256 510 M
+# frags/s; TILE_SB=16/RC=512 423 M (per-step compute scales with RC — the
+# padding fill, not step count, binds); defaults keep the measured best.
 
 
 def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
@@ -415,7 +425,7 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         meta[ci_arr, 1, pos_arr] = (row_g - base_g[ci_arr]).astype(np.int32)
         # base_g stashed in the guaranteed-padding row rc-1 (offset by g_max
         # so the padding default there still selects no group after decode)
-        meta[:n_real, 1, rc - 1] = base_g + G_MAX
+        meta[:n_real, 1, rc - 1] = base_g + g_max
         words[ci_arr * rc + pos_arr] = all_words
         chunk_tile = row_tile[bstarts]
     else:
