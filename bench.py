@@ -113,17 +113,21 @@ def bench_tpu_v3(frags, n_sites, iters=5):
     def sync(o):
         np.asarray(o[0][:1])
 
-    out = run()
-    sync(out)
+    # sustained-throughput methodology: K back-to-back dispatches, ONE
+    # sync, time/K. The earlier per-launch scheme (launch+sync minus a
+    # separately calibrated fetch) proved unstable over this tunnel — the
+    # same binary measured 67-510 M frags/s across processes as roundtrip
+    # latency drifted between the calibration and the timed loop. The
+    # amortized form is what production streaming does (dispatch-ahead,
+    # sync rarely) and repeats within +-4%.
+    sync(run())  # compile + warm
+    K = max(int(os.environ.get("BENCH_BURST", 8)), 1)
     t0 = time.perf_counter()
-    for _ in range(3):
-        sync(out)
-    fetch = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    out = None
+    for _ in range(K):
         out = run()
-        sync(out)
-    dt = max((time.perf_counter() - t0) / iters - fetch, 1e-9)
+    sync(out)
+    dt = (time.perf_counter() - t0) / K
     return dt, out
 
 

@@ -44,9 +44,10 @@ SB = 128          # sub-block width (lanes) — also the row width
 TILE_SB = int(_os.environ.get("WGBS_TPU_V3_TILE_SB", 8))
 ROW_CHUNK = int(_os.environ.get("WGBS_TPU_V3_RC", 256))  # rows per chunk
 G_MAX = int(_os.environ.get("WGBS_TPU_V3_G_MAX", TILE_SB))  # sub-blocks/chunk
-# measured on-chip (flat grid, headline shape): TILE_SB=8/RC=256 510 M
-# frags/s; TILE_SB=16/RC=512 423 M (per-step compute scales with RC — the
-# padding fill, not step count, binds); defaults keep the measured best.
+# measured on-chip (flat grid, headline shape, sustained back-to-back
+# methodology — see bench.py): TILE_SB=8/RC=256 is the best of the swept
+# geometries (16/512 and 32/256 both slower: per-step compute scales with
+# RC regardless of row fill); defaults keep the measured best.
 
 
 def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
@@ -241,7 +242,10 @@ def _flat_args(c0, c1, n_chunks):
 def call_staged(staged, window_len, interpret=False, grid="flat"):
     """Dispatch a staged (c0, c1, meta, words, max_chunks) tuple to a
     kernel grid: 'flat' (default, one step per chunk) or 'tiled' (the
-    original num_tiles x max_chunks form, kept for A/B benchmarking)."""
+    original num_tiles x max_chunks form, kept for A/B benchmarking).
+    (A double-buffered-flush variant was built and measured slower than
+    the synchronous flush — 317 vs 510 M frags/s — and removed; the
+    per-step cost is not the flush DMA wait.)"""
     c0, c1, meta, words, max_chunks = staged
     if grid == "tiled":
         return _call(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
