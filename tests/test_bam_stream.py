@@ -196,3 +196,57 @@ def test_stream_truncated_bam_raises(mini_genome, tmp_path):
     with pytest.raises(IllegalArgumentError):
         for _ in iter_bam_columnar_slabs(cut, slab_bytes=1 << 14):
             pass
+
+
+def test_stream_ont_record_fallback(mini_genome, tmp_path):
+    """A record whose ML tag uses a non-byte subtype (B,S — legal values,
+    nonstandard encoding): the native columnar parser rejects it per-record;
+    the streaming path must route exactly that record through the scalar
+    parser and keep streaming (ref per-read degradation:
+    src/pipeline_wgbs/ont.cpp:90-221), byte-equal to the in-memory path."""
+    import struct
+
+    from tests.test_nanopore import simulate_np_reads
+    from wgbs_tools_tpu.pipeline.bam import BamRecord, write_bam
+    from wgbs_tools_tpu.pipeline.bam_stream import bam2pat_streaming
+
+    rng = np.random.default_rng(38)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads = simulate_np_reads(seqs, rng, n_reads=200, conv="?")
+    ref_names = list(seqs.keys())
+    ordered = sorted(reads, key=lambda r: (ref_names.index(r.chrom), r.pos0))
+    odd = {len(ordered) // 3, 2 * len(ordered) // 3}
+    records = []
+    for i, rd in enumerate(ordered):
+        blob = b"MMZ" + rd.mm.encode() + b"\x00"
+        if rd.ml is not None:
+            if i in odd:
+                blob += (b"MLBS" + struct.pack("<I", len(rd.ml))
+                         + struct.pack(f"<{len(rd.ml)}H", *rd.ml))
+            else:
+                blob += (b"MLBC" + struct.pack("<I", len(rd.ml))
+                         + bytes(rd.ml))
+        records.append(
+            BamRecord(rd.qname, rd.flag, ref_names.index(rd.chrom), rd.pos0,
+                      rd.mapq, rd.cigar_list(), rd.seq, b"", blob))
+    bam = str(tmp_path / "ont_mixed.bam")
+    write_bam(bam, ref_names, [len(s) for s in seqs.values()], records)
+
+    # precondition: the native scan really rejects those records, so the
+    # whole-file columnar gate fails and per-record routing is exercised
+    from wgbs_tools_tpu.pipeline.bam_columnar import scan_bam_columnar
+    from wgbs_tools_tpu.pipeline.bam_columnar_ont import scan_mmml
+
+    buf, _h, _n, _l, cols, offs, rec_end = scan_bam_columnar(bam)
+    assert scan_mmml(buf, offs, rec_end) is None
+
+    _, p_mem, s_mem = bam2pat(bam, genome=mini_genome,
+                              out_dir=str(tmp_path), stream=False)
+    # direct call: StreamUnsupported must NOT be raised (a silent in-memory
+    # fallback would make this test vacuous)
+    out = str(tmp_path / "st.pat.gz")
+    _, p_st, s_st = bam2pat_streaming(bam, mini_genome, mini_genome.index,
+                                      out, 10, None, slab_bytes=1 << 15)
+    assert decompress_file(p_mem) == decompress_file(p_st)
+    for k, v in s_mem.__dict__.items():
+        assert s_st.__dict__[k] == v, (k, v, s_st.__dict__[k])

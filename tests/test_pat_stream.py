@@ -205,3 +205,40 @@ def test_streaming_consumers_preserve_extra_columns(rng, tmp_path):
     want = mask_sites(frags, np.array([5000]), np.array([6000]),
                       strip=True).sort().collapse()
     assert frags_to_bytes(k) == frags_to_bytes(want)
+
+
+def test_frag_len_cli_streams_and_matches(rng, tmp_path, capsys, monkeypatch):
+    """Streamed frag_len histogram equals the materialized computation,
+    whole-genome and bed-restricted, across many tiny chunks."""
+    from wgbs_tools_tpu.cli import cmd_pat
+    from wgbs_tools_tpu.cli.view import view_pat
+
+    n_sites = 20_000
+    p = str(tmp_path / "fl.pat.gz")
+    _mk_pat(rng, p, 6_000, n_sites)
+    bed = tmp_path / "fl.bed"
+    with open(bed, "w") as f:
+        for s in range(200, n_sites - 400, 700):
+            f.write(f"chr1\t{s}\t{s + 300}\t{s}\t{s + 211}\n")
+    g = _G(n_sites)
+    monkeypatch.setattr(cmd_pat, "Genome", lambda name: g)
+    import wgbs_tools_tpu.pipeline.pat_stream as ps
+
+    monkeypatch.setattr(ps, "DEFAULT_CHUNK", TINY)
+
+    def expected(**kw):
+        frags = view_pat(p, g, no_sort=True, **kw)
+        sizes = np.minimum(frags.length, 30)
+        return np.bincount(sizes, weights=frags.count, minlength=31)
+
+    for kw, argv in [({}, []), ({"bed_file": str(bed)},
+                                ["-L", str(bed)])]:
+        assert cmd_pat.main_frag_len([p, "-v"] + argv) == 0
+        out = capsys.readouterr().out
+        got = np.zeros(31)
+        for line in out.splitlines():
+            if line.startswith("#"):
+                continue
+            i, v = line.split("\t")
+            got[int(i)] = float(v)
+        assert np.array_equal(got[1:], expected(**kw)[1:31]), kw

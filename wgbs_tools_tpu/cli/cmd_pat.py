@@ -316,11 +316,20 @@ def main_frag_len(argv):
     g = Genome(args.genome)
     out = open(args.out_path, "w") if args.out_path else sys.stdout
     for pat in args.pat_paths:
-        frags = view_pat(pat, g, region=args.region, sites=args.sites,
-                         bed_file=args.bed_file, no_sort=True)
-        sizes = np.minimum(frags.length, args.max_frag_size)
-        hist = np.bincount(sizes, weights=frags.count,
-                           minlength=args.max_frag_size + 1)
+        # the histogram is additive over chunks: stream the pat in bounded
+        # memory (the reference streams awk over a cview pipe likewise,
+        # ref: src/python/frag_len.py:21-46); no sort/collapse needed
+        from ..pipeline.pat_stream import iter_view_pat
+
+        hist = np.zeros(args.max_frag_size + 1)
+        for frags, _wm in iter_view_pat(pat, g, region=args.region,
+                                        sites=args.sites,
+                                        bed_file=args.bed_file):
+            if frags.nr_frags == 0:
+                continue
+            sizes = np.minimum(frags.length, args.max_frag_size)
+            hist += np.bincount(sizes, weights=frags.count,
+                                minlength=args.max_frag_size + 1)
         if args.out_path or args.verbose or not (args.outdir
                                                  or args.display):
             out.write(f"# {pretty_name(pat)}\n")

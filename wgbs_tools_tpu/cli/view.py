@@ -30,7 +30,17 @@ def view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
         bstart, bend = bstart[keep], bend[keep]
         order = np.argsort(bstart, kind="stable")
         bstart, bend = bstart[order], bend[order]
-        frags = read_pat(pat_path)
+        if len(bstart):
+            # bound the read to the blocks' site envelope (index-seekable,
+            # overlap-inclusive) instead of materializing the whole pat —
+            # the reference likewise tabixes only extended block regions
+            # (ref: src/python/cview.py:82-101). Whole-genome bed files
+            # still stream through iter_view_pat in the CLI paths.
+            lo = int(bstart[0])
+            hi = int(bend.max())
+            frags = read_pat(pat_path, region_sites=(lo, hi))
+        else:
+            frags = read_pat(pat_path, region_sites=(1, 1))
     elif gr.is_whole():
         frags = read_pat(pat_path)
         bstart = np.array([1])

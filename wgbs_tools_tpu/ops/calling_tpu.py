@@ -336,9 +336,11 @@ def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
     # the batched form's dominant HLO temp is the per-chunk Hankel skew,
     # (n_chunks, K+1, U+K) bf16; refuse the single launch when that alone
     # would crowd HBM (sparse dicts / huge-span chunks) and fall back to
-    # per-chunk dispatch rather than OOM the device
+    # per-chunk dispatch rather than OOM the device. Budget = a quarter of
+    # the device's HBM limit when the backend reports one (leaves room for
+    # the other staged operands and XLA temps), else a 4 GiB fallback.
     hankel_bytes = len(staged) * (K + 1) * (U + K) * 2
-    if single_launch and hankel_bytes > (4 << 30):
+    if single_launch and hankel_bytes > _hankel_budget():
         single_launch = False
     if single_launch:
         # stack everything: one h2d, one dispatch, one fetch
@@ -370,6 +372,22 @@ def call_reads_device_v2(positions, flags, paired, loci, site_base, seqmat,
         pats[sl] = _unpack2bit_host(np.asarray(packed)[:n], K)
     maxspan = max(int(spans.max(initial=1)), 1)
     return starts, _CODE2CHAR[pats[:, :maxspan]], spans
+
+
+def _hankel_budget():
+    """HBM budget for the single-launch Hankel temp: bytes_limit/4 from the
+    device's memory stats when available, else 4 GiB (small-HBM devices
+    without stats keep the conservative fallback)."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit) // 4
+    except Exception:
+        pass
+    return 4 << 30
 
 
 _LOCI_CACHE = {}

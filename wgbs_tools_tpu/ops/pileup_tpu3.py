@@ -41,9 +41,25 @@ SB = 128          # sub-block width (lanes) — also the row width
 # sub-blocks per output tile -> tile = TILE_SB * 128 sites. Chunks never
 # cross tiles, so at typical coverage the tile cap (not ROW_CHUNK) sets
 # rows/chunk; larger tiles -> fuller chunks -> fewer grid steps.
-TILE_SB = int(_os.environ.get("WGBS_TPU_V3_TILE_SB", 8))
-ROW_CHUNK = int(_os.environ.get("WGBS_TPU_V3_RC", 256))  # rows per chunk
-G_MAX = int(_os.environ.get("WGBS_TPU_V3_G_MAX", TILE_SB))  # sub-blocks/chunk
+def _env_int(name, default, lo):
+    """Env override with validation: silently-wrong geometry is worse than
+    a crash (e.g. rc < 2 breaks the guaranteed-padding-row invariant that
+    stashes base_g in row rc-1)."""
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(f"{name}={raw!r}: must be an integer") from None
+    if v < lo:
+        raise ValueError(f"{name}={v}: must be >= {lo}")
+    return v
+
+
+TILE_SB = _env_int("WGBS_TPU_V3_TILE_SB", 8, 1)
+ROW_CHUNK = _env_int("WGBS_TPU_V3_RC", 256, 2)  # rows per chunk
+G_MAX = _env_int("WGBS_TPU_V3_G_MAX", TILE_SB, 1)  # sub-blocks/chunk
 # measured on-chip (flat grid, headline shape, sustained back-to-back
 # methodology — see bench.py): TILE_SB=8/RC=256 is the best of the swept
 # geometries (16/512 and 32/256 both slower: per-step compute scales with
@@ -240,21 +256,21 @@ def _flat_args(c0, c1, n_chunks):
 
 
 def call_staged(staged, window_len, interpret=False, grid="flat"):
-    """Dispatch a staged (c0, c1, meta, words, max_chunks) tuple to a
-    kernel grid: 'flat' (default, one step per chunk) or 'tiled' (the
+    """Dispatch a staged tuple (from stage_v3 — carries its own geometry)
+    to a kernel grid: 'flat' (default, one step per chunk) or 'tiled' (the
     original num_tiles x max_chunks form, kept for A/B benchmarking).
     (A double-buffered-flush variant was built and measured slower than
     the synchronous flush — 317 vs 510 M frags/s — and removed; the
     per-step cost is not the flush DMA wait.)"""
-    c0, c1, meta, words, max_chunks = staged
+    c0, c1, meta, words, max_chunks, tile, rc, g_max = staged
     if grid == "tiled":
         return _call(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
-                     jnp.asarray(words), window_len, SB * TILE_SB,
-                     ROW_CHUNK, G_MAX, max_chunks, interpret)
+                     jnp.asarray(words), window_len, tile,
+                     rc, g_max, max_chunks, interpret)
     ctile, covered = _flat_args(c0, c1, meta.shape[0])
     return _call_flat(jnp.asarray(ctile), jnp.asarray(covered),
                       jnp.asarray(meta), jnp.asarray(words), window_len,
-                      SB * TILE_SB, ROW_CHUNK, G_MAX, interpret)
+                      tile, rc, g_max, interpret)
 
 
 @functools.partial(
@@ -334,9 +350,15 @@ def _prep_window(start, length, count, codes, window_start, window_len):
 def stage_v3(start, length, count, codes, window_start, window_len,
              tile=SB * TILE_SB, rc=ROW_CHUNK, g_max=G_MAX):
     """Host staging: window prep, sub-block split, native row packing,
-    code placement, chunking. Returns (c0, c1, meta, words, max_chunks) or
-    None when the native packer is unavailable."""
+    code placement, chunking. Returns (c0, c1, meta, words, max_chunks,
+    tile, rc, g_max) — the tuple carries its geometry so call_staged can
+    never decode it with mismatched module defaults — or None when the
+    native packer is unavailable."""
     from ..native import pack_rows_native
+
+    if tile % SB:
+        raise ValueError(f"tile={tile} must be a multiple of SB={SB}")
+    tile_sb = tile // SB
 
     rel, length, count, codes = _prep_window(
         start, length, count, codes, window_start, window_len)
@@ -397,7 +419,7 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         rowmat.reshape(-1)[buf[m]] = vals
 
     # chunking over rows: bounded rows, sub-block span, single tile
-    row_tile = row_g // TILE_SB
+    row_tile = row_g // tile_sb
     breaks = [0]
     cstart = 0
     while cstart < R:
@@ -445,7 +467,7 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     max_chunks = max(int((c1 - c0).max(initial=1)), 1)
     max_chunks = 1 << (max_chunks - 1).bit_length()
     return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
-            max_chunks)
+            max_chunks, tile, rc, g_max)
 
 
 def pileup_pallas_v3(start, length, count, codes, window_start, window_len,

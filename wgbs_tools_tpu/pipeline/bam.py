@@ -57,6 +57,24 @@ class BamRecord:
         return parse_tag(self.tags, name.encode())
 
 
+def record_from_columnar(buf, cols, offs, rec_end, i):
+    """Materialize one BamRecord from the columnar scan arrays (the
+    single-row form of BamReader._iter_scanned) — used to route individual
+    records to the scalar call path when the vectorized one rejects them."""
+    (ref_id, rpos, flag, mapq, l_seq, n_cigar, first_cigar, l_qname) = cols[i]
+    qo, co, so, uo, to = offs[i]
+    qname = buf[qo : qo + l_qname - 1].decode()
+    if n_cigar == 1:
+        v = int(np.uint32(first_cigar))
+        cigar = [(CIGAR_OPS[v & 0xF], v >> 4)]
+    else:
+        cigar = [(CIGAR_OPS[v & 0xF], v >> 4)
+                 for v in struct.unpack_from(f"<{n_cigar}I", buf, co)]
+    seq = _decode_seq(buf[so:uo], int(l_seq))
+    return BamRecord(qname, int(flag), int(ref_id), int(rpos), int(mapq),
+                     cigar, seq, buf[uo:to], buf[to : rec_end[i]])
+
+
 def parse_tag(blob, name):
     i = 0
     n = len(blob)

@@ -20,6 +20,33 @@ from .bam import _PAIR_LUT, FREVERSE
 
 B_C, B_G = ord("C"), ord("G")
 
+
+class MMParseError(RuntimeError):
+    """Native MM/ML machinery unavailable or internally inconsistent.
+
+    This is an infrastructure failure, never a per-record data problem —
+    records whose MM/ML tags the native parser rejects are reported
+    per-record by mmml_bad_rows() so callers can route just those through
+    the scalar record path (the streaming analogue of the reference's
+    per-read degradation, ref: src/pipeline_wgbs/ont.cpp:90-221)."""
+
+
+def mmml_bad_rows(buf, offs, rec_end, rows):
+    """Per-record MM/ML parseability for the given row indices.
+
+    Returns a bool mask aligned with `rows` (True = the native parser
+    cannot handle this record's aux region — send it to the scalar record
+    path), or None when the native library is absent entirely."""
+    from ..native import bam_mmml_scan_native
+
+    scan = bam_mmml_scan_native(
+        buf, np.ascontiguousarray(offs[rows, 4]),
+        np.ascontiguousarray(rec_end[rows]))
+    if scan is None:
+        return None
+    _mm_off, mm_len, _ml_off, ml_n = scan
+    return (mm_len == -9) | (ml_n == -9)
+
 # CIGAR op codes: MIDNSHP=X -> 0..8
 _PRODUCE = np.array([1, 0, 1, 1, 0, 0, 0, 1, 1], dtype=np.int64)
 _COPY = np.array([1, 0, 0, 0, 0, 0, 0, 1, 1], dtype=bool)
@@ -79,10 +106,11 @@ def process_chrom_columnar_ont(buf, bufarr, cols, offs, rec_end, idx_rows,
                                cpc_call="C", combine_mods=False):
     """Call one chromosome's nanopore reads (row indices into cols/offs).
 
-    Returns a PatFrags batch. Raises RuntimeError when native MM parsing is
+    Returns a PatFrags batch. Raises MMParseError when native MM parsing is
     unavailable or rejects a record — callers must pre-validate with
-    scan_mmml() (bam2pat_run.py does) and route such BAMs through the record
-    path instead; a worker must never receive an unparseable job silently."""
+    scan_mmml()/mmml_bad_rows() (bam2pat_run.py / bam_stream.py do) and
+    route such records through the record path instead; a worker must never
+    receive an unparseable job silently."""
     from ..native import mm_parse_native
     from .calling import rows_to_frags
     from .nanopore import NanoporeCalls, np_call_read_arr, ordinal_status
@@ -99,13 +127,13 @@ def process_chrom_columnar_ont(buf, bufarr, cols, offs, rec_end, idx_rows,
 
     scan = scan_mmml(buf, sub_offs, sub_end)
     if scan is None:
-        raise RuntimeError(
+        raise MMParseError(
             "nanopore columnar path: MM/ML aux scan failed for %s; "
             "pre-validate with scan_mmml and use the record path" % chrom_name)
     mm_off, mm_len, ml_off, ml_n = scan
     parsed = mm_parse_native(buf, mm_off, mm_len)
     if parsed is None:
-        raise RuntimeError(
+        raise MMParseError(
             "nanopore columnar path: native MM parse unavailable for %s; "
             "pre-validate with scan_mmml and use the record path" % chrom_name)
     sec_rec, sec_mod, sec_npdot, sec_part, sec_nskip, skips = parsed

@@ -302,24 +302,31 @@ def _process_group_se(state, buf, bufarr, cols, offs, rec_end, rows, clip,
     order = np.argsort(cols[rows, 1], kind="stable")
     rs = rows[order]
     if ont is not None:
-        from .bam_columnar_ont import process_chrom_columnar_ont
+        from .bam_columnar_ont import (MMParseError, mmml_bad_rows,
+                                       process_chrom_columnar_ont)
 
-        try:
-            frags = process_chrom_columnar_ont(
-                buf, bufarr, cols, offs, rec_end, rs, state.loci,
-                state.site_base, state.chrom, clip, min_cpg, state.stats,
-                False, **ont)
-        except RuntimeError as e:
-            # the in-memory path gates the ONT columnar kernel behind a
-            # whole-file scan_mmml pre-validation and falls back to the
-            # record path on failure (bam2pat_run.py); streaming can't
-            # pre-scan, so an unparseable MM/ML record surfaces here —
-            # hand the file back for the in-memory fallback (the caller
-            # aborts the partial output)
-            raise StreamUnsupported(f"MM/ML record not columnar-parseable "
-                                    f"({e})") from e
-        if frags.nr_frags:
-            state.pending.append(frags)
+        # per-record degradation, like the reference's per-read parser
+        # (ref: src/pipeline_wgbs/ont.cpp:90-221): records the native
+        # MM/ML parser rejects go through the scalar record path; only an
+        # infrastructure failure (library absent / internally inconsistent)
+        # hands the whole file back to the in-memory fallback
+        bad = mmml_bad_rows(buf, offs, rec_end, rs)
+        if bad is None:
+            raise StreamUnsupported("native MM/ML scan unavailable")
+        good = rs[~bad] if bad.any() else rs
+        if good.shape[0]:
+            try:
+                frags = process_chrom_columnar_ont(
+                    buf, bufarr, cols, offs, rec_end, good, state.loci,
+                    state.site_base, state.chrom, clip, min_cpg, state.stats,
+                    False, **ont)
+            except MMParseError as e:
+                raise StreamUnsupported(str(e)) from e
+            if frags.nr_frags:
+                state.pending.append(frags)
+        if bad.any():
+            _process_ont_scalar(state, buf, cols, offs, rec_end, rs[bad],
+                                clip, min_cpg, ont)
     else:
         from .bam_columnar import decode_and_call
 
@@ -330,6 +337,28 @@ def _process_group_se(state, buf, bufarr, cols, offs, rec_end, rows, clip,
         _emit_mat(state, starts[has], patmat[has], span[has], min_cpg)
     if rs.shape[0]:
         state.last_pos = max(state.last_pos, int(cols[rs[-1], 1]))
+
+
+def _process_ont_scalar(state, buf, cols, offs, rec_end, rows, clip,
+                        min_cpg, ont):
+    """Scalar record path for nanopore records the native MM/ML parser
+    rejects: byte-equal per read to the columnar kernel by construction
+    (bam_columnar_ont reuses the same calling helpers), so mixing paths
+    inside one chromosome preserves output identity."""
+    from .bam import record_from_columnar
+    from .calling import call_records
+
+    records = [record_from_columnar(buf, cols, offs, rec_end, int(r))
+               for r in rows]
+    records.sort(key=lambda r: r.pos)
+    starts, patterns, _q = call_records(
+        records, state.loci, state.site_base, state.chrom, False, clip=clip,
+        min_cpg=min_cpg, stats=state.stats, nanopore=True,
+        np_thresh=ont["np_thresh"], cpc_call=ont["cpc_call"],
+        combine_mods=ont["combine_mods"])
+    if len(patterns):
+        state.pending.append(rows_to_frags(np.asarray(starts, dtype=np.int64),
+                                           patterns, state.chrom))
 
 
 def _retire_lost_mates(state, min_cpg):

@@ -15,12 +15,14 @@ with start < W are final and can be sorted, collapsed, and emitted. The
 reorder buffer holds at most ~one chunk of fragments.
 """
 
+import os as _os
+
 import numpy as np
 
 from ..formats.pat import PatFrags, empty_frags, iter_pat, read_pat
 from ..utils import IllegalArgumentError
 
-DEFAULT_CHUNK = 32 << 20
+DEFAULT_CHUNK = int(_os.environ.get("WGBS_TPU_PAT_CHUNK_BYTES", 32 << 20))
 
 
 class SortedStreamEmitter:
@@ -133,16 +135,6 @@ def iter_view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
         yield out, wm
 
 
-def view_pat_streaming(pat_path, genome, sink, chunk_bytes=DEFAULT_CHUNK,
-                       **view_kwargs):
-    """Filtered sorted/collapsed view streamed into sink(PatFrags)."""
-    em = SortedStreamEmitter(sink)
-    for frags, wm in iter_view_pat(pat_path, genome,
-                                   chunk_bytes=chunk_bytes, **view_kwargs):
-        em.push(frags, wm)
-    em.close()
-
-
 def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
                          view_kwargs=None, sub_samples=None, seed=None,
                          chunk_bytes=DEFAULT_CHUNK, level=6):
@@ -174,11 +166,18 @@ def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
         if labels is None or frags.nr_frags == 0:
             return frags
         lab = labels[i].encode()
-        base = frags.extras if frags.extras is not None else \
-            np.array([None] * frags.nr_frags, dtype=object)
-        extras = np.array(
-            [lab if b is None else b + b"\t" + lab for b in base],
-            dtype=object)
+        if frags.extras is None:
+            extras = np.full(frags.nr_frags, lab, dtype=object)
+        else:
+            # vectorized object concat: ufunc add over the column, no
+            # per-row Python loop on the merge hot path
+            base = frags.extras
+            has = ~np.equal(base, None)
+            extras = np.full(frags.nr_frags, lab, dtype=object)
+            n = int(has.sum())
+            if n:
+                extras[has] = base[has] + np.full(n, b"\t" + lab,
+                                                  dtype=object)
         return PatFrags(frags.start, frags.length, frags.count, frags.codes,
                         frags.chrom_id, frags.chrom_names, extras)
 
@@ -209,10 +208,10 @@ def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
             if live:
                 em.push(None, min(live))  # flush rows below the new min
         em.close()
+        writer.close()  # inside try: a finalize failure must abort too
     except BaseException:
         writer.abort()  # never leave finalized-looking partial output
         raise
-    writer.close()
     return out_path
 
 
@@ -241,10 +240,10 @@ def mask_pat_streaming(pat_path, out_path, bstart, bend, genome,
             wm = int(frags.start.max())
             em.push(mask_sites(frags, bstart, bend, strip=True), wm)
         em.close()
+        writer.close()  # inside try: a finalize failure must abort too
     except BaseException:
         writer.abort()  # never leave finalized-looking partial output
         raise
-    writer.close()
     return out_path
 
 
