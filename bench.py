@@ -8,9 +8,23 @@ reference's `stdin2beta` C++ stream kernel (compiled from /root/reference at
 run time) processing the same fragments as pat text on one CPU core — the
 reference's actual execution model (ref: src/python/pat2beta.py:41-65).
 
+Methodology (round 4): the round-3 headline was not reproducible across
+processes (510 vs 202 M frags/s on consecutive days) because a single
+process measured one K=8 burst, which is still sensitive to tunnel latency
+drift. Now:
+  * CROSS-PROCESS: the parent spawns BENCH_PROCS (default 3) fresh child
+    processes; the headline is the median of per-process rates and the
+    cross-process range is reported (`process_rates`, `cross_process_
+    spread_pct`). Two consecutive bench.py runs should agree within that
+    spread.
+  * BURST CURVE: each child times bursts of K = 8, 64, 256 back-to-back
+    dispatches with one trailing sync. time/K = t_kernel + c/K separates
+    the kernel rate (large K asymptote) from per-burst tunnel overhead;
+    the curve is printed so latency-dominated runs are self-diagnosing.
+
 Prints ONE JSON line:
   {"metric": "pat2beta_frags_per_s_chip", "value": N, "unit": "frags/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...}
 """
 
 import json
@@ -35,9 +49,12 @@ os.environ.setdefault(
 N_FRAGS = int(os.environ.get("BENCH_FRAGS", 2_000_000))
 N_SITES = int(os.environ.get("BENCH_SITES", 4_000_000))
 MAX_LEN = 24
-# v3 = row-packed kernel (fastest); v2 = sub-block grouped; v1 = tile/halo
+# v3 = row-packed kernel (fastest); v2 = sub-block grouped
 KERNEL = os.environ.get("BENCH_KERNEL", "v3")
 REFERENCE = os.environ.get("WGBS_REFERENCE", "/root/reference")
+BURSTS = [int(k) for k in os.environ.get("BENCH_BURSTS", "8,64,256").split(",")]
+TRIALS = int(os.environ.get("BENCH_TRIALS", 3))  # per burst size
+PROCS = int(os.environ.get("BENCH_PROCS", 3))
 
 
 def make_frags(rng, n_frags, n_sites, max_len):
@@ -79,214 +96,100 @@ def bench_reference(frags, n_sites):
         return time.perf_counter() - t0
 
 
-def bench_tpu_v3(frags, n_sites, iters=5):
+def _device_runner(frags, n_sites):
+    """Stage the fragments and return a zero-arg dispatch closure + sync."""
     import jax
     import jax.numpy as jnp
 
-    from wgbs_tools_tpu.ops import pileup_tpu3 as p3
-
-    staged = p3.stage_v3(frags.start, frags.length, frags.count, frags.codes,
-                         1, n_sites)
-    if staged is None:
-        raise RuntimeError("native packer unavailable")
     interpret = jax.default_backend() != "tpu"
     grid = os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
-    c0, c1, meta, words, mc = staged
-    # device-resident args OUTSIDE the timed loop: this benchmarks the
-    # kernel, not the tunnel h2d (the job-level h2d cost is bench_e2e's)
-    if grid == "tiled":
+    staged = None
+    if KERNEL == "v3":
+        from wgbs_tools_tpu.ops import pileup_tpu3 as p3
+
+        staged = p3.stage_v3(frags.start, frags.length, frags.count,
+                             frags.codes, 1, n_sites)
+    if staged is not None:
+        c0, c1, meta, words, mc, tile, rc, g_max = staged
+        if grid == "tiled":
+            dev = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
+                   jnp.asarray(words))
+
+            def run():
+                return p3._call(*dev, n_sites, tile, rc, g_max, mc, interpret)
+        else:
+            ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
+            dev = (jnp.asarray(ctile), jnp.asarray(covered),
+                   jnp.asarray(meta), jnp.asarray(words))
+
+            def run():
+                return p3._call_flat(*dev, n_sites, tile, rc, g_max,
+                                     interpret)
+    else:  # native packer unavailable: v2 does the same job
+        from wgbs_tools_tpu.ops import pileup_tpu2 as p2
+
+        c0, c1, meta, words, mc = p2.stage_v2(
+            frags.start, frags.length, frags.count, frags.codes, 1, n_sites)
         dev = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
                jnp.asarray(words))
 
         def run():
-            return p3._call(*dev, n_sites, p3.SB * p3.TILE_SB, p3.ROW_CHUNK,
-                            p3.G_MAX, mc, interpret)
-    else:
-        ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
-        dev = (jnp.asarray(ctile), jnp.asarray(covered), jnp.asarray(meta),
-               jnp.asarray(words))
-
-        def run():
-            return p3._call_flat(*dev, n_sites, p3.SB * p3.TILE_SB,
-                                 p3.ROW_CHUNK, p3.G_MAX, interpret)
+            return p2._call(*dev, n_sites, p2.SB * p2.TILE_SB, p2.FRAG_CHUNK,
+                            p2.G_MAX, mc, interpret)
 
     def sync(o):
+        # On the axon-tunneled TPU, block_until_ready does not reliably
+        # wait; a 1-element fetch forces completion.
         np.asarray(o[0][:1])
 
-    # sustained-throughput methodology: K back-to-back dispatches, ONE
-    # sync, time/K. The earlier per-launch scheme (launch+sync minus a
-    # separately calibrated fetch) proved unstable over this tunnel — the
-    # same binary measured 67-510 M frags/s across processes as roundtrip
-    # latency drifted between the calibration and the timed loop. The
-    # amortized form is what production streaming does (dispatch-ahead,
-    # sync rarely) and repeats within +-4%.
+    return run, sync
+
+
+def _measure_child(frags):
+    """One process's burst-curve measurement: {K: [dt_per_launch, ...]}."""
+    run, sync = _device_runner(frags, N_SITES)
     sync(run())  # compile + warm
-    K = max(int(os.environ.get("BENCH_BURST", 8)), 1)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(K):
-        out = run()
-    sync(out)
-    dt = (time.perf_counter() - t0) / K
-    return dt, out
+    curve = {}
+    for K in BURSTS:
+        dts = []
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(K):
+                out = run()
+            sync(out)
+            dts.append((time.perf_counter() - t0) / K)
+        curve[K] = dts
+    return curve
 
 
-def bench_tpu_v2(frags, n_sites, iters=5):
-    import jax
-    import jax.numpy as jnp
-
-    from wgbs_tools_tpu.ops import pileup_tpu2 as p2
-
-    c0, c1, meta, words, mc = p2.stage_v2(
-        frags.start, frags.length, frags.count, frags.codes, 1, n_sites
-    )
-    dev_args = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
-                jnp.asarray(words))
-    interpret = jax.default_backend() != "tpu"
-
-    def run():
-        return p2._call(*dev_args, n_sites, p2.SB * p2.TILE_SB, p2.FRAG_CHUNK,
-                        p2.G_MAX, mc, interpret)
-
-    def sync(o):
-        np.asarray(o[0][:1])
-
-    out = run()
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(3):
-        sync(out)
-    fetch = (time.perf_counter() - t0) / 3
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-        sync(out)
-    dt = max((time.perf_counter() - t0) / iters - fetch, 1e-9)
-    return dt, out
-
-
-def bench_tpu(frags, n_sites, iters=5):
-    import jax
-    import jax.numpy as jnp
-
-    from wgbs_tools_tpu.ops import pileup_tpu as pt
-
-    start = np.asarray(frags.start, dtype=np.int64)
-    codes = frags.codes
-    F, L = codes.shape
-    max_len = max(pt._round_up(L, 128), 128)
-    if codes.shape[1] != max_len:
-        codes = np.pad(codes, ((0, 0), (0, max_len - codes.shape[1])),
-                       constant_values=3)
-    fc, tile = pt.FRAG_CHUNK, pt.TILE
-    rel = (start - 1).astype(np.int32)
-    Fp = pt._round_up(max(F, 1), fc)
-    n_chunks = Fp // fc
-    meta = np.zeros((n_chunks, 4, fc), dtype=np.int32)
-    sp = np.full(Fp, pt.SENTINEL, dtype=np.int32)
-    lp = np.zeros(Fp, dtype=np.int32)
-    cp = np.zeros(Fp, dtype=np.int32)
-    sp[:F] = rel
-    lp[:F] = frags.length
-    cp[:F] = frags.count
-    meta[:, 0, :] = sp.reshape(n_chunks, fc)
-    meta[:, 1, :] = lp.reshape(n_chunks, fc)
-    meta[:, 2, :] = cp.reshape(n_chunks, fc)
-    codes_p = np.full((Fp, max_len), 3, dtype=np.uint8)
-    codes_p[:F] = codes
-    words = pt.planar_pack(codes_p)
-
-    num_tiles = (n_sites + tile - 1) // tile
-    tile_bounds = np.arange(num_tiles, dtype=np.int64) * tile
-    lo = np.searchsorted(rel, tile_bounds - max_len + 1, side="left")
-    hi = np.searchsorted(rel, tile_bounds + tile, side="left")
-    first_chunk = lo // fc
-    max_chunks = max(int(((hi + fc - 1) // fc - first_chunk).max(initial=1)), 1)
-    first_chunk = np.minimum(first_chunk, max(n_chunks - max_chunks, 0))
-    lo_adj = first_chunk * fc
-    hi = np.minimum(hi, lo_adj + max_chunks * fc)
-
-    dev_args = (
-        jnp.asarray(lo_adj.astype(np.int32)),
-        jnp.asarray(hi.astype(np.int32)),
-        jnp.asarray(meta),
-        jnp.asarray(words),
-    )
-    interpret = jax.default_backend() != "tpu"
-
-    def run():
-        return pt._pileup_pallas_call(*dev_args, n_sites, max_len, tile, fc,
-                                      max_chunks, interpret)
-
-    def sync(o):
-        # On the axon-tunneled TPU, block_until_ready does not reliably wait;
-        # a 1-element fetch forces completion of the producing computation.
-        np.asarray(o[0][:1])
-
-    out = run()
-    sync(out)
-    # subtract the fetch round-trip latency measured on a completed buffer
-    t0 = time.perf_counter()
-    for _ in range(3):
-        sync(out)
-    fetch = (time.perf_counter() - t0) / 3
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = run()
-        sync(out)
-    dt = max((time.perf_counter() - t0) / iters - fetch, 1e-9)
-    return dt, out
-
-
-TRIALS = int(os.environ.get("BENCH_TRIALS", 5))
-
-
-def _measure(frags):
-    """Median of TRIALS independent device timings (each already averages
-    `iters` kernel launches). The median separates steady-state kernel rate
-    from transient tunnel/host noise; the per-trial spread is reported so a
-    regression can be told apart from a noisy run."""
-    fn = {"v3": bench_tpu_v3, "v2": bench_tpu_v2}.get(KERNEL, bench_tpu)
-    dts = []
-    for _ in range(TRIALS):
-        try:
-            dt, _ = fn(frags, N_SITES)
-        except Exception:
-            if fn is bench_tpu_v3:
-                fn = bench_tpu_v2
-            elif fn is bench_tpu_v2:
-                fn = bench_tpu
-            else:
-                raise
-            dt, _ = fn(frags, N_SITES)
-        dts.append(dt)
-    return dts
-
-
-def _measure_with_watchdog(frags):
-    """Run the device measurement in a child process with a hard timeout —
-    the axon-tunneled device can wedge (executions hang indefinitely), and a
-    hung benchmark is worse than a failed one."""
-    budget = int(os.environ.get("BENCH_TIMEOUT", 2400))
-    if os.environ.get("BENCH_CHILD"):
-        return _measure(frags)
+def _spawn_children(n_procs):
+    """Run n_procs fresh child processes; returns their curve dicts."""
+    budget = int(os.environ.get("BENCH_TIMEOUT", 1200))  # per child
     env = dict(os.environ, BENCH_CHILD="1")
-    try:
-        p = subprocess.run(
-            [sys.executable, op.abspath(__file__)],
-            env=env, timeout=budget, stdout=subprocess.PIPE,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"[bench] device measurement exceeded {budget}s "
-            "(wedged TPU tunnel?); aborting", file=sys.stderr,
-        )
+    curves = []
+    for i in range(n_procs):
+        try:
+            p = subprocess.run(
+                [sys.executable, op.abspath(__file__)],
+                env=env, timeout=budget, stdout=subprocess.PIPE,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] child {i} exceeded {budget}s (wedged TPU "
+                  "tunnel?); skipping", file=sys.stderr)
+            continue
+        if p.returncode != 0:
+            print(f"[bench] child {i} failed rc={p.returncode}",
+                  file=sys.stderr)
+            continue
+        try:
+            curves.append(json.loads(p.stdout.decode().strip().splitlines()[-1]))
+        except Exception:
+            print(f"[bench] child {i} output unparseable", file=sys.stderr)
+    if not curves:
+        print("[bench] no child process succeeded", file=sys.stderr)
         sys.exit(1)
-    if p.returncode != 0:
-        sys.exit(p.returncode)
-    sys.stdout.buffer.write(p.stdout)
-    sys.exit(0)
+    return curves
 
 
 def main():
@@ -294,20 +197,35 @@ def main():
     frags = make_frags(rng, N_FRAGS, N_SITES, MAX_LEN)
     F = frags.nr_frags
 
-    if not os.environ.get("BENCH_CHILD") and os.environ.get(
-            "BENCH_WATCHDOG", "1") == "1":
-        _measure_with_watchdog(frags)  # execs the child and exits
+    if os.environ.get("BENCH_CHILD"):
+        curve = _measure_child(frags)
+        print(json.dumps({str(k): v for k, v in curve.items()}))
+        return
 
-    tpu_dts = _measure(frags)
-    rates = sorted(F / dt for dt in tpu_dts)
-    tpu_rate = rates[len(rates) // 2]  # median
-    spread_pct = 100 * (rates[-1] - rates[0]) / tpu_rate
+    curves = _spawn_children(PROCS)
+
+    # per-process kernel rate = median trial at the largest burst size (the
+    # K -> inf asymptote; per-burst tunnel overhead is amortized away)
+    kmax = str(max(BURSTS))
+    proc_rates = []
+    for c in curves:
+        dts = sorted(c[kmax])
+        proc_rates.append(F / dts[len(dts) // 2])
+    proc_rates.sort()
+    tpu_rate = proc_rates[len(proc_rates) // 2]
+    cross_spread = (100 * (proc_rates[-1] - proc_rates[0]) / tpu_rate
+                    if len(proc_rates) > 1 else 0.0)
+
+    # burst curve (median across processes and trials, per K): rising rate
+    # with K == the small-K numbers were latency-bound, not kernel-bound
+    burst_curve = {}
+    for K in BURSTS:
+        all_dts = sorted(d for c in curves for d in c[str(K)])
+        burst_curve[str(K)] = round(F / all_dts[len(all_dts) // 2], 1)
 
     # the reference baseline is re-measured per run and is the noisier
-    # quantity (CPU contention); median of its own trials, reported
-    # separately so kernel vs baseline variance can be told apart
-    ref_dts = [bench_reference(frags, N_SITES)
-               for _ in range(max(3, TRIALS - 2))]
+    # quantity (CPU contention); median of its own trials
+    ref_dts = [bench_reference(frags, N_SITES) for _ in range(3)]
     ref_dts = sorted(d for d in ref_dts if d)
     ref_rate = F / ref_dts[len(ref_dts) // 2] if ref_dts else None
     vs_baseline = tpu_rate / ref_rate if ref_rate else None
@@ -319,8 +237,10 @@ def main():
                 "value": round(tpu_rate, 1),
                 "unit": "frags/s",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "trials": len(rates),
-                "kernel_spread_pct": round(spread_pct, 1),
+                "processes": len(proc_rates),
+                "process_rates": [round(r, 1) for r in proc_rates],
+                "cross_process_spread_pct": round(cross_spread, 1),
+                "burst_curve_frags_per_s": burst_curve,
                 "baseline_frags_per_s": round(ref_rate, 1)
                 if ref_rate else None,
             }

@@ -1,0 +1,54 @@
+"""Multi-process (emulated multi-host) execution: N OS processes join one
+jax.distributed job, shard the pat input by site range, and assemble a beta
+byte-identical to the single-process path (parallel/multihost.py)."""
+
+import os
+import os.path as op
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.synth import random_frags
+from wgbs_tools_tpu.formats.pat import write_pat
+
+REPO = op.dirname(op.dirname(op.abspath(__file__)))
+
+
+@pytest.mark.parametrize("nproc,ldev", [(2, 2)])
+def test_multiprocess_pat2beta_matches_single(tmp_path, nproc, ldev):
+    n_sites = 4096
+    frags = random_frags(np.random.default_rng(7), 4000, n_sites - 20,
+                         max_len=14).sort().collapse()
+    pat = str(tmp_path / "mh.pat.gz")
+    write_pat(frags, pat)
+
+    # single-process truth (host accumulator; integer adds -> exact)
+    from wgbs_tools_tpu.pipeline.pat2beta import pat2beta
+
+    class _G:
+        nr_sites = n_sites
+
+        def get_nr_sites(self):
+            return n_sites
+
+    single = pat2beta(pat, out_dir=str(tmp_path), genome=_G(),
+                      sharded=False, out_path=str(tmp_path / "single.beta"))
+
+    # the launcher spawns fresh python processes: they must not inherit this
+    # test process's initialized-JAX state, only its env
+    from wgbs_tools_tpu.parallel.multihost import run_pat2beta_multiprocess
+
+    out = run_pat2beta_multiprocess(
+        pat, str(tmp_path / "multi.beta"), n_sites,
+        num_processes=nproc, local_devices=ldev, timeout=300)
+    assert open(out, "rb").read() == open(single, "rb").read(), \
+        "multi-process beta != single-process beta"
+
+
+def test_multiprocess_worker_cli_badargs():
+    r = subprocess.run(
+        [sys.executable, "-m", "wgbs_tools_tpu.parallel.multihost"],
+        capture_output=True, env=dict(os.environ, PYTHONPATH=REPO))
+    assert r.returncode == 2  # argparse usage error
