@@ -426,6 +426,27 @@ def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
 # ---------------------------------------------------------------------------
 
 
+def _use_exact_device():
+    """Policy for running exact mode's DP on the accelerator.
+
+    Opt-in via WGBS_TPU_SEGMENT_EXACT_DEVICE=1 (or auto: =auto uses the
+    device whenever a real TPU backend is present — uploads are tiny
+    (prefix sums + a one-time ll table) so unlike device calling this path
+    is compute-dominated even over a slow link; see BENCHMARKS.md for the
+    measured crossover)."""
+    import os
+
+    v = os.environ.get("WGBS_TPU_SEGMENT_EXACT_DEVICE", "0").lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v == "auto":
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+    return False
+
+
 def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
                     mode="exact", cost_block=4096):
     """Segment one window of K beta datasets.
@@ -447,12 +468,21 @@ def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
     pm, pt = _prefix_sums(data)
 
     if mode == "exact":
-        # native C++ kernel: same libm log2 / float rounding chain, band-
-        # limited cost evaluation (native/segment_exact.cpp); ~10-50x the
-        # vectorized numpy emulation below, still byte-identical
-        from ..native import segment_exact_native
+        T = None
+        if _use_exact_device():
+            # device path: ll-table lookups + software IEEE-double DP
+            # (segment_exact_tpu.py) — bit-identical to the host chain;
+            # returns None for ineligible windows (host handles those)
+            from .segment_exact_tpu import segment_exact_device_T
 
-        T = segment_exact_native(data, loci, W, max_bp, pseudo_count)
+            T = segment_exact_device_T(data, loci, W, max_bp, pseudo_count)
+        if T is None:
+            # native C++ kernel: same libm log2 / float rounding chain,
+            # band-limited cost evaluation (native/segment_exact.cpp);
+            # ~10-50x the vectorized numpy emulation below, byte-identical
+            from ..native import segment_exact_native
+
+            T = segment_exact_native(data, loci, W, max_bp, pseudo_count)
         if T is None:
             C = np.empty((n, W), dtype=np.float64)
             for lo in range(0, n, cost_block):

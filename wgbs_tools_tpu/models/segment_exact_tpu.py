@@ -1,0 +1,201 @@
+"""Exact-parity segmentation DP on device (ll table + software doubles).
+
+The reference segmentor's borders depend on an exact chain of float32/
+float64 roundings (ref: src/segment_betas/segmentor.cpp:60-159): per-dataset
+log-likelihoods rounded to float32, the dataset sum and DP maximization in
+IEEE float64 with strict-'>' first-argmax ties. Round 3 proved a plain-f32
+device DP only reaches ~95-97% border agreement, and this round measured
+that the TPU's native f64 is two-float emulation with non-IEEE rounding —
+so neither floats nor hardware doubles can reproduce the chain on-chip.
+
+This module runs the O(n*W*K) work on the TPU anyway, bit-exactly:
+
+  1. The per-dataset likelihood is a pure function of the integer pair
+     (nmeth, ntotal) — the round-3 discovery behind the host memo
+     (native/segment_exact.cpp:33-43). The HOST builds a triangular float32
+     table of every ll(nm, nt) with the reference rounding chain (numpy
+     float32/float64 emulation, proven byte-identical to the C++ and the
+     reference by the oracle tests), sized to the largest in-band total of
+     the window.
+  2. The DEVICE computes band counts as int32 prefix-sum differences
+     (Hankel skews, gather-free), looks ll values up in the table, and
+     performs the float64 dataset summation and the DP max/argmax in
+     SOFTWARE IEEE-754 arithmetic over uint32 pairs (ops/softfloat.py) —
+     integer ops are exact on every backend, so every double rounding and
+     every tie-break equals the host chain bit-for-bit.
+
+Windows whose in-band totals exceed the table cap (coverage*band beyond
+`WGBS_TPU_LL_CAP`, default 8192 -> a 134 MB table) or whose loci are not
+monotone fall back to the host path — the caller treats a None return as
+"use native/numpy".
+"""
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.softfloat import f64_add, f64_from_f32, f64_sort_key
+from .segment import _hankel
+
+LL_CAP = int(os.environ.get("WGBS_TPU_LL_CAP", 8192))
+
+_TABLE_CACHE = {}
+
+
+def build_ll_table(pc, cap):
+    """Host-side float32 table of ll(nm, nt) for 0 <= nm <= nt < cap,
+    triangular-flat at index nt*(nt+1)//2 + nm, with the reference's exact
+    rounding chain (matches _cost_block_exact / segment_exact.cpp)."""
+    key = (float(pc), int(cap))
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nt = np.repeat(np.arange(cap, dtype=np.int64),
+                   np.arange(1, cap + 1, dtype=np.int64))
+    size = nt.shape[0]
+    nm = np.arange(size, dtype=np.int64) - (nt * (nt + 1)) // 2
+    pc32 = np.float32(pc)
+    nm32 = nm.astype(np.float32)
+    nt32 = nt.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p32 = (nm32 + pc32) / (nt32 + np.float32(2) * pc32)
+        p64 = p32.astype(np.float64)
+        t1 = np.where(p32 > 0, nm32.astype(np.float64) * np.log2(p64), 0.0)
+        ll = (np.zeros(size, np.float32).astype(np.float64) + t1).astype(
+            np.float32)
+        t2 = np.where(p32 < 1,
+                      (nt32 - nm32).astype(np.float64) * np.log2(1.0 - p64),
+                      0.0)
+        ll = (ll.astype(np.float64) + t2).astype(np.float32)
+    ll = np.where(nt32 == 0, np.float32(0), ll)
+    _TABLE_CACHE.clear()  # one table resident at a time (134 MB at the cap)
+    _TABLE_CACHE[key] = ll
+    return ll
+
+
+def max_band_total(data, loci, W, max_bp):
+    """Largest in-band (nm <= nt) total of any candidate block — the table
+    size the device kernel needs. Host-side, int64, monotone loci only."""
+    pt = np.cumsum(np.asarray(data, dtype=np.int64)[:, :, 1], axis=1)
+    pt = np.concatenate([np.zeros((pt.shape[0], 1), np.int64), pt], axis=1)
+    n = loci.shape[0]
+    if max_bp:
+        hi = np.searchsorted(loci, loci + max_bp, side="right")
+    else:
+        hi = np.full(n, n, dtype=np.int64)
+    hi = np.minimum(np.maximum(hi, np.arange(n) + 1), np.arange(n) + W)
+    hi = np.minimum(hi, n)
+    return int((pt[:, hi] - pt[:, :n]).max(initial=0))
+
+
+@partial(jax.jit, static_argnames=("W", "max_bp"))
+def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
+    """(Ch, Cl) uint32 (n, W) cost-row pairs in ascending-k order
+    (pair[i, v] = cost of block [k..i], k = i-W+1+v) plus the validity
+    mask (k >= 0 and within the max_bp band)."""
+    n = loci.shape[0]
+    K = pm.shape[0]
+    j_col = jnp.arange(W, dtype=jnp.int32)[None, :]
+    i_row = jnp.arange(n, dtype=jnp.int32)[:, None]
+    valid = (i_row - (W - 1) + j_col) >= 0  # k >= 0
+
+    def window_vals(vec, fill):
+        pad = jnp.full(W - 1, fill, dtype=vec.dtype)
+        return _hankel(jnp.concatenate([pad, vec]), n, W)
+
+    if max_bp:
+        lk = window_vals(loci, loci[0])
+        ok = valid & ((loci[:, None] - lk) <= max_bp)
+    else:
+        ok = valid
+
+    def one_dataset(carry, d):
+        ah, al = carry
+        # int32 prefix-sum differences: wraparound-safe (in-band totals
+        # < 2^31 even when the full-window cumsum wraps)
+        nm = pm[d, 1 : n + 1][:, None] - window_vals(pm[d, : n + 1], 0)
+        nt = pt[d, 1 : n + 1][:, None] - window_vals(pt[d, : n + 1], 0)
+        use = ok & (nt > 0)
+        ntc = jnp.where(use, nt, 0)
+        nmc = jnp.where(use, nm, 0)
+        idx = ntc * (ntc + 1) // 2 + nmc
+        ll = jnp.where(use, jnp.take(tbl, idx), jnp.float32(0))
+        vh, vl = f64_from_f32(ll)
+        return f64_add(ah, al, vh, vl), None
+
+    z = jnp.zeros((n, W), dtype=jnp.uint32)
+    (ch, cl), _ = jax.lax.scan(one_dataset, (z, z), jnp.arange(K))
+    return ch, cl, ok
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _dp_exact_pairs(Ch, Cl, ok, W):
+    """Sequential DP over software-double cost pairs; returns ks (n,) int32
+    with ks[i] = argmax predecessor (first maximum, ascending k — the
+    reference's strict-'>' scan order)."""
+    n = Ch.shape[0]
+    Mh0 = jnp.zeros(n + W + 1, jnp.uint32)  # +0.0 pairs; M[j] at index W+j
+    Ml0 = jnp.zeros(n + W + 1, jnp.uint32)
+
+    def step(carry, xs):
+        Mh, Ml = carry
+        i, ch, cl, okr = xs
+        wh = jax.lax.dynamic_slice(Mh, (i + 1,), (W,))
+        wl = jax.lax.dynamic_slice(Ml, (i + 1,), (W,))
+        sh_, sl_ = f64_add(wh, wl, ch, cl)
+        kh, kl = f64_sort_key(sh_, sl_)
+        kh = jnp.where(okr, kh, jnp.uint32(0))
+        kl = jnp.where(okr, kl, jnp.uint32(0))
+        mhi = jnp.max(kh)
+        c2 = kh == mhi
+        mlo = jnp.max(jnp.where(c2, kl, jnp.uint32(0)))
+        am = jnp.argmax(c2 & (kl == mlo)).astype(jnp.int32)
+        Mh = jax.lax.dynamic_update_slice(Mh, sh_[am][None], (W + i + 1,))
+        Ml = jax.lax.dynamic_update_slice(Ml, sl_[am][None], (W + i + 1,))
+        return (Mh, Ml), i - (W - 1) + am
+
+    (_, _), ks = jax.lax.scan(
+        step, (Mh0, Ml0),
+        (jnp.arange(n, dtype=jnp.int32), Ch, Cl, ok))
+    return ks
+
+
+def segment_exact_device_T(data, loci, W, max_bp, pseudo_count,
+                           cap_limit=None):
+    """Device exact-parity traceback for one window, or None when the
+    window is ineligible (non-monotone loci / in-band totals past the
+    table cap) — the caller then uses the host path.
+
+    Returns T (n+1,) int64 identical to native segment_exact_dp's output.
+    """
+    data = np.asarray(data)
+    loci = np.asarray(loci, dtype=np.int64)
+    n = loci.shape[0]
+    if n < 2 or (np.diff(loci) < 0).any() or loci.max(initial=0) >= 1 << 31:
+        return None
+    cap_limit = LL_CAP if cap_limit is None else cap_limit
+    need = max_band_total(data, loci, W, max_bp) + 1
+    if need > cap_limit:
+        return None
+    cap = 1 << max(int(need - 1).bit_length(), 6)
+    tbl = build_ll_table(pseudo_count, cap)
+
+    d64 = data.astype(np.int64)
+    ps = np.concatenate(
+        [np.zeros((d64.shape[0], 1, 2), np.int64), np.cumsum(d64, axis=1)],
+        axis=1)
+    pm = (ps[:, :, 0] & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    pt = (ps[:, :, 1] & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+
+    ch, cl, ok = _exact_cost_pairs(
+        jnp.asarray(pm), jnp.asarray(pt),
+        jnp.asarray(loci, dtype=jnp.int32),
+        jnp.asarray(tbl), W, int(max_bp) if max_bp else 0)
+    ks = np.asarray(_dp_exact_pairs(ch, cl, ok, W))
+    T = np.empty(n + 1, dtype=np.int64)
+    T[0] = 0
+    T[1:] = ks
+    return T
