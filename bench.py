@@ -107,9 +107,29 @@ def _device_runner(frags, n_sites):
     if KERNEL == "v3":
         from wgbs_tools_tpu.ops import pileup_tpu3 as p3
 
+        classes = p3._env_classes()
         staged = p3.stage_v3(frags.start, frags.length, frags.count,
-                             frags.codes, 1, n_sites)
-    if staged is not None:
+                             frags.codes, 1, n_sites, classes=classes)
+    if staged is not None and isinstance(staged, list):
+        # row-count-class dispatch (WGBS_TPU_V3_CLASSES): stage device args
+        # per class, dispatch all grids per run, sum on device
+        runs = []
+        for st in staged:
+            c0, c1, meta, words, mc, tile, rc, g_max = st
+            ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
+            runs.append((jnp.asarray(ctile), jnp.asarray(covered),
+                         jnp.asarray(meta), jnp.asarray(words), tile, rc,
+                         g_max))
+
+        def run():
+            meth = cov = None
+            for ct, cv, me, wo, tile, rc, g_max in runs:
+                m, c = p3._call_flat(ct, cv, me, wo, n_sites, tile, rc,
+                                     g_max, interpret)
+                meth = m if meth is None else meth + m
+                cov = c if cov is None else cov + c
+            return meth, cov
+    elif staged is not None:
         c0, c1, meta, words, mc, tile, rc, g_max = staged
         if grid == "tiled":
             dev = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),

@@ -218,3 +218,29 @@ def test_call_kernel_v2_matches_host_direct(mini_genome):
             return out
 
         assert np.array_equal(padW(p_h), padW(p_d))
+
+
+def test_device_calling_auto_policy(monkeypatch):
+    """The projected-rate policy flips with link bandwidth: slow tunnel ->
+    host path; PCIe-class -> device path; env always wins."""
+    from wgbs_tools_tpu.pipeline import bam_columnar as bc
+
+    class _FakeJax:
+        @staticmethod
+        def default_backend():
+            return "tpu"
+
+    monkeypatch.setattr(bc, "_h2d_bandwidth", lambda: 20e6)  # ~tunnel
+    monkeypatch.setitem(__import__("sys").modules, "jax", __import__("jax"))
+    monkeypatch.delenv("WGBS_TPU_DEVICE_CALLING", raising=False)
+    import jax as _j
+
+    monkeypatch.setattr(_j, "default_backend", lambda: "tpu")
+    assert bc.use_device_calling() is False  # 20 MB/s -> 0.08 M reads/s
+    monkeypatch.setattr(bc, "_h2d_bandwidth", lambda: 10e9)  # PCIe
+    assert bc.use_device_calling() is True   # kernel-capped 5 M > 1.5x host
+    monkeypatch.setenv("WGBS_TPU_DEVICE_CALLING", "0")
+    assert bc.use_device_calling() is False  # env force-off wins
+    monkeypatch.setenv("WGBS_TPU_DEVICE_CALLING", "1")
+    monkeypatch.setattr(bc, "_h2d_bandwidth", lambda: 1e3)
+    assert bc.use_device_calling() is True   # env force-on wins

@@ -123,3 +123,41 @@ def test_v3_flat_vs_tiled_grids(rng):
                             frags.codes, 1, wl)
         assert (np.stack([np.asarray(flat[0]), np.asarray(flat[1])],
                          axis=1) == expect).all()
+
+
+def test_v3_rc_classes_bit_identical(monkeypatch):
+    """Row-count-class dispatch (short chunks on a small-rc grid) produces
+    exactly the single-class result — disjoint chunk partition, int adds."""
+    from wgbs_tools_tpu.ops.pileup_tpu3 import call_staged, stage_v3
+
+    rng = np.random.default_rng(91)
+    # mixed density: a dense cluster (full chunks) + a sparse tail (short)
+    n_sites = 1 << 15
+    s1 = np.sort(rng.integers(1, 2000, size=4000))
+    s2 = np.sort(rng.integers(2000, n_sites - 40, size=800))
+    start = np.concatenate([s1, s2]).astype(np.int64)
+    length = rng.integers(1, 20, size=start.shape[0]).astype(np.int64)
+    count = rng.integers(1, 4, size=start.shape[0]).astype(np.int64)
+    codes = rng.integers(0, 2, size=(start.shape[0], 20)).astype(np.uint8)
+    codes[np.arange(20)[None, :] >= length[:, None]] = 3
+
+    single = stage_v3(start, length, count, codes, 1, n_sites)
+    want_m, want_c = call_staged(single, n_sites, interpret=True)
+    multi = stage_v3(start, length, count, codes, 1, n_sites,
+                     classes=(16, 64, 256))
+    assert isinstance(multi, list) and len(multi) == 3
+    got_m = got_c = 0
+    for st in multi:
+        m, c = call_staged(st, n_sites, interpret=True)
+        got_m = got_m + m
+        got_c = got_c + c
+    assert np.array_equal(np.asarray(got_m), np.asarray(want_m))
+    assert np.array_equal(np.asarray(got_c), np.asarray(want_c))
+
+    # end-to-end env knob
+    from wgbs_tools_tpu.ops.pileup_tpu3 import pileup_pallas_v3
+
+    base = pileup_pallas_v3(start, length, count, codes, 1, n_sites)
+    monkeypatch.setenv("WGBS_TPU_V3_CLASSES", "64,256")
+    via_env = pileup_pallas_v3(start, length, count, codes, 1, n_sites)
+    assert np.array_equal(base, via_env)

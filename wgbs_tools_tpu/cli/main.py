@@ -7,6 +7,7 @@ static registry instead of importlib-on-argv patching.
 
 import argparse
 import difflib
+import os
 import sys
 
 from ..utils import IllegalArgumentError, eprint
@@ -61,11 +62,39 @@ COMMANDS = {
     # extras beyond the reference's registered commands
     "pat2pairs": _lazy("cmd_misc", "main_pat2pairs"),
     "mbias_plot": _lazy("cmd_misc", "main_mbias_plot"),
+    "worker": _lazy("worker"),
 }
+
+
+def ensure_compile_cache():
+    """Point JAX's persistent compilation cache at a per-user dir.
+
+    Measured on the tunneled TPU backend: plain-XLA executables DO persist
+    (e.g. the ~90-200 s saturate/fetch compile of the device pileup job),
+    Pallas/Mosaic kernels do not (no cache entries are written for them) —
+    those are what the persistent worker mode (cli/worker.py) is for. A
+    no-op when the user already configured a cache dir or JAX is absent.
+    """
+    import os
+
+    try:
+        import jax
+
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return
+        if jax.config.jax_compilation_cache_dir:
+            return
+        d = os.path.join(os.path.expanduser("~"), ".cache", "wgbs_tpu",
+                         "jax_cache")
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+    except Exception:
+        pass
 
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    ensure_compile_cache()
     parser = argparse.ArgumentParser(
         prog="wgbstools-tpu",
         description="TPU-native tools for WGBS methylation data "
@@ -89,6 +118,15 @@ def main(argv=None):
         if close:
             eprint("did you mean", " or ".join(close), "?")
         return 1
+    if cmd != "worker" and os.environ.get("WGBS_TPU_WORKER") == "1":
+        # transparent routing: run on the persistent worker when one is up
+        # (keeps device compiles warm across invocations); fall through to
+        # in-process execution when it is not
+        from .worker import run_via_worker
+
+        rc = run_via_worker(argv)
+        if rc is not None:
+            return rc
     try:
         return COMMANDS[cmd](argv[1:]) or 0
     except IllegalArgumentError as e:

@@ -37,7 +37,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.softfloat import f64_add, f64_from_f32, f64_sort_key
+from ..ops.softfloat import (f64_add, f64_from_f32_normal,
+                             f64_sort_key)
 from .segment import _hankel
 
 LL_CAP = int(os.environ.get("WGBS_TPU_LL_CAP", 8192))
@@ -112,8 +113,7 @@ def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
     else:
         ok = valid
 
-    def one_dataset(carry, d):
-        ah, al = carry
+    def ll_pairs(d):
         # int32 prefix-sum differences: wraparound-safe (in-band totals
         # < 2^31 even when the full-window cumsum wraps)
         nm = pm[d, 1 : n + 1][:, None] - window_vals(pm[d, : n + 1], 0)
@@ -123,11 +123,22 @@ def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
         nmc = jnp.where(use, nm, 0)
         idx = ntc * (ntc + 1) // 2 + nmc
         ll = jnp.where(use, jnp.take(tbl, idx), jnp.float32(0))
-        vh, vl = f64_from_f32(ll)
+        # ll values are normal-or-zero f32; the cheap widen is exact here
+        return f64_from_f32_normal(ll)
+
+    def one_dataset(carry, d):
+        ah, al = carry
+        vh, vl = ll_pairs(d)
         return f64_add(ah, al, vh, vl), None
 
-    z = jnp.zeros((n, W), dtype=jnp.uint32)
-    (ch, cl), _ = jax.lax.scan(one_dataset, (z, z), jnp.arange(K))
+    # dataset 0 seeds the accumulator exactly (0.0 + v == v in IEEE for
+    # v != -0, and ll is never -0) — saves one emulated add per cell
+    ch0, cl0 = ll_pairs(0)
+    if K > 1:
+        (ch, cl), _ = jax.lax.scan(one_dataset, (ch0, cl0),
+                                   jnp.arange(1, K))
+    else:
+        ch, cl = ch0, cl0
     return ch, cl, ok
 
 

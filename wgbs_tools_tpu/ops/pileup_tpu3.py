@@ -348,13 +348,27 @@ def _prep_window(start, length, count, codes, window_start, window_len):
 
 
 def stage_v3(start, length, count, codes, window_start, window_len,
-             tile=SB * TILE_SB, rc=ROW_CHUNK, g_max=G_MAX):
+             tile=SB * TILE_SB, rc=ROW_CHUNK, g_max=G_MAX, classes=None):
     """Host staging: window prep, sub-block split, native row packing,
     code placement, chunking. Returns (c0, c1, meta, words, max_chunks,
     tile, rc, g_max) — the tuple carries its geometry so call_staged can
     never decode it with mismatched module defaults — or None when the
-    native packer is unavailable."""
+    native packer is unavailable.
+
+    classes: optional ascending row-count classes, e.g. (64, 256). The
+    per-step kernel compute scales with the static rc regardless of a
+    chunk's actual row fill (BENCHMARKS.md geometry sweep), so chunks are
+    then partitioned by row count into one staged tuple per class — short
+    chunks dispatch on a small-rc grid — and the return value is a LIST of
+    tuples whose kernel outputs sum exactly (disjoint chunk sets, integer
+    adds). With classes the break bound is classes[-1]."""
     from ..native import pack_rows_native
+
+    if classes is not None:
+        classes = tuple(sorted(int(c) for c in classes))
+        if not classes or classes[0] < 2:
+            raise ValueError(f"bad rc classes {classes}: each must be >= 2")
+        rc = classes[-1]
 
     if tile % SB:
         raise ValueError(f"tile={tile} must be a multiple of SB={SB}")
@@ -430,7 +444,34 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         nxt = max(min(lim1, lim2, lim3, R), cstart + 1)
         breaks.append(nxt)
         cstart = nxt
-    n_real = max(len(breaks) - 1, 1)
+    bstarts = np.asarray(breaks[:-1], dtype=np.int64)
+    bends = np.asarray(breaks[1:], dtype=np.int64)
+    all_words = (planar_pack_cols(rowmat, SB // 16) if R else
+                 np.zeros((0, SB // 16), dtype=np.int32))
+    num_tiles = (window_len + tile - 1) // tile
+    if classes is None:
+        return _assemble_class(row_g, row_tile, row_count, all_words,
+                               bstarts, bends, rc, g_max, tile, num_tiles, R)
+    out = []
+    lens_c = bends - bstarts
+    lo = 0
+    for rc_c in classes:
+        # a class-rc_c chunk holds at most rc_c - 1 rows: row rc_c - 1 must
+        # stay padding (it carries the base_g stash)
+        sel = (lens_c > lo) & (lens_c <= rc_c - 1) if rc_c != classes[-1] \
+            else (lens_c > lo)
+        out.append(_assemble_class(
+            row_g, row_tile, row_count, all_words, bstarts[sel], bends[sel],
+            rc_c, g_max, tile, num_tiles, R))
+        lo = rc_c - 1
+    return out
+
+
+def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
+                    rc, g_max, tile, num_tiles, R):
+    """Build one staged tuple from a (sorted, disjoint) subset of chunk row
+    ranges. Shared by the single-class stage_v3 and stage_v3_classes."""
+    n_real = max(bstarts.shape[0], 1)
     gran = 1 << max(4, n_real.bit_length() - 3)
     n_chunks = (n_real + gran - 1) // gran * gran
 
@@ -438,27 +479,26 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     meta = np.zeros((n_chunks, 2, rc), dtype=np.int32)
     meta[:, 1, :] = g_max  # padding rows select no one-hot group
     words = np.full((n_chunks * rc, w_cols), -1, dtype=np.int32)  # all '.'
-    all_words = (planar_pack_cols(rowmat, w_cols) if R else
-                 np.zeros((0, w_cols), dtype=np.int32))
-    bstarts = np.asarray(breaks[:-1], dtype=np.int64)
-    bends = np.asarray(breaks[1:], dtype=np.int64)
-    if R:
+    if R and bstarts.shape[0]:
         lens_c = bends - bstarts
-        ci_arr = np.repeat(np.arange(n_real), lens_c)
-        pos_arr = np.arange(R) - np.repeat(bstarts, lens_c)
+        ci_arr = np.repeat(np.arange(bstarts.shape[0]), lens_c)
+        rows = np.repeat(bstarts, lens_c) + (
+            np.arange(int(lens_c.sum())) -
+            np.repeat(np.cumsum(lens_c) - lens_c, lens_c))
+        pos_arr = rows - np.repeat(bstarts, lens_c)
         base_g = row_g[bstarts]
-        meta[ci_arr, 0, pos_arr] = row_count
-        meta[ci_arr, 1, pos_arr] = (row_g - base_g[ci_arr]).astype(np.int32)
+        meta[ci_arr, 0, pos_arr] = row_count[rows]
+        meta[ci_arr, 1, pos_arr] = (row_g[rows] - base_g[ci_arr]).astype(
+            np.int32)
         # base_g stashed in the guaranteed-padding row rc-1 (offset by g_max
         # so the padding default there still selects no group after decode)
-        meta[:n_real, 1, rc - 1] = base_g + g_max
-        words[ci_arr * rc + pos_arr] = all_words
+        meta[: bstarts.shape[0], 1, rc - 1] = base_g + g_max
+        words[ci_arr * rc + pos_arr] = all_words[rows]
         chunk_tile = row_tile[bstarts]
     else:
         chunk_tile = np.zeros(n_real, dtype=np.int64)
 
-    num_tiles = (window_len + tile - 1) // tile
-    if R:
+    if R and bstarts.shape[0]:
         c0 = np.searchsorted(chunk_tile, np.arange(num_tiles), side="left")
         c1 = np.searchsorted(chunk_tile, np.arange(num_tiles), side="right")
     else:
@@ -470,6 +510,14 @@ def stage_v3(start, length, count, codes, window_start, window_len,
             max_chunks, tile, rc, g_max)
 
 
+def _env_classes():
+    """Optional rc classes from WGBS_TPU_V3_CLASSES, e.g. '64,256'."""
+    raw = _os.environ.get("WGBS_TPU_V3_CLASSES", "").strip()
+    if not raw:
+        return None
+    return tuple(int(x) for x in raw.split(","))
+
+
 def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
                      interpret=None, packed=False, to_host=True):
     """Pileup over 1-based [window_start, window_start + window_len)."""
@@ -477,7 +525,9 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
 
     if packed:
         codes = unpack_codes(np.asarray(codes))
-    staged = stage_v3(start, length, count, codes, window_start, window_len)
+    classes = _env_classes()
+    staged = stage_v3(start, length, count, codes, window_start, window_len,
+                      classes=classes)
     if staged is None:  # native packer unavailable: v2 does the same job
         from .pileup_tpu2 import pileup_pallas_v2
 
@@ -486,10 +536,16 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
                                 to_host=to_host)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    import os
-
-    grid = os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
-    meth, cov = call_staged(staged, window_len, interpret, grid)
+    grid = _os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
+    if classes is None:
+        meth, cov = call_staged(staged, window_len, interpret, grid)
+    else:
+        # per-class grids over disjoint chunk sets: outputs sum exactly
+        meth = cov = None
+        for st in staged:
+            m, c = call_staged(st, window_len, interpret, grid)
+            meth = m if meth is None else meth + m
+            cov = c if cov is None else cov + c
     if not to_host:
         return jnp.stack([meth, cov], axis=1)
     return np.stack([np.asarray(meth), np.asarray(cov)], axis=1)

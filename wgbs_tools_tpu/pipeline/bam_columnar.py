@@ -23,21 +23,97 @@ from .calling import (
 )
 
 
+# measured anchors for the auto policy (BENCHMARKS.md "Device-side
+# calling"): the v2 single-launch path moves ~133 B/read of h2d (35 MB for
+# 262k reads) and its on-chip work is ~0.5 TFLOP bf16 per 262k reads —
+# ~40 M reads/s at the MXU bound; 5e6 is a 8x-derated kernel anchor. The
+# vectorized host path does ~0.85 M reads/s/core and overlaps with decode.
+# With these anchors the policy is effectively a link test: it flips on
+# once h2d exceeds ~230 MB/s (any PCIe-class attachment) and stays off on
+# the ~20 MB/s dev tunnel.
+_DEV_CALL_BYTES_PER_READ = 150
+_DEV_CALL_KERNEL_READS_S = 5e6
+_HOST_CALL_READS_S = 0.85e6
+_h2d_bw_cache = None
+
+
+def _h2d_bandwidth():
+    """Effective host->device bandwidth (bytes/s), probed once per process
+    with a 4 MB transfer and persisted to a per-user cache file (the probe
+    itself costs a noticeable fraction of a second on a slow link)."""
+    global _h2d_bw_cache
+    if _h2d_bw_cache is not None:
+        return _h2d_bw_cache
+    import json
+    import time
+
+    import jax
+    import numpy as np
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache", "wgbs_tpu")
+    dev = jax.devices()[0]
+    key = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+    path = os.path.join(cache, "h2d_bw.json")
+    try:
+        with open(path) as f:
+            saved = json.load(f)
+        if saved.get("key") == key and time.time() - saved.get("ts", 0) < 86400:
+            _h2d_bw_cache = float(saved["bw"])
+            return _h2d_bw_cache
+    except Exception:
+        pass
+    try:
+        buf = np.zeros(4 << 20, dtype=np.uint8)
+        jax.device_put(buf[: 1 << 10]).block_until_ready()  # warm path
+        t0 = time.perf_counter()
+        jax.device_put(buf).block_until_ready()
+        dt = max(time.perf_counter() - t0, 1e-6)
+        bw = buf.nbytes / dt
+    except Exception:
+        bw = 0.0
+    _h2d_bw_cache = bw
+    try:
+        os.makedirs(cache, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"key": key, "bw": bw, "ts": time.time()}, f)
+    except Exception:
+        pass
+    return bw
+
+
+def _device_calling_auto():
+    """Projected-rate policy: use the device when the link can feed the
+    calling kernel faster than the host path computes. On the tunneled dev
+    chip (h2d ~ tens of MB/s) this stays False; on PCIe-class links
+    (GB/s) it flips True. 1.5x margin so borderline links keep the host
+    path that also overlaps with decode."""
+    import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    bw = _h2d_bandwidth()
+    projected = min(_DEV_CALL_KERNEL_READS_S, bw / _DEV_CALL_BYTES_PER_READ)
+    return projected > 1.5 * _HOST_CALL_READS_S
+
+
 def use_device_calling():
     """True when the methylation-calling compare/merge kernels should run
     on the accelerator (ops/calling_tpu.py, WGBS_TPU_DEVICE_CALLING=1).
 
-    Off by default after measurement: calling is a byte-compare/compact
-    problem whose XLA lowering is gather-bound — measured ~0.1 G gathered
-    elements/s on the v5e chip regardless of batch size (0.2-0.4 M reads/s)
-    vs 0.74 M reads/s/core for the vectorized host path, which also
-    overlaps with BAM decode on the worker threads. The kernels stay
-    bit-identical and tested so the default can flip on hardware/toolchains
-    where XLA gathers are fast (see BENCHMARKS.md 'Device-side calling')."""
+    Default is an auto policy: one cheap h2d bandwidth probe (cached to
+    disk for a day) projects the device rate from the anchors above; the
+    device path turns on only when it beats the host kernel with margin.
+    On this dev tunnel (~20 MB/s h2d -> ~0.13 M reads/s projected) the
+    0.85 M reads/s host path wins; PCIe-class links project past the
+    threshold (see BENCHMARKS.md 'Device-side calling').
+    WGBS_TPU_DEVICE_CALLING=1/2 forces on, =0 forces off, =auto explicit."""
     env = os.environ.get("WGBS_TPU_DEVICE_CALLING")
-    if env is not None:
+    if env is not None and env != "auto":
         return env not in ("0", "")
-    return False
+    return _device_calling_auto()
 
 
 def device_calling_version():
