@@ -118,3 +118,51 @@ def test_segment_borders_env_routes_to_device(monkeypatch):
     monkeypatch.setenv("WGBS_TPU_SEGMENT_EXACT_DEVICE", "1")
     got = segment_borders(data, loci, max_cpg=48, max_bp=2000, mode="exact")
     assert np.array_equal(got, want)
+
+
+def test_batched_device_equals_sequential():
+    """Batched (vmapped) device DP == per-window device DP == host, with a
+    non-multiple-of-batch count and one ineligible window mixed in."""
+    rng = np.random.default_rng(82)
+    wins = [_rand_window(rng, 2, 180, 7) for _ in range(5)]
+    datas = np.stack([d for d, _ in wins])
+    locis = np.stack([l for _, l in wins]).astype(np.int64)
+    locis[3, 90] = locis[3, 89] - 5  # non-monotone -> host fallback slot
+    from wgbs_tools_tpu.models.segment_exact_tpu import (
+        segment_exact_device_batch)
+
+    Ts = segment_exact_device_batch(datas, locis, 24, 2000, 15.0, batch=2)
+    assert Ts[3] is None
+    for w in range(5):
+        if w == 3:
+            continue
+        T_host = _host_T(datas[w], locis[w], 24, 2000, 15.0)
+        assert np.array_equal(Ts[w][1:], T_host[1:]), w
+
+
+def test_segment_ranges_exact_device(monkeypatch, tmp_path):
+    """segment_ranges with the device exact mode produces the same blocks
+    as the host exact mode."""
+    from wgbs_tools_tpu.formats.beta import save_beta
+    from wgbs_tools_tpu.models.segment import SegmentConfig, segment_ranges
+
+    rng = np.random.default_rng(83)
+    n = 1200
+    data, loci = _rand_window(rng, 2, n, 9)
+
+    class _Idx:
+        pass
+
+    idx = _Idx()
+    idx.loci = np.concatenate([loci, loci[-1:] + 100])
+    paths = []
+    for d in range(2):
+        p = str(tmp_path / f"s{d}.beta")
+        save_beta(p, data[d].astype(np.uint8))
+        paths.append(p)
+    cfg = SegmentConfig(max_cpg=32, max_bp=2000, chunk_size=400,
+                        mode="exact", threads=1)
+    want = segment_ranges(paths, [(1, n + 1)], idx, cfg)
+    monkeypatch.setenv("WGBS_TPU_SEGMENT_EXACT_DEVICE", "1")
+    got = segment_ranges(paths, [(1, n + 1)], idx, cfg)
+    assert np.array_equal(got[0], want[0]) and np.array_equal(got[1], want[1])

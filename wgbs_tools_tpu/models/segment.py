@@ -569,6 +569,31 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
         cfg.mode,
     )
     results = [None] * len(chunks)
+    if cfg.mode == "exact" and _use_exact_device():
+        # batched device exact DP over equal-size chunks: bit-identical
+        # tracebacks (software-double arithmetic), windows a batch at a
+        # time; ineligible windows stay None and take the host path below
+        from .segment_exact_tpu import segment_exact_device_batch
+
+        by_size = {}
+        for i, (s, e) in enumerate(chunks):
+            by_size.setdefault(e - s, []).append(i)
+        for n, idxs in by_size.items():
+            if n <= 1:
+                continue
+            datas = np.stack([
+                np.stack([load_beta(b, sites=chunks[i])
+                          for b in beta_paths]) for i in idxs
+            ])
+            locis = np.stack([
+                index.loci[chunks[i][0] - 1 : chunks[i][1] - 1] for i in idxs
+            ])
+            W = int(min(cfg.max_cpg, n))
+            Ts = segment_exact_device_batch(datas, locis, W, cfg.max_bp,
+                                            cfg.pseudo_count)
+            for i, T in zip(idxs, Ts):
+                if T is not None:
+                    results[i] = _traceback(T, n) + chunks[i][0]
     if cfg.mode == "fast":
         # batch all equal-size chunks into single device launches
         by_size = {}

@@ -92,8 +92,7 @@ def max_band_total(data, loci, W, max_bp):
     return int((pt[:, hi] - pt[:, :n]).max(initial=0))
 
 
-@partial(jax.jit, static_argnames=("W", "max_bp"))
-def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
+def _exact_cost_body(pm, pt, loci, tbl, W, max_bp):
     """(Ch, Cl) uint32 (n, W) cost-row pairs in ascending-k order
     (pair[i, v] = cost of block [k..i], k = i-W+1+v) plus the validity
     mask (k >= 0 and within the max_bp band)."""
@@ -142,8 +141,12 @@ def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
     return ch, cl, ok
 
 
-@partial(jax.jit, static_argnames=("W",))
-def _dp_exact_pairs(Ch, Cl, ok, W):
+@partial(jax.jit, static_argnames=("W", "max_bp"))
+def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
+    return _exact_cost_body(pm, pt, loci, tbl, W, max_bp)
+
+
+def _dp_exact_body(Ch, Cl, ok, W):
     """Sequential DP over software-double cost pairs; returns ks (n,) int32
     with ks[i] = argmax predecessor (first maximum, ascending k — the
     reference's strict-'>' scan order)."""
@@ -172,6 +175,80 @@ def _dp_exact_pairs(Ch, Cl, ok, W):
         step, (Mh0, Ml0),
         (jnp.arange(n, dtype=jnp.int32), Ch, Cl, ok))
     return ks
+
+
+@partial(jax.jit, static_argnames=("W",))
+def _dp_exact_pairs(Ch, Cl, ok, W):
+    return _dp_exact_body(Ch, Cl, ok, W)
+
+
+@partial(jax.jit, static_argnames=("W", "max_bp"))
+def _exact_batch(pm, pt, loci, tbl, W, max_bp):
+    """Batched (vmapped) cost+DP over B equal-size windows: one launch, the
+    sequential scan's per-step overhead amortizes across the window batch
+    (each step processes (B, W) lanes instead of (W,))."""
+
+    def one(pm_w, pt_w, loci_w):
+        ch, cl, ok = _exact_cost_body(pm_w, pt_w, loci_w, tbl, W, max_bp)
+        return _dp_exact_body(ch, cl, ok, W)
+
+    return jax.vmap(one)(pm, pt, loci)
+
+
+def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
+                               cap_limit=None, batch=4):
+    """Batched device exact DP over equal-size windows.
+
+    datas: (B, K, n, 2) int counts; locis: (B, n). Returns a list of B
+    traceback arrays (n+1,) — entries are None for windows the device path
+    cannot take (non-monotone loci / totals past the table cap); the caller
+    runs those on the host. Windows are processed `batch` at a time with a
+    fixed launch shape (tail padded by repeating the first window) so the
+    per-step scan overhead amortizes across the batch.
+    """
+    datas = np.asarray(datas)
+    locis = np.asarray(locis, dtype=np.int64)
+    B, K, n, _ = datas.shape
+    res = [None] * B
+    if n < 2:
+        return res
+    cap_limit = LL_CAP if cap_limit is None else cap_limit
+    elig, need_max = [], 0
+    for w in range(B):
+        loci = locis[w]
+        if (np.diff(loci) < 0).any() or loci.max(initial=0) >= 1 << 31:
+            continue
+        need = max_band_total(datas[w], loci, W, max_bp) + 1
+        if need > cap_limit:
+            continue
+        elig.append(w)
+        need_max = max(need_max, need)
+    if not elig:
+        return res
+    cap = 1 << max(int(need_max - 1).bit_length(), 6)
+    tbl = jnp.asarray(build_ll_table(pseudo_count, cap))
+
+    def prep(w):
+        ps = np.concatenate(
+            [np.zeros((K, 1, 2), np.int64),
+             np.cumsum(datas[w].astype(np.int64), axis=1)], axis=1)
+        return ((ps[:, :, 0] & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
+                (ps[:, :, 1] & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
+
+    for lo in range(0, len(elig), batch):
+        sel = elig[lo : lo + batch]
+        padded = sel + [sel[0]] * (batch - len(sel))
+        pms, pts = zip(*(prep(w) for w in padded))
+        ks = np.asarray(_exact_batch(
+            jnp.asarray(np.stack(pms)), jnp.asarray(np.stack(pts)),
+            jnp.asarray(locis[padded], dtype=jnp.int32), tbl, W,
+            int(max_bp) if max_bp else 0))
+        for j, w in enumerate(sel):
+            T = np.empty(n + 1, dtype=np.int64)
+            T[0] = 0
+            T[1:] = ks[j]
+            res[w] = T
+    return res
 
 
 def segment_exact_device_T(data, loci, W, max_bp, pseudo_count,
