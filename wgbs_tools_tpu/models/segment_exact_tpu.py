@@ -146,35 +146,54 @@ def _exact_cost_pairs(pm, pt, loci, tbl, W, max_bp):
     return _exact_cost_body(pm, pt, loci, tbl, W, max_bp)
 
 
-def _dp_exact_body(Ch, Cl, ok, W):
+def _dp_exact_body(Ch, Cl, ok, W, unroll=8):
     """Sequential DP over software-double cost pairs; returns ks (n,) int32
     with ks[i] = argmax predecessor (first maximum, ascending k — the
-    reference's strict-'>' scan order)."""
+    reference's strict-'>' scan order).
+
+    `unroll` consecutive sites are processed inside each scan step (the
+    sequential dependency flows through the unrolled body), cutting the
+    per-step scan overhead by that factor; the arithmetic and its order
+    are unchanged, so the result stays bit-identical. Padding steps past n
+    write only beyond the real M region and their ks are discarded."""
     n = Ch.shape[0]
-    Mh0 = jnp.zeros(n + W + 1, jnp.uint32)  # +0.0 pairs; M[j] at index W+j
-    Ml0 = jnp.zeros(n + W + 1, jnp.uint32)
+    n_pad = -(-n // unroll) * unroll
+    if n_pad != n:
+        Ch = jnp.pad(Ch, ((0, n_pad - n), (0, 0)))
+        Cl = jnp.pad(Cl, ((0, n_pad - n), (0, 0)))
+        ok = jnp.pad(ok, ((0, n_pad - n), (0, 0)))
+    Mh0 = jnp.zeros(n_pad + W + 1, jnp.uint32)  # +0.0; M[j] at index W+j
+    Ml0 = jnp.zeros(n_pad + W + 1, jnp.uint32)
 
     def step(carry, xs):
         Mh, Ml = carry
-        i, ch, cl, okr = xs
-        wh = jax.lax.dynamic_slice(Mh, (i + 1,), (W,))
-        wl = jax.lax.dynamic_slice(Ml, (i + 1,), (W,))
-        sh_, sl_ = f64_add(wh, wl, ch, cl)
-        kh, kl = f64_sort_key(sh_, sl_)
-        kh = jnp.where(okr, kh, jnp.uint32(0))
-        kl = jnp.where(okr, kl, jnp.uint32(0))
-        mhi = jnp.max(kh)
-        c2 = kh == mhi
-        mlo = jnp.max(jnp.where(c2, kl, jnp.uint32(0)))
-        am = jnp.argmax(c2 & (kl == mlo)).astype(jnp.int32)
-        Mh = jax.lax.dynamic_update_slice(Mh, sh_[am][None], (W + i + 1,))
-        Ml = jax.lax.dynamic_update_slice(Ml, sl_[am][None], (W + i + 1,))
-        return (Mh, Ml), i - (W - 1) + am
+        i0, chs, cls, oks = xs
+        outs = []
+        for u in range(unroll):
+            i = i0 + u
+            wh = jax.lax.dynamic_slice(Mh, (i + 1,), (W,))
+            wl = jax.lax.dynamic_slice(Ml, (i + 1,), (W,))
+            sh_, sl_ = f64_add(wh, wl, chs[u], cls[u])
+            kh, kl = f64_sort_key(sh_, sl_)
+            kh = jnp.where(oks[u], kh, jnp.uint32(0))
+            kl = jnp.where(oks[u], kl, jnp.uint32(0))
+            mhi = jnp.max(kh)
+            c2 = kh == mhi
+            mlo = jnp.max(jnp.where(c2, kl, jnp.uint32(0)))
+            am = jnp.argmax(c2 & (kl == mlo)).astype(jnp.int32)
+            Mh = jax.lax.dynamic_update_slice(Mh, sh_[am][None],
+                                              (W + i + 1,))
+            Ml = jax.lax.dynamic_update_slice(Ml, sl_[am][None],
+                                              (W + i + 1,))
+            outs.append(i - (W - 1) + am)
+        return (Mh, Ml), jnp.stack(outs)
 
     (_, _), ks = jax.lax.scan(
         step, (Mh0, Ml0),
-        (jnp.arange(n, dtype=jnp.int32), Ch, Cl, ok))
-    return ks
+        (jnp.arange(0, n_pad, unroll, dtype=jnp.int32),
+         Ch.reshape(-1, unroll, W), Cl.reshape(-1, unroll, W),
+         ok.reshape(-1, unroll, W)))
+    return ks.reshape(-1)[:n]
 
 
 @partial(jax.jit, static_argnames=("W",))
