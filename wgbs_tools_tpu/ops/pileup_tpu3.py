@@ -511,9 +511,13 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
 
 
 def _env_classes():
-    """Optional rc classes from WGBS_TPU_V3_CLASSES, e.g. '64,256'."""
-    raw = _os.environ.get("WGBS_TPU_V3_CLASSES", "").strip()
-    if not raw:
+    """rc classes from WGBS_TPU_V3_CLASSES (e.g. '64,256'; 'none' disables).
+
+    Default (16, 128): measured 397.9 vs 313.3 M frags/s for the
+    single-class grid at the headline shape — 0.3-0.4% cross-process
+    spread, bit-identical (see BENCHMARKS.md round-4 class sweep)."""
+    raw = _os.environ.get("WGBS_TPU_V3_CLASSES", "16,128").strip().lower()
+    if not raw or raw in ("none", "0", "off"):
         return None
     return tuple(int(x) for x in raw.split(","))
 
