@@ -570,30 +570,26 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
     )
     results = [None] * len(chunks)
     if cfg.mode == "exact" and _use_exact_device():
-        # batched device exact DP over equal-size chunks: bit-identical
-        # tracebacks (software-double arithmetic), windows a batch at a
-        # time; ineligible windows stay None and take the host path below
-        from .segment_exact_tpu import segment_exact_device_batch
+        # device exact DP per chunk: bit-identical tracebacks (software-
+        # double arithmetic); ineligible windows stay None and take the
+        # host path below. Per-window launches — the vmapped batch form
+        # measured 2x SLOWER per window on-chip (layout pessimization of
+        # the big (B, n, W) cost tensors; see BENCHMARKS.md), so batching
+        # stays an explicitly-invoked experiment (segment_exact_device_batch)
+        from .segment_exact_tpu import segment_exact_device_T
 
-        by_size = {}
         for i, (s, e) in enumerate(chunks):
-            by_size.setdefault(e - s, []).append(i)
-        for n, idxs in by_size.items():
+            n = e - s
             if n <= 1:
                 continue
-            datas = np.stack([
-                np.stack([load_beta(b, sites=chunks[i])
-                          for b in beta_paths]) for i in idxs
-            ])
-            locis = np.stack([
-                index.loci[chunks[i][0] - 1 : chunks[i][1] - 1] for i in idxs
-            ])
+            data = np.stack([load_beta(b, sites=chunks[i])
+                             for b in beta_paths])
+            loci = index.loci[s - 1 : e - 1]
             W = int(min(cfg.max_cpg, n))
-            Ts = segment_exact_device_batch(datas, locis, W, cfg.max_bp,
-                                            cfg.pseudo_count)
-            for i, T in zip(idxs, Ts):
-                if T is not None:
-                    results[i] = _traceback(T, n) + chunks[i][0]
+            T = segment_exact_device_T(data, loci, W, cfg.max_bp,
+                                       cfg.pseudo_count)
+            if T is not None:
+                results[i] = _traceback(T, n) + s
     if cfg.mode == "fast":
         # batch all equal-size chunks into single device launches
         by_size = {}

@@ -201,17 +201,63 @@ def _dp_exact_pairs(Ch, Cl, ok, W):
     return _dp_exact_body(Ch, Cl, ok, W)
 
 
+def _dp_exact_batched(Ch, Cl, ok, W, unroll=8):
+    """Explicitly batched DP over (B, n, W) cost pairs.
+
+    The cost tensors stay resident and each step dynamic-slices its rows —
+    passing them as scan xs made XLA materialize a transposed copy with a
+    pathologically padded layout (measured: a 1 GB tensor became a 30.7 GB
+    allocation). Same arithmetic and order per window as _dp_exact_body."""
+    B, n, _ = Ch.shape
+    n_pad = -(-n // unroll) * unroll
+    if n_pad != n:
+        Ch = jnp.pad(Ch, ((0, 0), (0, n_pad - n), (0, 0)))
+        Cl = jnp.pad(Cl, ((0, 0), (0, n_pad - n), (0, 0)))
+        ok = jnp.pad(ok, ((0, 0), (0, n_pad - n), (0, 0)))
+    Mh0 = jnp.zeros((B, n_pad + W + 1), jnp.uint32)
+    Ml0 = jnp.zeros((B, n_pad + W + 1), jnp.uint32)
+    rows = jnp.arange(B)
+
+    def step(carry, i0):
+        Mh, Ml = carry
+        chs = jax.lax.dynamic_slice(Ch, (0, i0, 0), (B, unroll, W))
+        cls_ = jax.lax.dynamic_slice(Cl, (0, i0, 0), (B, unroll, W))
+        oks = jax.lax.dynamic_slice(ok, (0, i0, 0), (B, unroll, W))
+        outs = []
+        for u in range(unroll):
+            i = i0 + u
+            wh = jax.lax.dynamic_slice(Mh, (0, i + 1), (B, W))
+            wl = jax.lax.dynamic_slice(Ml, (0, i + 1), (B, W))
+            sh_, sl_ = f64_add(wh, wl, chs[:, u], cls_[:, u])
+            kh, kl = f64_sort_key(sh_, sl_)
+            kh = jnp.where(oks[:, u], kh, jnp.uint32(0))
+            kl = jnp.where(oks[:, u], kl, jnp.uint32(0))
+            mhi = jnp.max(kh, axis=1, keepdims=True)
+            c2 = kh == mhi
+            mlo = jnp.max(jnp.where(c2, kl, jnp.uint32(0)), axis=1,
+                          keepdims=True)
+            am = jnp.argmax(c2 & (kl == mlo), axis=1).astype(jnp.int32)
+            Mh = jax.lax.dynamic_update_slice(
+                Mh, sh_[rows, am][:, None], (0, W + i + 1))
+            Ml = jax.lax.dynamic_update_slice(
+                Ml, sl_[rows, am][:, None], (0, W + i + 1))
+            outs.append(i - (W - 1) + am)
+        return (Mh, Ml), jnp.stack(outs)  # (unroll, B)
+
+    (_, _), ks = jax.lax.scan(
+        step, (Mh0, Ml0), jnp.arange(0, n_pad, unroll, dtype=jnp.int32))
+    return ks.reshape(-1, B).T[:, :n]  # (B, n)
+
+
 @partial(jax.jit, static_argnames=("W", "max_bp"))
 def _exact_batch(pm, pt, loci, tbl, W, max_bp):
-    """Batched (vmapped) cost+DP over B equal-size windows: one launch, the
+    """Batched cost+DP over B equal-size windows: one launch, the
     sequential scan's per-step overhead amortizes across the window batch
     (each step processes (B, W) lanes instead of (W,))."""
-
-    def one(pm_w, pt_w, loci_w):
-        ch, cl, ok = _exact_cost_body(pm_w, pt_w, loci_w, tbl, W, max_bp)
-        return _dp_exact_body(ch, cl, ok, W)
-
-    return jax.vmap(one)(pm, pt, loci)
+    ch, cl, ok = jax.vmap(
+        lambda a, b, c: _exact_cost_body(a, b, c, tbl, W, max_bp))(
+            pm, pt, loci)
+    return _dp_exact_batched(ch, cl, ok, W)
 
 
 def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
