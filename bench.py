@@ -185,7 +185,7 @@ def _measure_child(frags):
 
 def _spawn_children(n_procs):
     """Run n_procs fresh child processes; returns their curve dicts."""
-    budget = int(os.environ.get("BENCH_TIMEOUT", 1200))  # per child
+    budget = int(os.environ.get("BENCH_TIMEOUT", 900))  # per child
     env = dict(os.environ, BENCH_CHILD="1")
     curves = []
     for i in range(n_procs):
