@@ -50,10 +50,13 @@ def build_ll_table(pc, cap):
     """Host-side float32 table of ll(nm, nt) for 0 <= nm <= nt < cap,
     triangular-flat at index nt*(nt+1)//2 + nm, with the reference's exact
     rounding chain (matches _cost_block_exact / segment_exact.cpp)."""
-    key = (float(pc), int(cap))
-    hit = _TABLE_CACHE.get(key)
-    if hit is not None:
-        return hit
+    # the triangular-flat layout is cap-independent (entries for nt < cap'
+    # sit at identical indices in any larger table), so a cached table for
+    # the same pc and any cap' >= cap is reusable as-is — per-window cap
+    # variation must not rebuild a hundreds-of-MB table per window
+    for (c_pc, c_cap), tbl in _TABLE_CACHE.items():
+        if c_pc == float(pc) and c_cap >= cap:
+            return tbl
     nt = np.repeat(np.arange(cap, dtype=np.int64),
                    np.arange(1, cap + 1, dtype=np.int64))
     size = nt.shape[0]
@@ -73,7 +76,7 @@ def build_ll_table(pc, cap):
         ll = (ll.astype(np.float64) + t2).astype(np.float32)
     ll = np.where(nt32 == 0, np.float32(0), ll)
     _TABLE_CACHE.clear()  # one table resident at a time (134 MB at the cap)
-    _TABLE_CACHE[key] = ll
+    _TABLE_CACHE[(float(pc), int(cap))] = ll
     return ll
 
 

@@ -140,6 +140,7 @@ def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
             frags.codes[sl], k_local * S, k_local,
             max_len=L, base=lo, fp_mult=1)
         cap = _allgather_max(rs.shape[0] // k_local)
+        cap = 1 << max(int(cap - 1).bit_length(), 6)  # pow2: few jit shapes
         per = rs.shape[0] // k_local
 
         def pad(a, fill=0):
