@@ -161,3 +161,29 @@ def test_v3_rc_classes_bit_identical(monkeypatch):
     monkeypatch.setenv("WGBS_TPU_V3_CLASSES", "64,256")
     via_env = pileup_pallas_v3(start, length, count, codes, 1, n_sites)
     assert np.array_equal(base, via_env)
+
+
+def test_native_place_pack_matches_numpy(monkeypatch):
+    """The fused native place+pack pass produces bit-identical staged words
+    to the numpy rowmat + planar_pack_cols fallback."""
+    import wgbs_tools_tpu.ops.pileup_tpu3 as p3t
+
+    rng = np.random.default_rng(92)
+    n_sites = 1 << 14
+    start = np.sort(rng.integers(1, n_sites - 40, size=3000)).astype(np.int64)
+    length = rng.integers(1, 30, size=3000).astype(np.int64)
+    count = rng.integers(1, 5, size=3000).astype(np.int64)
+    codes = rng.integers(0, 3, size=(3000, 30)).astype(np.uint8)
+    codes[np.arange(30)[None, :] >= length[:, None]] = 3
+
+    native = stage_v3(start, length, count, codes, 1, n_sites)
+    import wgbs_tools_tpu.native as nat
+
+    monkeypatch.setattr(nat, "place_pack_native",
+                        lambda *a, **k: None)  # force the numpy fallback
+    fallback = stage_v3(start, length, count, codes, 1, n_sites)
+    for a, b in zip(native, fallback):
+        if isinstance(a, np.ndarray):
+            assert np.array_equal(a, b)
+        else:
+            assert a == b

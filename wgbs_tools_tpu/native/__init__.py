@@ -79,6 +79,9 @@ def _bind_symbols(lib):
     lib.pack_rows128.restype = i64
     lib.pack_rows128.argtypes = [ctypes.c_void_p] * 4 + [i64] \
         + [ctypes.c_void_p] * 3
+    lib.place_pack_rows.restype = i64
+    lib.place_pack_rows.argtypes = [ctypes.c_void_p, i64, i64] \
+        + [ctypes.c_void_p] * 6
 
 
 def _ptr(arr, ctype):
@@ -333,6 +336,28 @@ def pack_rows_native(g, count, rr, ln):
         return None
     nr = int(nr)
     return piece_row[:n], row_g[:nr], row_count[:nr]
+
+
+def place_pack_native(codes, p_src, p_off, p_rr, p_len, piece_row, words):
+    """Fused code placement + planar 2-bit packing into the (R, 8) int32
+    word matrix (pre-filled with -1 == all '.'). Returns the piece count or
+    None when the library is unavailable / input invalid."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    p_src = np.ascontiguousarray(p_src, dtype=np.int64)
+    p_off = np.ascontiguousarray(p_off, dtype=np.int64)
+    p_rr = np.ascontiguousarray(p_rr, dtype=np.int64)
+    p_len = np.ascontiguousarray(p_len, dtype=np.int64)
+    piece_row = np.ascontiguousarray(piece_row, dtype=np.int32)
+    assert words.dtype == np.int32 and words.flags.c_contiguous
+    got = lib.place_pack_rows(
+        codes.ctypes.data, ctypes.c_int64(codes.shape[1]),
+        ctypes.c_int64(p_src.shape[0]), p_src.ctypes.data,
+        p_off.ctypes.data, p_rr.ctypes.data, p_len.ctypes.data,
+        piece_row.ctypes.data, words.ctypes.data)
+    return None if got < 0 else int(got)
 
 
 def pileup_native(start, length, count, codes, window_start, n_sites,

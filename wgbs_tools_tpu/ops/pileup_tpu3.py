@@ -407,13 +407,23 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     piece_row, row_g, row_count = packed
     R = row_g.shape[0]
 
-    # place piece codes into the dense (R, SB) row matrix (DOT-gapped).
-    # PERF: one reused int32 (P, W) buffer, in-place adds. Fresh large
-    # temps are dominated by first-touch page faults on this host, and the
-    # (P,1)+(1,W) outer-broadcast ufunc path is ~25x slower than
-    # materialize-then-add — both avoided here.
-    rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
-    if F:
+    # place piece codes into per-row planar words: the fused native pass
+    # writes the packed (R, 8) word matrix directly (one C loop instead of
+    # the numpy rowmat scatter + planar_pack_cols — together ~1.1 s per 2M
+    # fragments, the dominant host-staging cost)
+    from ..native import place_pack_native
+
+    all_words = np.full((max(R, 1), SB // 16), -1, dtype=np.int32)
+    placed = (place_pack_native(codes, p_src, p_off, p_rr, p_len,
+                                piece_row, all_words)
+              if F else 0)
+    if placed is None and F:
+        # numpy fallback: dense DOT-gapped (R, SB) matrix, then bit-pack.
+        # PERF: one reused int32 (P, W) buffer, in-place adds. Fresh large
+        # temps are dominated by first-touch page faults on this host, and
+        # the (P,1)+(1,W) outer-broadcast ufunc path is ~25x slower than
+        # materialize-then-add — both avoided here.
+        rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
         P = p_g.shape[0]
         # int32 indices halve the hot buffer's footprint, but flat offsets
         # reach F*W / R*SB — switch to int64 before they could wrap (a
@@ -431,6 +441,8 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         buf += (piece_row.astype(np.int64) * SB + p_rr).astype(
             idt)[:, None]
         rowmat.reshape(-1)[buf[m]] = vals
+        all_words = (planar_pack_cols(rowmat, SB // 16) if R else
+                     np.zeros((0, SB // 16), dtype=np.int32))
 
     # chunking over rows: bounded rows, sub-block span, single tile
     row_tile = row_g // tile_sb
@@ -446,8 +458,8 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         cstart = nxt
     bstarts = np.asarray(breaks[:-1], dtype=np.int64)
     bends = np.asarray(breaks[1:], dtype=np.int64)
-    all_words = (planar_pack_cols(rowmat, SB // 16) if R else
-                 np.zeros((0, SB // 16), dtype=np.int32))
+    if not R:
+        all_words = np.zeros((0, SB // 16), dtype=np.int32)
     num_tiles = (window_len + tile - 1) // tile
     if classes is None:
         return _assemble_class(row_g, row_tile, row_count, all_words,
