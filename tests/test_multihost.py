@@ -52,3 +52,21 @@ def test_multiprocess_worker_cli_badargs():
         [sys.executable, "-m", "wgbs_tools_tpu.parallel.multihost"],
         capture_output=True, env=dict(os.environ, PYTHONPATH=REPO))
     assert r.returncode == 2  # argparse usage error
+
+
+def test_pat2beta_cli_procs(tmp_path, mini_genome):
+    """`pat2beta --procs 2` routes through the multi-process launcher and
+    produces the same beta as the single-process CLI."""
+    from tests.synth import random_frags
+    from wgbs_tools_tpu.cli.main import main as cli_main
+
+    n_sites = mini_genome.get_nr_sites()
+    frags = random_frags(np.random.default_rng(9), 1500, n_sites - 20,
+                         max_len=12).sort().collapse()
+    pat = str(tmp_path / "c.pat.gz")
+    write_pat(frags, pat)
+    assert cli_main(["pat2beta", pat, "-o", str(tmp_path)]) == 0
+    single = open(tmp_path / "c.beta", "rb").read()
+    assert cli_main(["pat2beta", pat, "-o", str(tmp_path), "-f",
+                     "--procs", "2"]) == 0
+    assert open(tmp_path / "c.beta", "rb").read() == single

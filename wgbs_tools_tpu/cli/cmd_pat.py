@@ -39,6 +39,11 @@ def main_pat2beta(argv):
     p.add_argument("--genome", default=None)
     p.add_argument("-@", "--threads", type=int, default=None,
                    help="(compat; the pileup is one device kernel launch)")
+    p.add_argument("--procs", type=int, default=None,
+                   help="run as N jax.distributed processes (emulated "
+                        "multi-host: per-process input sharding by site "
+                        "range, cross-process collectives; byte-identical "
+                        "to the single-process path)")
     args = p.parse_args(argv)
     g = Genome(args.genome)
     for pat in args.pat_paths:
@@ -46,6 +51,15 @@ def main_pat2beta(argv):
         suff = ".lbeta" if args.lbeta else ".beta"
         out = op.join(args.out_dir, splitextgz(op.basename(pat))[0] + suff)
         if not delete_or_skip(out, args.force):
+            continue
+        if args.procs and args.procs > 1:
+            from ..parallel.multihost import run_pat2beta_multiprocess
+
+            run_pat2beta_multiprocess(pat, out, g.get_nr_sites(),
+                                      num_processes=args.procs,
+                                      lbeta=args.lbeta)
+            logger.info("pat2beta: %s -> %s (%d processes)", pat, out,
+                        args.procs)
             continue
         pat2beta(pat, args.out_dir, genome=g, lbeta=args.lbeta)
     return 0
