@@ -118,7 +118,27 @@ def _serve_one(conn):
     return True
 
 
-def serve(path=None):
+def _warm_compiles():
+    """Trigger the device pileup compile on a tiny synthetic batch so the
+    FIRST client job starts warm (Mosaic executables are not persisted by
+    the backend's cache — this is the worker's whole reason to exist)."""
+    import numpy as np
+
+    from ..ops.pileup import pileup_frags
+    from ..formats.pat import PatFrags
+
+    n = 1 << 12
+    rng = np.random.default_rng(0)
+    start = np.sort(rng.integers(1, n - 20, size=256)).astype(np.int64)
+    length = rng.integers(1, 12, size=256).astype(np.int64)
+    codes = rng.integers(0, 2, size=(256, 12)).astype(np.uint8)
+    codes[np.arange(12)[None, :] >= length[:, None]] = 3
+    frags = PatFrags(start, length, np.ones(256, np.int64), codes,
+                     np.zeros(256, np.int16), ["chr1"], None)
+    pileup_frags(frags, (1, n + 1))
+
+
+def serve(path=None, warm=False):
     path = path or socket_path()
     os.makedirs(op.dirname(path), exist_ok=True)
     if op.exists(path):
@@ -131,6 +151,12 @@ def serve(path=None):
     from .main import ensure_compile_cache
 
     ensure_compile_cache()
+    if warm:
+        logger.info("worker: warming device compiles...")
+        try:
+            _warm_compiles()
+        except Exception as e:
+            logger.info("worker: warmup skipped (%s)", e)
     logger.info("worker: serving on %s (pid %d)", path, os.getpid())
     try:
         while True:
@@ -213,9 +239,12 @@ def main(argv):
         "compiles) alive across CLI invocations")
     p.add_argument("verb", choices=["serve", "run", "stop"])
     p.add_argument("--socket", default=None)
+    p.add_argument("--warm", action="store_true",
+                   help="compile the device pileup at startup so the first "
+                        "client job runs warm")
     args = p.parse_args(argv)
     if args.verb == "serve":
-        return serve(args.socket)
+        return serve(args.socket, warm=args.warm)
     rc = run_via_worker([], path=args.socket, stop=True)
     if rc is None:
         print("no worker running", file=sys.stderr)
