@@ -150,3 +150,32 @@ def test_sequential_accumulation_matches_double_chain():
         s = s + np.float64(x)
         want[i] = s
     assert np.array_equal(got.view(np.uint64), want.view(np.uint64))
+
+
+def test_add_exhaustive_corner_cross_product():
+    """Cross product of ~1.4k adversarial bit patterns (sign x exponent
+    corners x mantissa corners, zeros, subnormals) — every pair's sum must
+    be bit-identical to numpy float64."""
+    exps = np.array([0, 1, 2, 510, 511, 512, 513, 970, 1020, 1021, 1022,
+                     1023, 1024, 1025, 1026, 1074, 1075, 1076, 1535, 2040,
+                     2044, 2045], dtype=np.uint64)
+    mants = np.array([0, 1, 2, 3, (1 << 51), (1 << 51) + 1, (1 << 52) - 2,
+                      (1 << 52) - 1, 0x5555555555555, 0xAAAAAAAAAAAAA,
+                      (1 << 29) - 1, (1 << 29), (1 << 29) + 1],
+                     dtype=np.uint64)
+    vals = []
+    for s in (0, 1):
+        for e in exps:
+            for m in mants:
+                vals.append((np.uint64(s) << np.uint64(63))
+                            | (e << np.uint64(52)) | m)
+    # subnormals and zeros
+    for s in (0, 1):
+        for m in (0, 1, 2, (1 << 52) - 1, 1 << 51):
+            vals.append((np.uint64(s) << np.uint64(63)) | np.uint64(m))
+    vals = np.array(vals, dtype=np.uint64).view(np.float64)
+    vals = vals[np.isfinite(vals)]
+    n = vals.shape[0]
+    a = np.repeat(vals, n)
+    b = np.tile(vals, n)
+    _add_check(a, b)
