@@ -66,13 +66,18 @@ int pat_parse(const char* buf, int64_t len, int64_t n_lines, int64_t max_len,
               int32_t* starts, int32_t* lengths, int32_t* counts,
               uint8_t* codes, int16_t* chrom_ids, char* chrom_buf,
               int64_t chrom_buf_cap, int64_t* extras_off) {
-    static int8_t lut[256];
-    static bool lut_init = false;
-    if (!lut_init) {
-        memset(lut, -1, sizeof(lut));
-        lut['T'] = 0; lut['C'] = 1; lut['H'] = 2; lut['.'] = 3;
-        lut_init = true;
-    }
+    // thread-safe lazy init (C++11 magic static): pat_parse now runs
+    // concurrently on disjoint ranges from the Python-side MT parse
+    struct PatLut {
+        int8_t v[256];
+        PatLut() {
+            memset(v, -1, sizeof(v));
+            v[(uint8_t)'T'] = 0; v[(uint8_t)'C'] = 1;
+            v[(uint8_t)'H'] = 2; v[(uint8_t)'.'] = 3;
+        }
+    };
+    static const PatLut lut_holder;
+    const int8_t* lut = lut_holder.v;
 
     memset(codes, 3, (size_t)n_lines * max_len);
 

@@ -157,3 +157,33 @@ def test_cdx_sidecar_actually_loadable(tmp_path, rng):
     write_pat(f, legacy, stride=256)
     os.replace(legacy + ".cdx", legacy + ".cdx.npz")
     assert load_pat_index(legacy) is not None
+
+
+def test_parse_pat_native_multithreaded_matches_single():
+    """The parallel range-split parse (chrom-table merge + extras offset
+    rebasing) equals the single-threaded parse on a multi-chromosome pat
+    large enough to engage the threaded path, including extra columns."""
+    from wgbs_tools_tpu.native import get_lib, parse_pat_native
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(95)
+    rows = []
+    for chrom, base in (("chr1", 0), ("chr2", 500000), ("chrX", 900000)):
+        ss = np.sort(rng.integers(1, 400000, size=120_000)) + base
+        for s in ss:
+            pat = "".join(rng.choice(list("CT."), size=rng.integers(1, 9)))
+            extra = f"\trg{int(s) % 3}" if s % 7 == 0 else ""
+            rows.append(f"{chrom}\t{s}\t{pat}\t{1 + int(s) % 3}{extra}\n")
+    data = "".join(rows).encode()
+    assert len(data) > (4 << 20)
+    multi = parse_pat_native(data)
+    single = parse_pat_native(data, threads=1)
+    assert multi is not None and single is not None
+    for a, b in zip(multi[:5], single[:5]):
+        assert np.array_equal(a, b)
+    assert multi[5] == single[5]  # chrom names, first-appearance order
+    ea, eb = multi[6], single[6]
+    assert (ea is None) == (eb is None)
+    if ea is not None:
+        assert all(x == y for x, y in zip(ea, eb))
