@@ -70,3 +70,31 @@ def test_pat2beta_cli_procs(tmp_path, mini_genome):
     assert cli_main(["pat2beta", pat, "-o", str(tmp_path), "-f",
                      "--procs", "2"]) == 0
     assert open(tmp_path / "c.beta", "rb").read() == single
+
+
+def test_multiprocess_empty_process_range(tmp_path):
+    """All fragments in process 0's site range: process 1 contributes only
+    empty collective rounds, and the assembled beta is still exact."""
+    from tests.synth import random_frags
+    from wgbs_tools_tpu.parallel.multihost import run_pat2beta_multiprocess
+    from wgbs_tools_tpu.pipeline.pat2beta import pat2beta
+
+    n_sites = 4096
+    # all starts in the first quarter of the site axis (process 0's rows)
+    frags = random_frags(np.random.default_rng(11), 800, n_sites // 4 - 20,
+                         max_len=10).sort().collapse()
+    pat = str(tmp_path / "e.pat.gz")
+    write_pat(frags, pat)
+
+    class _G:
+        nr_sites = n_sites
+
+        def get_nr_sites(self):
+            return n_sites
+
+    single = pat2beta(pat, out_dir=str(tmp_path), genome=_G(),
+                      sharded=False, out_path=str(tmp_path / "s.beta"))
+    out = run_pat2beta_multiprocess(pat, str(tmp_path / "m.beta"), n_sites,
+                                    num_processes=2, local_devices=2,
+                                    timeout=300)
+    assert open(out, "rb").read() == open(single, "rb").read()
