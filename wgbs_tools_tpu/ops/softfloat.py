@@ -131,11 +131,6 @@ def to_f64_host(h, l):
     return b.view(np.float64)
 
 
-def f64_zero_like(x):
-    z = jnp.zeros_like(_u(x))
-    return z, z
-
-
 def f64_from_f32(x):
     """Exact widening of float32 tensors to (hi, lo) double bit pairs.
     Handles +-0, subnormal f32, and +-inf (NaN maps to an inf-exponent
