@@ -41,10 +41,11 @@ SB = 128          # sub-block width (lanes) — also the row width
 # sub-blocks per output tile -> tile = TILE_SB * 128 sites. Chunks never
 # cross tiles, so at typical coverage the tile cap (not ROW_CHUNK) sets
 # rows/chunk; larger tiles -> fuller chunks -> fewer grid steps.
-def _env_int(name, default, lo):
+def _env_int(name, default, lo, mult=1):
     """Env override with validation: silently-wrong geometry is worse than
     a crash (e.g. rc < 2 breaks the guaranteed-padding-row invariant that
-    stashes base_g in row rc-1)."""
+    stashes base_g in row rc-1; Mosaic requires the row-chunk block dim to
+    divide by 8)."""
     raw = _os.environ.get(name)
     if raw is None:
         return default
@@ -52,13 +53,15 @@ def _env_int(name, default, lo):
         v = int(raw)
     except ValueError:
         raise ValueError(f"{name}={raw!r}: must be an integer") from None
-    if v < lo:
-        raise ValueError(f"{name}={v}: must be >= {lo}")
+    if v < lo or v % mult:
+        raise ValueError(
+            f"{name}={v}: must be >= {lo}"
+            + (f" and a multiple of {mult}" if mult > 1 else ""))
     return v
 
 
 TILE_SB = _env_int("WGBS_TPU_V3_TILE_SB", 8, 1)
-ROW_CHUNK = _env_int("WGBS_TPU_V3_RC", 256, 2)  # rows per chunk
+ROW_CHUNK = _env_int("WGBS_TPU_V3_RC", 256, 8, mult=8)  # rows per chunk
 G_MAX = _env_int("WGBS_TPU_V3_G_MAX", TILE_SB, 1)  # sub-blocks/chunk
 # measured on-chip (flat grid, headline shape, sustained back-to-back
 # methodology — see bench.py): TILE_SB=8/RC=256 is the best of the swept
@@ -366,8 +369,10 @@ def stage_v3(start, length, count, codes, window_start, window_len,
 
     if classes is not None:
         classes = tuple(sorted(int(c) for c in classes))
-        if not classes or classes[0] < 2:
-            raise ValueError(f"bad rc classes {classes}: each must be >= 2")
+        if not classes or classes[0] < 8 or any(c % 8 for c in classes):
+            raise ValueError(f"bad rc classes {classes}: each must be a "
+                             "multiple of 8 (Mosaic block-dim constraint), "
+                             ">= 8")
         rc = classes[-1]
 
     if tile % SB:
