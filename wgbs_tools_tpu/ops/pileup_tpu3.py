@@ -63,10 +63,12 @@ def _env_int(name, default, lo, mult=1):
 TILE_SB = _env_int("WGBS_TPU_V3_TILE_SB", 8, 1)
 ROW_CHUNK = _env_int("WGBS_TPU_V3_RC", 256, 8, mult=8)  # rows per chunk
 G_MAX = _env_int("WGBS_TPU_V3_G_MAX", TILE_SB, 1)  # sub-blocks/chunk
-# measured on-chip (flat grid, headline shape, sustained back-to-back
-# methodology — see bench.py): TILE_SB=8/RC=256 is the best of the swept
-# geometries (16/512 and 32/256 both slower: per-step compute scales with
-# RC regardless of row fill); defaults keep the measured best.
+# measured on-chip (flat grid, headline shape, cross-process bench
+# methodology — see bench.py / BENCHMARKS.md round-4 class sweep):
+# TILE_SB=8 with rc classes (16, 128) is the best swept geometry
+# (397.9 M frags/s vs 313.3 single-class rc=256; finer/coarser class
+# splits and 3-class variants all slower). _env_classes holds the
+# class default; ROW_CHUNK is the single-class grid's default.
 
 
 def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
