@@ -187,3 +187,32 @@ def test_parse_pat_native_multithreaded_matches_single():
     assert (ea is None) == (eb is None)
     if ea is not None:
         assert all(x == y for x, y in zip(ea, eb))
+
+
+def test_iter_pat_region_matches_read_pat():
+    """Streaming region iteration (indexed seek + chunked parse) yields the
+    same fragments as read_pat(region_sites), incl. across chunk cuts."""
+    import tempfile
+
+    from tests.synth import random_frags
+    from wgbs_tools_tpu.formats.pat import (iter_pat_region, read_pat,
+                                            write_pat, frags_to_bytes)
+
+    frags = random_frags(np.random.default_rng(97), 20_000, 100_000,
+                         max_len=14).sort().collapse()
+    with tempfile.TemporaryDirectory() as td:
+        p = td + "/r.pat.gz"
+        write_pat(frags, p)
+        for sites in ((5_000, 42_000), (1, 100_001), (99_000, 100_001)):
+            want = read_pat(p, region_sites=sites)
+            parts = list(iter_pat_region(p, sites, chunk_bytes=1 << 14))
+            got = b"".join(frags_to_bytes(f) for f in parts)
+            assert got == frags_to_bytes(want), sites
+        # unindexed fallback path
+        p2 = td + "/r2.pat.gz"
+        write_pat(frags, p2, index=False)
+        want = read_pat(p, region_sites=(5_000, 42_000))
+        parts = list(iter_pat_region(p2, (5_000, 42_000),
+                                     chunk_bytes=1 << 14))
+        got = b"".join(frags_to_bytes(f) for f in parts)
+        assert got == frags_to_bytes(want)

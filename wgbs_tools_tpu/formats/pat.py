@@ -342,6 +342,57 @@ def iter_pat(path, chunk_bytes=32 << 20, keep_extras=False):
         yield parse_pat_bytes(carry, keep_extras=keep_extras)
 
 
+def iter_pat_region(path, region_sites, chunk_bytes=32 << 20,
+                    keep_extras=False):
+    """Stream a 1-based [s, e) site range of a pat as PatFrags batches in
+    bounded memory — the streaming form of read_pat(region_sites=...).
+
+    With a .cdx sidecar the read seeks straight to the first candidate
+    virtual offset and stops past the range (the analogue of the
+    reference's per-range tabix pulls); without one it degrades to the
+    whole-file stream with per-chunk overlap filtering (bounded memory
+    either way). Yields fragments OVERLAPPING the range, like read_pat."""
+    s, e = region_sites
+    idx = load_pat_index(path) if path.endswith(".gz") else None
+    if idx is None:
+        for frags in iter_pat(path, chunk_bytes, keep_extras):
+            part = frags.slice_sites(s, e)
+            if part.nr_frags:
+                yield part
+            if frags.nr_frags and int(frags.start[0]) >= e:
+                return  # sorted input: all later starts are past the range
+        return
+    samples_sites, samples_voff, max_len = idx
+    i = np.searchsorted(samples_sites, s - max_len + 1, side="right") - 1
+    i = max(int(i), 0)
+    reader = BgzfReader(path)
+    reader.seek_virtual(int(samples_voff[i]))
+    buf, size = [], 0
+    try:
+        while True:
+            line = reader.readline()
+            if not line:
+                break
+            start = int(line.split(b"\t", 3)[1])
+            if start >= e:
+                break
+            buf.append(line)
+            size += len(line)
+            if size >= chunk_bytes:
+                part = parse_pat_bytes(
+                    b"".join(buf), keep_extras=keep_extras).slice_sites(s, e)
+                buf, size = [], 0
+                if part.nr_frags:
+                    yield part
+    finally:
+        reader.close()
+    if buf:
+        part = parse_pat_bytes(
+            b"".join(buf), keep_extras=keep_extras).slice_sites(s, e)
+        if part.nr_frags:
+            yield part
+
+
 def _iter_decompressed(path, chunk_bytes):
     """Yield decompressed byte chunks of a pat / pat.gz / BGZF file."""
     if not is_gzip(path):

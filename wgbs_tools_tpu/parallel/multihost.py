@@ -96,6 +96,8 @@ def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
     from ..formats.pat import read_pat
     from .sharded import bucket_fragments, build_pileup_accum_step
 
+    from ..formats.pat import iter_pat_region
+
     mesh = global_sites_mesh()
     n_dev = mesh.devices.size
     pid = jax.process_index()
@@ -103,41 +105,83 @@ def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
     n_pad = (nr_sites + n_dev - 1) // n_dev * n_dev
     S = n_pad // n_dev
 
-    # per-process input sharding: this process's site rows
+    # per-process input sharding: this process's site rows, STREAMED in
+    # bounded memory (a 30x pat range is still GBs materialized; the
+    # region iterator seeks via the .cdx and reads chunk by chunk)
     lo = pid * k_local * S + 1          # 1-based, inclusive
     hi = min((pid + 1) * k_local * S + 1, nr_sites + 1)
-    frags = read_pat(pat_path, region_sites=(lo, hi), keep_extras=False)
-    keep = (frags.start >= lo) & (frags.start < hi)  # starting here only
-    frags = frags.take(np.asarray(keep))
-    logger.info("multihost pat2beta: p%d reads sites [%d, %d): %d frags",
-                pid, lo, hi, frags.nr_frags)
+    it = iter_pat_region(pat_path, (lo, hi)) if hi > lo else iter(())
+    logger.info("multihost pat2beta: p%d streams sites [%d, %d)", pid, lo,
+                hi)
 
-    halo = 16
-    if frags.nr_frags:
-        h = int(frags.length.max())
-        while halo < h:
-            halo <<= 1
-    halo = _allgather_max(halo)
-    if halo > S:
-        raise ValueError(f"fragment length {halo} exceeds a site shard ({S})")
-    L = _allgather_max(frags.codes.shape[1] if frags.nr_frags else 1)
-    L = (L + 31) // 32 * 32
-
-    step = build_pileup_accum_step(mesh, n_pad, halo)
+    halo = 0  # grows (collectively) when a longer fragment arrives
+    step = None
     sh2 = NamedSharding(mesh, P("sites", None))
     sh1 = NamedSharding(mesh, P("sites"))
     total = jax.make_array_from_process_local_data(
         sh2, np.zeros((k_local * S, 2), dtype=np.int32), (n_pad, 2))
 
-    # collective batching: all processes run the same number of step calls
-    # with the same shapes (bucket capacity agreed via allgather-max)
-    rounds = _allgather_max(
-        -(-max(frags.nr_frags, 1) // max(batch_frags, 1)))
-    for r in range(rounds):
-        sl = slice(r * batch_frags, (r + 1) * batch_frags)
+    pend = None
+    n_seen = 0
+
+    def next_batch():
+        """Next <= batch_frags fragments STARTING in [lo, hi), or None."""
+        nonlocal pend
+        parts = []
+        got = 0
+        while got < batch_frags:
+            if pend is None:
+                nxt = next(it, None)
+                if nxt is None:
+                    break
+                keep = (nxt.start >= lo) & (nxt.start < hi)
+                pend = nxt.take(np.asarray(keep))
+                if pend.nr_frags == 0:
+                    pend = None
+                    continue
+            take = min(batch_frags - got, pend.nr_frags)
+            parts.append(pend.take(slice(0, take)))
+            pend = pend.take(slice(take, pend.nr_frags)) \
+                if take < pend.nr_frags else None
+            got += take
+        if not parts:
+            return None
+        if len(parts) == 1:
+            return parts[0]
+        from ..cli.cmd_pat import _concat_frags
+
+        return _concat_frags(parts)
+
+    # dynamic collective rounds: each round every process reports whether
+    # it still has input (allgather), and all run one identically-shaped
+    # step — processes that ran dry contribute empty buckets
+    while True:
+        batch = next_batch()
+        has = 0 if batch is None else batch.nr_frags
+        if _allgather_max(has) == 0:
+            break
+        n_seen += has
+        if batch is None:
+            start = np.zeros(0, np.int64)
+            ln_ = cn_ = np.zeros(0, np.int32)
+            cd_ = np.zeros((0, 1), np.uint8)
+        else:
+            start, ln_, cn_, cd_ = (batch.start, batch.length, batch.count,
+                                    batch.codes)
+        hmax = _allgather_max(int(ln_.max()) if has else 1)
+        h = 16
+        while h < hmax:
+            h <<= 1
+        if h > S:
+            raise ValueError(f"fragment length {hmax} exceeds a site "
+                             f"shard ({S})")
+        if step is None or h > halo:
+            halo = h
+            step = build_pileup_accum_step(mesh, n_pad, halo)
+        L = _allgather_max(cd_.shape[1] if has else 1)
+        L = (L + 31) // 32 * 32
         rs, ln, cn, cd = bucket_fragments(
-            frags.start[sl], frags.length[sl], frags.count[sl],
-            frags.codes[sl], k_local * S, k_local,
+            start, ln_, cn_, cd_, k_local * S, k_local,
             max_len=L, base=lo, fp_mult=1)
         cap = _allgather_max(rs.shape[0] // k_local)
         cap = 1 << max(int(cap - 1).bit_length(), 6)  # pow2: few jit shapes
@@ -155,6 +199,7 @@ def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
               for a, x in ((rs, pad(rs)), (ln, pad(ln)), (cn, pad(cn)),
                            (cd, pad(cd, 3)))]
         total = step(total, *ga)
+    logger.info("multihost pat2beta: p%d streamed %d frags", pid, n_seen)
 
     # cross-process reduction checks + assembly: overflow-safe coverage
     # all-reduce (the _psum64 pair, replicated to every process) and a full
