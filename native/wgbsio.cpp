@@ -721,9 +721,13 @@ int64_t place_pack_rows(const uint8_t* codes, int64_t W, int64_t P,
         if (rr < 0 || len < 0 || rr + len > 128) return -1;
         for (int64_t j = 0; j < len; j++) {
             const int64_t pos = rr + j;
-            const int32_t s = (int32_t)(2 * (pos >> 3));
+            const uint32_t s = (uint32_t)(2 * (pos >> 3));
             int32_t* w = row + (pos & 7);
-            *w = (*w & ~(3 << s)) | ((int32_t)(src[j] & 3) << s);
+            // unsigned word arithmetic: 3 << 30 on a signed literal is UB
+            // pre-C++20 (matches pack_rows128's mask handling)
+            const uint32_t wu =
+                ((uint32_t)*w & ~(3u << s)) | (((uint32_t)src[j] & 3u) << s);
+            *w = (int32_t)wu;
         }
     }
     return P;

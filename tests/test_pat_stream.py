@@ -222,9 +222,7 @@ def test_frag_len_cli_streams_and_matches(rng, tmp_path, capsys, monkeypatch):
             f.write(f"chr1\t{s}\t{s + 300}\t{s}\t{s + 211}\n")
     g = _G(n_sites)
     monkeypatch.setattr(cmd_pat, "Genome", lambda name: g)
-    import wgbs_tools_tpu.pipeline.pat_stream as ps
-
-    monkeypatch.setattr(ps, "DEFAULT_CHUNK", TINY)
+    monkeypatch.setenv("WGBS_TPU_PAT_CHUNK_BYTES", str(TINY))
 
     def expected(**kw):
         frags = view_pat(p, g, no_sort=True, **kw)

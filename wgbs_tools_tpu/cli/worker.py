@@ -20,6 +20,15 @@ line {"argv": [...], "cwd": "...", "env": {WGBS_*...}}; the server streams
 framed output back — 1-byte type (1=stdout, 2=stderr, 0=exit) + 4-byte LE
 length + payload — and the client replays frames onto its own streams and
 exits with the command's return code. stdin is not forwarded.
+
+Concurrency: requests are served STRICTLY ONE AT A TIME (device state —
+compiled executables, the one TPU chip — is process-global, so serializing
+is the correct semantics, not a shortcut). Additional clients queue in the
+socket's accept backlog (depth 8) and block until the running request
+finishes; beyond that, connect() fails and the CLI falls back to in-process
+execution. Trust model: the socket is protected only by filesystem
+permissions on its directory (0700 ~/.cache/wgbs_tpu by default) — do not
+point WGBS_TPU_WORKER_SOCKET at a world-writable directory.
 """
 
 import argparse
@@ -84,12 +93,20 @@ def _serve_one(conn):
     try:
         if req.get("cwd"):
             os.chdir(req["cwd"])
-        for k, v in (req.get("env") or {}).items():
+        client_env = req.get("env") or {}
+        # the client's WGBS_* view replaces the server's entirely: a WGBS_*
+        # var set in the server's own environment but absent from the
+        # client's must not leak into the request
+        for k in list(os.environ):
+            if (k.startswith("WGBS_") and k not in client_env
+                    and k not in ("WGBS_TPU_WORKER", "WGBS_TPU_WORKER_SOCKET")):
+                saved_env[k] = os.environ.pop(k)
+        for k, v in client_env.items():
             # never apply the routing vars inside the server: a forwarded
             # WGBS_TPU_WORKER=1 would make the worker dial its own socket
             if k in ("WGBS_TPU_WORKER", "WGBS_TPU_WORKER_SOCKET"):
                 continue
-            saved_env[k] = os.environ.get(k)
+            saved_env.setdefault(k, os.environ.get(k))
             os.environ[k] = v
         sys.stdout, sys.stderr = out, err
         from .main import main as cli_main
@@ -140,12 +157,13 @@ def _warm_compiles():
 
 def serve(path=None, warm=False):
     path = path or socket_path()
-    os.makedirs(op.dirname(path), exist_ok=True)
+    os.makedirs(op.dirname(path), mode=0o700, exist_ok=True)
     if op.exists(path):
         os.unlink(path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(path)
-    srv.listen(4)
+    os.chmod(path, 0o600)  # owner-only even under a permissive umask
+    srv.listen(8)  # waiting clients queue here (served one at a time)
     from ..utils.log import logger
 
     from .main import ensure_compile_cache

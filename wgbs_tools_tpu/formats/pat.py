@@ -317,7 +317,17 @@ def read_pat(path, region_sites=None, genome=None, keep_extras=True) -> PatFrags
     return frags
 
 
-def iter_pat(path, chunk_bytes=32 << 20, keep_extras=False):
+def default_chunk():
+    """Streaming chunk size. Read from the environment AT CALL TIME (an
+    import-frozen constant would make WGBS_TPU_PAT_CHUNK_BYTES a silent
+    no-op through the persistent worker, whose process outlives any one
+    client environment)."""
+    import os as _os
+
+    return int(_os.environ.get("WGBS_TPU_PAT_CHUNK_BYTES", 32 << 20))
+
+
+def iter_pat(path, chunk_bytes=None, keep_extras=False):
     """Stream a pat[.gz] file as a sequence of PatFrags batches.
 
     Bounded host memory: at most ~2 chunks of decompressed text are resident
@@ -327,6 +337,8 @@ def iter_pat(path, chunk_bytes=32 << 20, keep_extras=False):
     so no block is ever split. The reference's answer to this is per-
     chromosome `tabix` streams (ref: src/python/pat2beta.py:41-65).
     """
+    if chunk_bytes is None:
+        chunk_bytes = default_chunk()
     carry = b""  # partial trailing line
     for text in _iter_decompressed(path, chunk_bytes):
         text = carry + text
@@ -342,7 +354,7 @@ def iter_pat(path, chunk_bytes=32 << 20, keep_extras=False):
         yield parse_pat_bytes(carry, keep_extras=keep_extras)
 
 
-def iter_pat_region(path, region_sites, chunk_bytes=32 << 20,
+def iter_pat_region(path, region_sites, chunk_bytes=None,
                     keep_extras=False):
     """Stream a 1-based [s, e) site range of a pat as PatFrags batches in
     bounded memory — the streaming form of read_pat(region_sites=...).
@@ -353,6 +365,8 @@ def iter_pat_region(path, region_sites, chunk_bytes=32 << 20,
     whole-file stream with per-chunk overlap filtering (bounded memory
     either way). Yields fragments OVERLAPPING the range, like read_pat."""
     s, e = region_sites
+    if chunk_bytes is None:
+        chunk_bytes = default_chunk()
     idx = load_pat_index(path) if path.endswith(".gz") else None
     if idx is None:
         for frags in iter_pat(path, chunk_bytes, keep_extras):

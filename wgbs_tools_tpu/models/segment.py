@@ -584,6 +584,12 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
                 continue
             data = np.stack([load_beta(b, sites=chunks[i])
                              for b in beta_paths])
+            for d, b in zip(data, beta_paths):
+                # same invalid-beta guard as the host path
+                # (segment_sites_window) — corrupt files must raise, not
+                # segment silently, on the device route too
+                if (d[:, 0] > d[:, 1]).any():
+                    raise IllegalArgumentError(f"invalid beta data in {b}")
             loci = index.loci[s - 1 : e - 1]
             W = int(min(cfg.max_cpg, n))
             T = segment_exact_device_T(data, loci, W, cfg.max_bp,

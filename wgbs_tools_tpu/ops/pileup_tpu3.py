@@ -60,9 +60,18 @@ def _env_int(name, default, lo, mult=1):
     return v
 
 
-TILE_SB = _env_int("WGBS_TPU_V3_TILE_SB", 8, 1)
-ROW_CHUNK = _env_int("WGBS_TPU_V3_RC", 256, 8, mult=8)  # rows per chunk
-G_MAX = _env_int("WGBS_TPU_V3_G_MAX", TILE_SB, 1)  # sub-blocks/chunk
+# geometry env vars are read AT CALL TIME (not import) so overrides work
+# through the persistent worker, whose process outlives any one client env
+def _tile_sb():
+    return _env_int("WGBS_TPU_V3_TILE_SB", 8, 1)
+
+
+def _row_chunk():
+    return _env_int("WGBS_TPU_V3_RC", 256, 8, mult=8)  # rows per chunk
+
+
+def _g_max():
+    return _env_int("WGBS_TPU_V3_G_MAX", _tile_sb(), 1)  # sub-blocks/chunk
 # measured on-chip (flat grid, headline shape, cross-process bench
 # methodology — see bench.py / BENCHMARKS.md round-4 class sweep):
 # TILE_SB=8 with rc classes (16, 128) is the best swept geometry
@@ -353,7 +362,7 @@ def _prep_window(start, length, count, codes, window_start, window_len):
 
 
 def stage_v3(start, length, count, codes, window_start, window_len,
-             tile=SB * TILE_SB, rc=ROW_CHUNK, g_max=G_MAX, classes=None):
+             tile=None, rc=None, g_max=None, classes=None):
     """Host staging: window prep, sub-block split, native row packing,
     code placement, chunking. Returns (c0, c1, meta, words, max_chunks,
     tile, rc, g_max) — the tuple carries its geometry so call_staged can
@@ -368,6 +377,13 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     tuples whose kernel outputs sum exactly (disjoint chunk sets, integer
     adds). With classes the break bound is classes[-1]."""
     from ..native import pack_rows_native
+
+    if tile is None:
+        tile = SB * _tile_sb()
+    if rc is None:
+        rc = _row_chunk()
+    if g_max is None:
+        g_max = _g_max()
 
     if classes is not None:
         classes = tuple(sorted(int(c) for c in classes))

@@ -107,9 +107,19 @@ def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
 
     # per-process input sharding: this process's site rows, STREAMED in
     # bounded memory (a 30x pat range is still GBs materialized; the
-    # region iterator seeks via the .cdx and reads chunk by chunk)
-    lo = pid * k_local * S + 1          # 1-based, inclusive
-    hi = min((pid + 1) * k_local * S + 1, nr_sites + 1)
+    # region iterator seeks via the .cdx and reads chunk by chunk).
+    # The range derives from this process's device POSITIONS in the sorted
+    # process-major mesh — `pid * k_local` silently diverges from mesh
+    # ownership when per-process device counts are heterogeneous.
+    pos = [i for i, d in enumerate(mesh.devices.ravel())
+           if d.process_index == pid]
+    if pos != list(range(pos[0], pos[0] + len(pos))):
+        raise RuntimeError(
+            f"process {pid} devices are not contiguous in the sorted mesh "
+            f"({pos}); per-process input ranges require process-major "
+            "device ordering")
+    lo = pos[0] * S + 1                 # 1-based, inclusive
+    hi = min((pos[-1] + 1) * S + 1, nr_sites + 1)
     it = iter_pat_region(pat_path, (lo, hi)) if hi > lo else iter(())
     logger.info("multihost pat2beta: p%d streams sites [%d, %d)", pid, lo,
                 hi)

@@ -70,7 +70,11 @@ def _h2d_bandwidth():
         dt = max(time.perf_counter() - t0, 1e-6)
         bw = buf.nbytes / dt
     except Exception:
-        bw = 0.0
+        # transient probe failure: remember for this process only — a
+        # persisted bw=0 would pin device calling off for a day on a link
+        # that merely hiccuped once
+        _h2d_bw_cache = 0.0
+        return 0.0
     _h2d_bw_cache = bw
     try:
         os.makedirs(cache, exist_ok=True)

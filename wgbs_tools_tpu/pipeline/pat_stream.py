@@ -15,14 +15,12 @@ with start < W are final and can be sorted, collapsed, and emitted. The
 reorder buffer holds at most ~one chunk of fragments.
 """
 
-import os as _os
-
 import numpy as np
 
-from ..formats.pat import PatFrags, empty_frags, iter_pat, read_pat
+from ..formats.pat import (PatFrags, default_chunk, empty_frags,  # noqa: F401
+                           iter_pat, read_pat)
 from ..utils import IllegalArgumentError
 
-DEFAULT_CHUNK = int(_os.environ.get("WGBS_TPU_PAT_CHUNK_BYTES", 32 << 20))
 
 
 class SortedStreamEmitter:
@@ -73,7 +71,7 @@ class SortedStreamEmitter:
 
 def iter_view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
                   strict=False, strip=False, min_len=1, no_gaps=False,
-                  sub_sample=None, seed=None, chunk_bytes=DEFAULT_CHUNK,
+                  sub_sample=None, seed=None, chunk_bytes=None,
                   keep_extras=False):
     """Stream a pat file through the cview filter set as (frags,
     min_future_start) batches — the chunked equivalent of cli.view.view_pat
@@ -137,7 +135,7 @@ def iter_view_pat(pat_path, genome, region=None, sites=None, bed_file=None,
 
 def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
                          view_kwargs=None, sub_samples=None, seed=None,
-                         chunk_bytes=DEFAULT_CHUNK, level=6):
+                         chunk_bytes=None, level=6):
     """k-way streaming merge of filtered pat streams into a sorted pat.gz.
 
     The streaming analogue of cli.cmd_pat.merge_pats — and of the
@@ -216,7 +214,7 @@ def merge_pats_streaming(pat_paths, out_path, genome, labels=None,
 
 
 def mask_pat_streaming(pat_path, out_path, bstart, bend, genome,
-                       region_sites=None, chunk_bytes=DEFAULT_CHUNK,
+                       region_sites=None, chunk_bytes=None,
                        level=6):
     """Streaming site masking (ref: src/pat2beta/mask_pat.cpp): masked
     fragments re-strip, so starts only move forward — same watermark
@@ -249,7 +247,7 @@ def mask_pat_streaming(pat_path, out_path, bstart, bend, genome,
 
 def homog_pat_streaming(pat_path, bstart_sorted, bend_sorted, ranges,
                         min_len=3, inclusive=False,
-                        chunk_bytes=DEFAULT_CHUNK):
+                        chunk_bytes=None):
     """Streaming homog counting: per-fragment block counts are additive, so
     chunk results sum bit-identically to the whole-file pass (the streaming
     analogue of homog.cpp's sliding deque, ref: src/homog/homog.cpp:58-145).
