@@ -45,18 +45,19 @@ def main(argv):
     p.add_argument("--clip", type=int, default=0,
                    help="clip first/last bases of each read")
     p.add_argument("--min_cpg", type=int, default=1)
-    p.add_argument("--mbias", action="store_true",
+    p.add_argument("--mbias", "-mb", action="store_true",
                    help="dump m-bias tables alongside the pat")
     p.add_argument("--no_beta", action="store_true")
     p.add_argument("--no_pat", action="store_true")
     p.add_argument("-l", "--lbeta", action="store_true")
     p.add_argument("--long", dest="long_reads", action="store_true",
                    help="keep read names as an extra pat column")
-    p.add_argument("--nanopore", action="store_true", default=None)
+    p.add_argument("--nanopore", "-np", action="store_true",
+                   default=None)
     p.add_argument("--np_thresh", type=float, default=0.667)
     p.add_argument("--cpc_call", choices=["C", "H", "."], default="C")
     p.add_argument("--combine_mods", action="store_true")
-    p.add_argument("--blueprint", action="store_true",
+    p.add_argument("--blueprint", "-bp", action="store_true",
                    help="drop reads with <90%% non-CpG cytosine conversion")
     p.add_argument("-L", "--whitelist", nargs="?", const=True, default=None,
                    help="keep only reads overlapping this bed "
@@ -150,6 +151,13 @@ def main_add_cpg_counts(argv):
     p.add_argument("-F", "--exclude_flags", type=int, default=EXCLUDE_FLAGS)
     p.add_argument("--include_flags", type=int, default=None)
     p.add_argument("-q", "--mapq", type=int, default=MIN_MAPQ)
+    strands = p.add_mutually_exclusive_group()
+    strands.add_argument("--top_strand", action="store_true",
+                         help="only use reads from the top (OT) strand")
+    strands.add_argument("--bottom_strand", action="store_true",
+                         help="only use reads from the bottom (OB) strand")
+    p.add_argument("-rg", "--read_group", default=None,
+                   help="only use reads with this RG:Z read-group tag")
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("-d", "--debug", action="store_true")
     p.add_argument("-v", "--verbose", action="store_true")
@@ -187,7 +195,10 @@ def main_add_cpg_counts(argv):
                            exclude_flags=args.exclude_flags, clip=args.clip,
                            add_pat=args.add_pat, min_cpg=args.min_cpg,
                            drop_singles=args.drop_singles, regions=regions,
-                           include_flags=args.include_flags)
+                           include_flags=args.include_flags,
+                           top_strand=args.top_strand,
+                           bottom_strand=args.bottom_strand,
+                           read_group=args.read_group)
     return 0
 
 

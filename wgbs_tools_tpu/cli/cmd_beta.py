@@ -223,32 +223,50 @@ def main_beta2bed(argv):
                    help="keep sites below min_cov (as NaN in --mean mode)")
     p.add_argument("-o", "--out_path", "--outpath", dest="out_path",
                    default=None)
-    add_gr_args(p)
+    p.add_argument("-f", "--force", action="store_true",
+                   help="overwrite an existing output file")
+    add_gr_args(p, bed_file=True)
     args = p.parse_args(argv)
+    from ..utils import delete_or_skip
+
     g = Genome(args.genome)
     gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
     idx = g.index
-    s, e = (1, idx.nr_sites + 1) if gr.is_whole() else gr.sites
-    data = load_beta(args.beta_path, sites=(s, e))
-    loci = idx.loci[s - 1 : e - 1]
-    cids = idx.site2chrom_id(np.arange(s, e))
+    if args.out_path and not delete_or_skip(args.out_path, args.force):
+        return 0
+    # -L: one site range per block, emitted in block order (the reference
+    # streams bview per block, ref: beta2bed.py:11 -> view.py bview with -L)
+    if args.bed_file:
+        blocks = load_blocks(args.bed_file)
+        keep = blocks["startCpG"] >= 0
+        ranges = list(zip(blocks["startCpG"][keep].tolist(),
+                          blocks["endCpG"][keep].tolist()))
+    else:
+        s, e = (1, idx.nr_sites + 1) if gr.is_whole() else gr.sites
+        ranges = [(s, e)]
     out = open(args.out_path, "w") if args.out_path else sys.stdout
     names = idx.chrom_names
-    # ref: beta2bed.py:11-19 — sites below min_cov are zeroed; without
-    # keep_na zero-coverage rows are dropped; --mean prints -1 for them
-    for i in range(e - s):
-        cov = int(data[i, 1])
-        m = int(data[i, 0])
-        if cov < args.min_cov:
-            cov = m = 0
-        if cov == 0 and not args.keep_na:
-            continue
-        loc = int(loci[i])
-        if args.mean:
-            val = -1.0 if cov == 0 else m / cov
-            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{val:.3g}\n")
-        else:
-            out.write(f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{m}\t{cov}\n")
+    for s, e in ranges:
+        data = load_beta(args.beta_path, sites=(s, e))
+        loci = idx.loci[s - 1 : e - 1]
+        cids = idx.site2chrom_id(np.arange(s, e))
+        # ref: beta2bed.py:11-19 — sites below min_cov are zeroed; without
+        # keep_na zero-coverage rows are dropped; --mean prints -1 for them
+        for i in range(e - s):
+            cov = int(data[i, 1])
+            m = int(data[i, 0])
+            if cov < args.min_cov:
+                cov = m = 0
+            if cov == 0 and not args.keep_na:
+                continue
+            loc = int(loci[i])
+            if args.mean:
+                val = -1.0 if cov == 0 else m / cov
+                out.write(
+                    f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{val:.3g}\n")
+            else:
+                out.write(
+                    f"{names[cids[i]]}\t{loc - 1}\t{loc + 1}\t{m}\t{cov}\n")
     if args.out_path:
         out.close()
     return 0
@@ -266,9 +284,12 @@ def main_beta2bw(argv):
     p.add_argument("--keep_na", action="store_true",
                    help="emit sites below min_cov with value -1")
     p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-b", "--bedGraph", action="store_true",
+                   help="also keep a compressed bedGraph of the meth track "
+                        "(ref: beta2bw.py:48-51)")
     p.add_argument("-@", "--threads", type=int, default=None,
                    help="(compat; tracks are written in one pass)")
-    add_gr_args(p)
+    add_gr_args(p, bed_file=True)
     args = p.parse_args(argv)
     from ..formats.bigwig import write_bigwig
     from ..utils import delete_or_skip
@@ -277,6 +298,13 @@ def main_beta2bw(argv):
     idx = g.index
     chrom_sizes = [(c, int(s)) for c, s in
                    zip(idx.chrom_names, idx.chrom_sizes.tolist())]
+    site_mask = None
+    if args.bed_file:  # -L: restrict tracks to the bed's site ranges
+        blocks = load_blocks(args.bed_file)
+        site_mask = np.zeros(idx.nr_sites, dtype=bool)
+        for bs, be in zip(blocks["startCpG"], blocks["endCpG"]):
+            if bs >= 1:
+                site_mask[bs - 1 : be - 1] = True
     for beta in args.beta_paths:
         out = op.join(args.outdir, pretty_name(beta) + ".bigwig")
         if not delete_or_skip(out, args.force):
@@ -290,6 +318,8 @@ def main_beta2bw(argv):
             keep = (sub[:, 1] >= args.min_cov)
             if args.keep_na:  # NA sites emitted as -1 (ref: beta2bed.py:18)
                 keep = np.ones(sub.shape[0], dtype=bool)
+            if site_mask is not None:
+                keep &= site_mask[lo:hi]
             if keep.any():
                 covd = np.maximum(sub[keep, 1], 1)
                 vals = np.where(sub[keep, 1] >= max(args.min_cov, 1),
@@ -297,11 +327,23 @@ def main_beta2bw(argv):
                 meth_tracks[chrom] = (loci[keep] - 1, loci[keep] + 1,
                                       vals.astype(np.float32))
             covk = sub[:, 1] > 0
+            if site_mask is not None:
+                covk &= site_mask[lo:hi]
             if args.with_cov and covk.any():
                 cov_tracks[chrom] = (loci[covk] - 1, loci[covk] + 1,
                                      sub[covk, 1].astype(np.float32))
         write_bigwig(out, chrom_sizes, meth_tracks)
         logger.info("beta2bw: %s", out)
+        if args.bedGraph:
+            import gzip
+
+            bg = op.join(args.outdir, pretty_name(beta) + ".bedGraph.gz")
+            with gzip.open(bg, "wt") as f:
+                for chrom, (st, en, vals) in meth_tracks.items():
+                    for j in range(st.shape[0]):
+                        f.write(f"{chrom}\t{st[j]}\t{en[j]}"
+                                f"\t{vals[j]:.3g}\n")
+            logger.info("beta2bw: %s", bg)
         if args.with_cov:
             covout = op.join(args.outdir, pretty_name(beta) + ".cov.bigwig")
             write_bigwig(covout, chrom_sizes, cov_tracks)
@@ -385,14 +427,24 @@ def main_beta_stats(argv):
                    help="(compat; output is plain TSV, never wrapped)")
     p.add_argument("-@", "--threads", type=int, default=None,
                    help="(compat; stats are one vectorized pass per file)")
-    add_gr_args(p)
+    add_gr_args(p, bed_file=True)
     args = p.parse_args(argv)
     g = Genome(args.genome)
     gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+    sel = None
+    if args.bed_file:  # -L: stats over the bed's site ranges only
+        blocks = load_blocks(args.bed_file)
+        sel = np.zeros(g.index.nr_sites, dtype=bool)
+        for bs, be in zip(blocks["startCpG"], blocks["endCpG"]):
+            if bs >= 1:
+                sel[bs - 1 : be - 1] = True
     print("name\tmean_meth\tcovered_sites\ttotal_sites\tmean_depth")
     for beta in args.betas:
         data = (load_beta(beta) if gr.is_whole()
                 else load_beta(beta, sites=gr.sites))
+        if sel is not None:
+            data = data[sel if gr.is_whole()
+                        else sel[gr.sites[0] - 1 : gr.sites[1] - 1]]
         vec = beta2vec(data, min_cov=args.min_cov)
         covered = int((data[:, 1] >= args.min_cov).sum())
         mean_meth = float(np.nanmean(vec)) if covered else float("nan")
@@ -414,7 +466,13 @@ def main_bed2beta(argv):
                    help="add 1 to start column to match CpG dictionary loci")
     p.add_argument("-o", "--outdir", default=".")
     p.add_argument("--genome", default=None)
+    p.add_argument("-d", "--debug", action="store_true",
+                   help="verbose (DEBUG-level) logging")
     args = p.parse_args(argv)
+    if args.debug:
+        import logging
+
+        logger.setLevel(logging.DEBUG)
     validate_file_list(args.bed_paths)
     g = Genome(args.genome)
     idx = g.index

@@ -43,6 +43,12 @@ def main(argv):
     p.add_argument("--top", type=int, default=None)
     p.add_argument("--sort_by", default=None)
     p.add_argument("--header", action="store_true")
+    p.add_argument("--chunk_size", type=int, default=None,
+                   help="(compat; ref find_markers.py:101-106 pages blocks "
+                        "through pandas — the scan here is one vectorized "
+                        "pass over the block reduction)")
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the U/M scans are vectorized batches)")
     p.add_argument("-v", "--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -70,6 +76,7 @@ def main_test_bimodal(argv):
     p.add_argument("-s", "--sites")
     p.add_argument("-r", "--region")
     p.add_argument("-L", "--bed_file")
+    p.add_argument("--array_id", help="Illumina array id, e.g. cg00001755")
     p.add_argument("--genome", default=None)
     p.add_argument("--min_len", type=int, default=3,
                    help="min CpGs per read to include")
@@ -101,7 +108,8 @@ def main_test_bimodal(argv):
     else:
         from ..genome.region import GenomicRegion
 
-        gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
+        gr = GenomicRegion(region=args.region, sites=args.sites,
+                           array_id=args.array_id, genome=g)
         if gr.is_whole():
             raise IllegalArgumentError("test_bimodal requires -r/-s/-L")
         regions.append(gr.sites)

@@ -19,6 +19,8 @@ def main_pat2pairs(argv):
     p.add_argument("-o", "--out_dir", default=".")
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("--genome", default=None)
+    p.add_argument("-@", "--threads", type=int, default=None,
+                   help="(compat; the pair scan is one vectorized pass)")
     args = p.parse_args(argv)
     g = Genome(args.genome)
     from ..ops.pairs import pair_counts

@@ -17,11 +17,7 @@ def _parse(argv, prog):
     p = argparse.ArgumentParser(prog=prog)
     p.add_argument("input_file")
     add_gr_args(p, bed_file=True)
-    add_view_args(p)
-    if prog == "cview":
-        p.add_argument("--shuffle", action="store_true",
-                       help="random order of reads sharing a start site "
-                            "(ref: cview.py:43-46, sort -k3,3R)")
+    add_view_args(p)  # provides --shuffle and -np/--nanopore too
     return p.parse_args(argv)
 
 

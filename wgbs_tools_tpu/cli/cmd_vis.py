@@ -235,7 +235,7 @@ def main(argv):
     p.add_argument("input_files", nargs="+")
     add_gr_args(p, bed_file=True, no_anno=True)
     add_view_args(p)
-    p.add_argument("--max_reps", type=int, default=10)
+    p.add_argument("--max_reps", "-m", type=int, default=10)
     p.add_argument("--no_dense", action="store_true")
     p.add_argument("--no_color", action="store_true")
     p.add_argument("--text", action="store_true")
@@ -243,13 +243,11 @@ def main(argv):
     p.add_argument("--yebl", action="store_true")
     p.add_argument("--uxm", type=float, default=None)
     p.add_argument("--hmc", action="store_true")
-    p.add_argument("--min_cov", type=int, default=1)
+    p.add_argument("-c", "--min_cov", type=int, default=1)
     p.add_argument("--heatmap", action="store_true")
-    p.add_argument("--color_scheme", type=int, default=16, choices=[16, 256])
-    p.add_argument("--blocks_path", default=None)
-    p.add_argument("--shuffle", action="store_true",
-                   help="randomize read order within the same start site "
-                        "(ref: cview.py:45 `sort -k2,2n -k3,3R`)")
+    p.add_argument("--color_scheme", "-cs", type=int, default=16,
+                   choices=[16, 256])
+    p.add_argument("-b", "--blocks_path", default=None)
     p.add_argument("-t", "--title", default=None,
                    help="text printed before the results")
     p.add_argument("--colorbar", action="store_true",
@@ -425,8 +423,13 @@ def main_pat_fig(argv):
                    help="at most TOP reads per pat file")
     p.add_argument("--max_reps", "-m", type=int, default=10)
     p.add_argument("--no_dense", action="store_true")
-    p.add_argument("--shuffle", action="store_true")
     p.add_argument("--uxm", type=float, default=None)
+    # accepted for reference-parser parity (ref pat_fig builds on vis's pat
+    # parser, pat_fig.py:9); the figure renderer always draws circles+strikes
+    p.add_argument("--text", action="store_true")
+    p.add_argument("--strike", action="store_true")
+    p.add_argument("--yebl", action="store_true")
+    p.add_argument("--hmc", action="store_true")
     p.add_argument("--col_wrap", type=int, default=5)
     p.add_argument("--space_cols", type=int, default=1)
     p.add_argument("--space_rows", type=int, default=4)

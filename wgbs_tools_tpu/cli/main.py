@@ -163,6 +163,14 @@ def add_view_args(parser, out_path=True, sub_sample=True):
     if sub_sample:
         parser.add_argument("--sub_sample", type=float, help="subsample rate")
     parser.add_argument("--no_sort", action="store_true")
+    parser.add_argument("--shuffle", action="store_true",
+                        help="random order of reads sharing a start site "
+                             "(ref: cview.py:43-46, sort -k3,3R)")
+    parser.add_argument("-np", "--nanopore", action="store_true",
+                        help="(compat; ref cview.py:34-37 widens the tabix "
+                             "back-scan for very long reads — our .cdx "
+                             "index records the true max fragment length, "
+                             "so overlapping long reads are always pulled)")
     parser.add_argument("--seed", type=int, default=None)
     if out_path:
         parser.add_argument("-o", "--out_path", default=None)

@@ -36,7 +36,8 @@ def _yi_tag(n_meth, n_unmeth, pattern=None):
 def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
                        exclude_flags=EXCLUDE_FLAGS, clip=0, add_pat=False,
                        include_chroms=None, min_cpg=1, drop_singles=False,
-                       regions=None, include_flags=None):
+                       regions=None, include_flags=None, top_strand=False,
+                       bottom_strand=False, read_group=None):
     """Annotate each read (pair) with its methylation counts. Returns path.
 
     min_cpg: pairs with fewer known calls are dropped
@@ -44,7 +45,7 @@ def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
     (ref: match_maker --drop_singles); regions: (chrom, start0, end0) list —
     only overlapping reads are kept (ref: add_cpg_counts.py --bed_file).
     """
-    from .bam2pat_run import _overlaps_regions, _ref_span
+    from .bam2pat_run import _overlaps_regions, _ref_span, _strand_flags
 
     g = genome if genome is not None else Genome(None)
     idx = g.index
@@ -59,6 +60,14 @@ def add_cpg_counts_bam(bam_in, bam_out, genome=None, min_mapq=MIN_MAPQ,
         if rec.mapq < min_mapq or (rec.flag & exclude_flags):
             continue
         if include_flags and (rec.flag & include_flags) != include_flags:
+            continue
+        if top_strand or bottom_strand:
+            # exact-FLAG whitelist, per-record pairedness (ref: the awk
+            # '$2 == ...' filters behind add_samtools_view_flags)
+            if rec.flag not in _strand_flags(top_strand, bottom_strand,
+                                             bool(rec.flag & FPAIRED)):
+                continue
+        if read_group is not None and rec.get_tag("RG") != read_group:
             continue
         chrom = ref_names[rec.ref_id]
         if chrom not in idx._chrom_lookup:
