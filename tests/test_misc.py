@@ -25,6 +25,36 @@ def test_pairs_subwindow(rng):
     assert (got == expect).all()
 
 
+def test_pairs_streaming_matches_oneshot(rng, tmp_path, monkeypatch,
+                                         mini_genome):
+    """StreamingPairs over tiny chunks == one-shot pair_counts, and the CLI
+    runs whole-file streaming (WGBS_TPU_PAT_CHUNK_BYTES forces many chunk
+    boundaries through arbitrary fragment splits)."""
+    from wgbs_tools_tpu.formats.pat import write_pat
+    from wgbs_tools_tpu.ops.pairs import StreamingPairs
+
+    nr = mini_genome.get_nr_sites()
+    frags = random_frags(rng, 1200, min(5000, nr), max_len=14, dot_rate=0.1)
+    frags = frags.sort().collapse()
+    window = (1, nr + 1)
+    expect = pair_counts(frags, window)
+
+    sp = StreamingPairs(window)
+    n = frags.nr_frags
+    for lo in range(0, n, 97):  # uneven chunking
+        sp.add(frags.take(slice(lo, min(lo + 97, n))))
+    assert (sp.result() == expect).all()
+
+    pat = str(tmp_path / "sp.pat.gz")
+    write_pat(frags, pat)
+    monkeypatch.setenv("WGBS_TPU_PAT_CHUNK_BYTES", "1024")
+    from wgbs_tools_tpu.cli.cmd_misc import main_pat2pairs
+
+    assert main_pat2pairs([pat, "-o", str(tmp_path)]) == 0
+    got = np.fromfile(str(tmp_path / "sp.pairs"), dtype=np.uint32)
+    assert (got.reshape(-1, 4) == expect).all()
+
+
 def test_mbias_tables_and_plot(tmp_path, mini_genome):
     from tests.bisim import dump_bam, simulate_reads
     from wgbs_tools_tpu.genome.cpg_index import read_fasta

@@ -6,7 +6,6 @@ import os.path as op
 
 import numpy as np
 
-from ..formats.pat import read_pat
 from ..genome.refdir import Genome
 from ..utils import delete_or_skip, eprint, pretty_name, validate_single_file
 
@@ -23,16 +22,21 @@ def main_pat2pairs(argv):
                    help="(compat; the pair scan is one vectorized pass)")
     args = p.parse_args(argv)
     g = Genome(args.genome)
-    from ..ops.pairs import pair_counts
+    from ..formats.pat import iter_pat
+    from ..ops.pairs import StreamingPairs
 
     for pat in args.pat_paths:
         validate_single_file(pat)
         out = op.join(args.out_dir, pretty_name(pat) + ".pairs")
         if not delete_or_skip(out, args.force):
             continue
-        frags = read_pat(pat)
-        counts = pair_counts(frags, (1, g.get_nr_sites() + 1))
-        counts.astype(np.uint32).tofile(out)
+        # streamed: pairs are intra-read, so per-chunk contributions are
+        # purely additive (ref: stdin2pairs.cpp:59-97 streams stdin
+        # likewise); host RSS stays O(chunk) instead of O(pat)
+        sp = StreamingPairs((1, g.get_nr_sites() + 1))
+        for frags in iter_pat(pat):
+            sp.add(frags)
+        sp.result().astype(np.uint32).tofile(out)
         eprint(f"[wt pat2pairs] wrote {out}")
     return 0
 
