@@ -165,9 +165,70 @@ def _device_runner(frags, n_sites):
     return run, sync
 
 
+def _sharded_runner(frags, n_sites):
+    """Dispatch closure for the ShardedPileupV3 path (v3 Pallas kernel per
+    mesh shard, manual per-device dispatch — parallel/sharded.py). On the
+    single available chip this is a 1-device mesh; the burst excludes host
+    staging exactly like the flat-grid headline, so the two rates are
+    directly comparable (the delta is the sharded path's per-launch
+    accumulate into the device-resident total)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wgbs_tools_tpu.ops import pileup_tpu3 as p3
+    from wgbs_tools_tpu.parallel.mesh import make_mesh
+    from wgbs_tools_tpu.parallel.sharded import ShardedPileupV3, _shard_add
+
+    interpret = jax.default_backend() != "tpu"
+    mesh = make_mesh(samples_axis=1)
+    acc = ShardedPileupV3(mesh, (1, n_sites + 1))
+    classes = p3._env_classes()
+    per_dev = []
+    for i, dev in enumerate(acc.devices):
+        lo = 1 + i * acc.S
+        hi = min(lo + acc.S, n_sites + 1)
+        sel = frags.slice_sites(lo, hi, min_overlap=1)
+        if sel.nr_frags == 0:
+            continue
+        staged = p3.stage_v3(sel.start, sel.length, sel.count, sel.codes,
+                             lo, acc.S, classes=classes)
+        runs = []
+        with jax.default_device(dev):
+            for st in (staged if isinstance(staged, list) else [staged]):
+                c0, c1, meta, words, mc, tile, rc, g_max = st
+                ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
+                runs.append((jnp.asarray(ctile), jnp.asarray(covered),
+                             jnp.asarray(meta), jnp.asarray(words), tile,
+                             rc, g_max))
+        per_dev.append((i, dev, runs))
+
+    def run():
+        out = None
+        for i, dev, runs in per_dev:
+            with jax.default_device(dev):
+                meth = cov = None
+                for ct, cv, me, wo, tile, rc, g_max in runs:
+                    m, c = p3._call_flat(ct, cv, me, wo, acc.S, tile, rc,
+                                         g_max, interpret)
+                    meth = m if meth is None else meth + m
+                    cov = c if cov is None else cov + c
+                acc.totals[i] = _shard_add(
+                    acc.totals[i], jnp.stack([meth, cov], axis=1))
+                out = acc.totals[i]
+        return (out,)
+
+    def sync(o):
+        np.asarray(o[0][:1])
+
+    return run, sync
+
+
 def _measure_child(frags):
     """One process's burst-curve measurement: {K: [dt_per_launch, ...]}."""
-    run, sync = _device_runner(frags, N_SITES)
+    if os.environ.get("BENCH_MODE") == "sharded":
+        run, sync = _sharded_runner(frags, N_SITES)
+    else:
+        run, sync = _device_runner(frags, N_SITES)
     sync(run())  # compile + warm
     curve = {}
     for K in BURSTS:
@@ -243,6 +304,22 @@ def main():
         all_dts = sorted(d for c in curves for d in c[str(K)])
         burst_curve[str(K)] = round(F / all_dts[len(all_dts) // 2], 1)
 
+    # sharded-path rate (ShardedPileupV3 on a 1-device mesh): one extra
+    # child; must land within ~10% of the flat-grid headline (the v3
+    # kernel now carries the multi-device path too)
+    sharded_rate = None
+    try:
+        env = dict(os.environ, BENCH_CHILD="1", BENCH_MODE="sharded")
+        p = subprocess.run([sys.executable, op.abspath(__file__)], env=env,
+                           timeout=int(os.environ.get("BENCH_TIMEOUT", 900)),
+                           stdout=subprocess.PIPE)
+        if p.returncode == 0:
+            c = json.loads(p.stdout.decode().strip().splitlines()[-1])
+            dts = sorted(c[kmax])
+            sharded_rate = F / dts[len(dts) // 2]
+    except Exception as e:
+        print(f"[bench] sharded child failed: {e}", file=sys.stderr)
+
     # the reference baseline is re-measured per run and is the noisier
     # quantity (CPU contention); median of its own trials
     ref_dts = [bench_reference(frags, N_SITES) for _ in range(3)]
@@ -261,6 +338,10 @@ def main():
                 "process_rates": [round(r, 1) for r in proc_rates],
                 "cross_process_spread_pct": round(cross_spread, 1),
                 "burst_curve_frags_per_s": burst_curve,
+                "sharded_v3_frags_per_s": round(sharded_rate, 1)
+                if sharded_rate else None,
+                "sharded_vs_flat_pct": round(100 * sharded_rate / tpu_rate,
+                                             1) if sharded_rate else None,
                 "baseline_frags_per_s": round(ref_rate, 1)
                 if ref_rate else None,
             }

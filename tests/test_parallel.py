@@ -144,6 +144,47 @@ def test_sharded_pileup_streaming_matches_xla(rng, tmp_path):
     assert (got == expect).all()
 
 
+def test_sharded_pileup_v3_streaming_matches_xla(rng):
+    """ShardedPileupV3 (v3 Pallas kernel per shard, boundary-clipped, no
+    halo) over streamed chunks == one-shot single-device pileup, and ==
+    the halo-exchange ShardedPileup."""
+    from wgbs_tools_tpu.parallel.sharded import ShardedPileup, ShardedPileupV3
+
+    n_sites = 40000
+    frags = random_frags(rng, 5000, n_sites - 50, max_len=18).sort().collapse()
+    mesh = make_mesh(8, samples_axis=1)
+    acc = ShardedPileupV3(mesh, (1, n_sites + 1))
+    ref = ShardedPileup(mesh, (1, n_sites + 1), halo=32, fp_mult=64)
+    bounds = [0, 700, 1100, 2500, frags.nr_frags]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        acc.add(frags.take(np.arange(a, b)))
+        ref.add(frags.take(np.arange(a, b)))
+    got = acc.result()
+    expect = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                        1, n_sites)
+    assert (got == expect).all()
+    assert (ref.result() == expect).all()
+    # finalize (device saturation over the assembled sharded table)
+    from wgbs_tools_tpu.formats.beta import trim_to_uint
+
+    assert (acc.finalize(False) ==
+            trim_to_uint(expect.astype(np.int64), False)).all()
+
+
+def test_sharded_pileup_v3_uneven_tail(rng):
+    """Last shard shorter than S (n not divisible by the shard count)."""
+    from wgbs_tools_tpu.parallel.sharded import ShardedPileupV3
+
+    n_sites = 40000 - 1234
+    frags = random_frags(rng, 3000, n_sites - 30, max_len=12).sort().collapse()
+    mesh = make_mesh(8, samples_axis=1)
+    acc = ShardedPileupV3(mesh, (1, n_sites + 1))
+    acc.add(frags)
+    expect = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                        1, n_sites)
+    assert (acc.result() == expect).all()
+
+
 def test_pat2beta_sharded_equals_single(rng, tmp_path, mini_genome):
     """Production pat2beta: mesh path byte-identical to single device."""
     from wgbs_tools_tpu.formats.pat import write_pat

@@ -9,6 +9,8 @@ segmentation costs reduce with `psum` over the samples axis (replacing the
 in-process dataset loop of segmentor.cpp:120-135).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -358,6 +360,95 @@ class ShardedPileup:
         from ..ops.pileup import saturate_device_counts
 
         return saturate_device_counts(self.total, lbeta)[: self.n]
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _shard_add(total, res):
+    return total + res
+
+
+class ShardedPileupV3:
+    """Streaming whole-genome pileup running the v3 row-packed Pallas
+    kernel ON EVERY SHARD of a `sites` mesh.
+
+    The halo-exchange ShardedPileup above runs the XLA scatter kernel per
+    shard — 2-3 orders of magnitude below the flat-grid Pallas rate that
+    carries the single-chip headline (BENCHMARKS.md). shard_map cannot host
+    the Pallas call on this toolchain (Mosaic varying-manual-axes check),
+    so this class dispatches it manually per mesh device instead:
+
+    - fragments are CLIPPED to shard windows on the host (the same
+      `_prep_window` split the kernel's staging already performs), so each
+      shard's pileup is fully independent — the halo ppermute disappears
+      rather than being ported;
+    - each shard's staged tensors are placed on its device
+      (`jax.default_device`) and the UNCHANGED `pileup_pallas_v3` runs
+      there, accumulating into a device-resident (S, 2) total;
+    - `result()`/`finalize()` assemble the per-device totals into one
+      global array sharded over the mesh (`make_array_from_single_device_
+      arrays`) and reuse the existing sharded fetch/saturate paths.
+
+    Bit-exactness: integer adds in a different grouping; each shard's
+    kernel output is bit-identical to the XLA scatter on that window
+    (tests/test_pileup_tpu3.py), so the assembled table equals the
+    single-device pileup exactly (tests/test_parallel.py).
+    Replaces the reference's per-chromosome Pool + concat
+    (ref: src/python/pat2beta.py:14-65, stdin2beta.cpp:59-93).
+    """
+
+    def __init__(self, mesh, window, interpret=None):
+        if "samples" in mesh.shape and mesh.shape["samples"] != 1:
+            raise ValueError("ShardedPileupV3 shards sites only; use a "
+                             "mesh with a singleton samples axis")
+        self.mesh = mesh
+        self.window = window
+        self.n = window[1] - window[0]
+        self.devices = list(mesh.devices.reshape(-1))
+        self.n_shards = len(self.devices)
+        self.S = (self.n + self.n_shards - 1) // self.n_shards
+        self.n_pad = self.S * self.n_shards
+        self.interpret = interpret
+        self.totals = [
+            jax.device_put(jnp.zeros((self.S, 2), dtype=jnp.int32), d)
+            for d in self.devices
+        ]
+
+    def add(self, frags):
+        from ..ops.pileup_tpu3 import pileup_pallas_v3
+
+        if frags.nr_frags == 0:
+            return
+        base = self.window[0]
+        for i, dev in enumerate(self.devices):
+            lo = base + i * self.S
+            hi = min(lo + self.S, self.window[1])
+            if hi <= lo:
+                continue
+            sel = frags.slice_sites(lo, hi, min_overlap=1)
+            if sel.nr_frags == 0:
+                continue
+            with jax.default_device(dev):
+                res = pileup_pallas_v3(
+                    sel.start, sel.length, sel.count, sel.codes, lo,
+                    self.S, interpret=self.interpret, to_host=False)
+                self.totals[i] = _shard_add(self.totals[i], res)
+
+    def _global(self):
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(self.mesh, P("sites", None))
+        return jax.make_array_from_single_device_arrays(
+            (self.n_pad, 2), sh, self.totals)
+
+    def result(self):
+        from ..ops.pileup import fetch_chunked
+
+        return fetch_chunked(self._global())[: self.n]
+
+    def finalize(self, lbeta=False):
+        from ..ops.pileup import saturate_device_counts
+
+        return saturate_device_counts(self._global(), lbeta)[: self.n]
 
 
 def bucket_fragments(start, length, count, codes, n_sites, n_shards,

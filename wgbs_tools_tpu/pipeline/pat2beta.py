@@ -33,10 +33,22 @@ def _accumulate_pat(pat_path, nr_sites, backend="auto", sharded=None,
     if sharded is None:
         sharded = len(jax.devices()) > 1
     if sharded and len(jax.devices()) > 1:
-        from ..parallel.mesh import make_mesh
-        from ..parallel.sharded import ShardedPileup
+        import os
 
-        acc = ShardedPileup(make_mesh(), window)
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import ShardedPileup, ShardedPileupV3
+
+        # WGBS_TPU_SHARDED_PILEUP: v3 (row-packed Pallas kernel per shard,
+        # boundary-clipped — the single-chip headline kernel), halo (XLA
+        # scatter + ppermute halo), auto (default: v3 on TPU where the
+        # Mosaic kernel compiles natively; halo on CPU meshes, where
+        # interpret-mode Pallas would be the slowest path in the room)
+        mode = os.environ.get("WGBS_TPU_SHARDED_PILEUP", "auto")
+        if mode == "v3" or (mode == "auto"
+                            and jax.default_backend() == "tpu"):
+            acc = ShardedPileupV3(make_mesh(), window)
+        else:
+            acc = ShardedPileup(make_mesh(), window)
     else:
         acc = PileupAccumulator(window, backend=backend)
     nf = 0
