@@ -98,3 +98,50 @@ def test_multiprocess_empty_process_range(tmp_path):
                                     num_processes=2, local_devices=2,
                                     timeout=300)
     assert open(out, "rb").read() == open(single, "rb").read()
+
+
+def test_multiprocess_segment_matches_single(tmp_path, mini_genome):
+    """2-process segment (chunk axis round-robined over jax.distributed
+    workers, parts stitched on p0) == single-process segment_ranges."""
+    from wgbs_tools_tpu.formats.beta import save_beta
+    from wgbs_tools_tpu.models.segment import SegmentConfig, segment_ranges
+    from wgbs_tools_tpu.parallel.multihost import run_segment_multiprocess
+
+    nr = mini_genome.get_nr_sites()
+    rng = np.random.default_rng(5)
+    paths = []
+    for i in range(2):
+        cov = rng.integers(0, 20, size=nr).astype(np.int64)
+        meth = rng.binomial(cov, 0.2 + 0.6 * ((np.arange(nr) // 400) % 2))
+        p = str(tmp_path / f"m{i}.beta")
+        save_beta(p, np.stack([meth, cov], axis=1))
+        paths.append(p)
+    ranges = [(1, nr + 1)]
+    kw = dict(max_cpg=100, max_bp=100000, pseudo_count=15.0,
+              chunk_size=1500, mode="exact")
+    cfg = SegmentConfig(**kw)
+    st, en = segment_ranges(paths, ranges, mini_genome.index, cfg)
+    st2, en2 = run_segment_multiprocess(
+        paths, ranges, str(tmp_path / "seg"), num_processes=2,
+        local_devices=2, timeout=300, **kw)
+    assert st2.tolist() == st.tolist()
+    assert en2.tolist() == en.tolist()
+
+
+def test_segment_cli_procs(tmp_path, mini_genome, capsys):
+    """`segment --procs 2` produces the same blocks file as single-process."""
+    from wgbs_tools_tpu.cli.main import main as cli_main
+    from wgbs_tools_tpu.formats.beta import save_beta
+
+    nr = mini_genome.get_nr_sites()
+    rng = np.random.default_rng(6)
+    cov = rng.integers(1, 15, size=nr).astype(np.int64)
+    meth = rng.binomial(cov, 0.15 + 0.7 * ((np.arange(nr) // 300) % 2))
+    b = str(tmp_path / "c.beta")
+    save_beta(b, np.stack([meth, cov], axis=1))
+    o1 = str(tmp_path / "b1.bed")
+    o2 = str(tmp_path / "b2.bed")
+    assert cli_main(["segment", "--betas", b, "-c", "2000", "-o", o1]) == 0
+    assert cli_main(["segment", "--betas", b, "-c", "2000", "-o", o2,
+                     "--procs", "2"]) == 0
+    assert open(o1).read() == open(o2).read()

@@ -153,7 +153,7 @@ def test_sharded_pileup_v3_streaming_matches_xla(rng):
     n_sites = 40000
     frags = random_frags(rng, 5000, n_sites - 50, max_len=18).sort().collapse()
     mesh = make_mesh(8, samples_axis=1)
-    acc = ShardedPileupV3(mesh, (1, n_sites + 1))
+    acc = ShardedPileupV3(mesh, (1, n_sites + 1), backend="pallas3")
     ref = ShardedPileup(mesh, (1, n_sites + 1), halo=32, fp_mult=64)
     bounds = [0, 700, 1100, 2500, frags.nr_frags]
     for a, b in zip(bounds[:-1], bounds[1:]):
@@ -178,7 +178,7 @@ def test_sharded_pileup_v3_uneven_tail(rng):
     n_sites = 40000 - 1234
     frags = random_frags(rng, 3000, n_sites - 30, max_len=12).sort().collapse()
     mesh = make_mesh(8, samples_axis=1)
-    acc = ShardedPileupV3(mesh, (1, n_sites + 1))
+    acc = ShardedPileupV3(mesh, (1, n_sites + 1), backend="pallas3")
     acc.add(frags)
     expect = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
                         1, n_sites)

@@ -1,6 +1,7 @@
 """segment command (ref: src/python/segment.py)."""
 
 import argparse
+import os.path as op
 import sys
 
 import numpy as np
@@ -39,6 +40,10 @@ def main(argv):
                         "faster again, but ~3-5%% of borders may differ at "
                         "numerical ties")
     p.add_argument("-o", "--out_path", default=None)
+    p.add_argument("--procs", type=int, default=None,
+                   help="segment chunks across N jax.distributed processes "
+                        "(emulated multi-host on one machine; on a pod each "
+                        "host runs one worker)")
     args = p.parse_args(argv)
 
     if args.betas:
@@ -79,7 +84,20 @@ def main(argv):
         mode=args.mode,
         threads=args.threads,
     )
-    starts, ends = segment_ranges(betas, ranges, idx, cfg)
+    if args.procs and args.procs > 1:
+        import tempfile
+
+        from ..parallel.multihost import run_segment_multiprocess
+
+        with tempfile.TemporaryDirectory() as td:
+            starts, ends = run_segment_multiprocess(
+                betas, ranges, op.join(td, "seg"),
+                num_processes=args.procs,
+                max_cpg=cfg.max_cpg, max_bp=cfg.max_bp,
+                pseudo_count=cfg.pseudo_count, chunk_size=cfg.chunk_size,
+                min_cpg=cfg.min_cpg, mode=cfg.mode, genome=args.genome)
+    else:
+        starts, ends = segment_ranges(betas, ranges, idx, cfg)
     eprint(f"[wt segment] found {len(starts):,} blocks")
 
     blocks = sites_blocks(idx, np.stack([starts, ends], axis=1))

@@ -564,11 +564,28 @@ def break_to_chunks(ranges, step):
 def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
     """Segment a list of site ranges; returns (startCpG, endCpG) block arrays."""
     tags, chunks = break_to_chunks(ranges, cfg.chunk_size)
-    seg = lambda sites: segment_sites_window(
+    seg = _seg_fn(beta_paths, index, cfg)
+    results = segment_chunks(beta_paths, chunks, index, cfg)
+    return finalize_segmentation(tags, chunks, results, seg, cfg)
+
+
+def _seg_fn(beta_paths, index, cfg):
+    return lambda sites: segment_sites_window(
         beta_paths, sites, index, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count,
         cfg.mode,
     )
+
+
+def segment_chunks(beta_paths, chunks, index, cfg: SegmentConfig,
+                   subset=None):
+    """Per-chunk absolute border arrays (the parallelizable phase of
+    segment_ranges). `subset`: chunk indices this caller owns (default
+    all) — entries outside it stay None; the multi-process path
+    (parallel/multihost.py) round-robins the subset across processes and
+    stitches on process 0."""
+    seg = _seg_fn(beta_paths, index, cfg)
     results = [None] * len(chunks)
+    own = list(range(len(chunks))) if subset is None else         sorted(set(int(i) for i in subset))
     if cfg.mode == "exact" and _use_exact_device():
         # device exact DP per chunk: bit-identical tracebacks (software-
         # double arithmetic); ineligible windows stay None and take the
@@ -578,7 +595,8 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
         # stays an explicitly-invoked experiment (segment_exact_device_batch)
         from .segment_exact_tpu import segment_exact_device_T
 
-        for i, (s, e) in enumerate(chunks):
+        for i in own:
+            s, e = chunks[i]
             n = e - s
             if n <= 1:
                 continue
@@ -599,7 +617,8 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
     if cfg.mode == "fast":
         # batch all equal-size chunks into single device launches
         by_size = {}
-        for i, (s, e) in enumerate(chunks):
+        for i in own:
+            s, e = chunks[i]
             by_size.setdefault(e - s, []).append(i)
         for n, idxs in by_size.items():
             if n <= 1 or len(idxs) == 1:
@@ -629,7 +648,7 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
                     datas, locis, cfg.max_cpg, cfg.max_bp, cfg.pseudo_count)
             for i, rel in zip(idxs, borders):
                 results[i] = rel + chunks[i][0]
-    todo = [i for i in range(len(chunks)) if results[i] is None]
+    todo = [i for i in own if results[i] is None]
     if cfg.mode == "exact" and cfg.threads > 1 and len(todo) > 1:
         # thread pool over chunks (the reference forks a process per chunk,
         # segment.py:144-146; our C++ DP releases the GIL so threads scale
@@ -642,7 +661,13 @@ def segment_ranges(beta_paths, ranges, index, cfg: SegmentConfig):
     else:
         for i in todo:
             results[i] = seg(chunks[i])
+    return results
 
+
+def finalize_segmentation(tags, chunks, results, seg, cfg: SegmentConfig):
+    """Stitch per-chunk borders into the final (starts, ends) block arrays
+    (the sequential phase of segment_ranges; overlap patches re-segment
+    through `seg`, ref: segment.py:157-252)."""
     all_starts, all_ends = [], []
     for tag in dict.fromkeys(tags):  # preserve order, unique
         group = [results[i] for i in range(len(results)) if tags[i] == tag]

@@ -81,152 +81,202 @@ def _allgather_max(value):
 
 
 def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
-                    batch_frags=1 << 16):
+                    batch_frags=None):
     """Per-process body of the multi-process pat2beta.
 
     Every process must call this collectively (same arguments). Process 0
-    writes the beta and returns its path; others return None.
+    creates the output file; every process writes its own byte range;
+    process 0 returns the path, others return None.
+
+    Design (round 5): the pileup needs NO cross-process collectives at
+    all. Each process streams the pat rows OVERLAPPING its site range
+    (the .cdx back-scan already pulls boundary-crossing fragments) and
+    the sharded pileup CLIPS fragments at its window edges — the round-4
+    halo `ppermute`, the 3 shape-agreement allgathers per 65k-fragment
+    round, and the full-genome `process_allgather` of the count table
+    (~226 MB to every process at hg19) are all gone. Per-process memory
+    is O(shard); the only collectives are one tiny coverage allgather
+    and two write barriers. Exactness: integer adds in a different
+    grouping; boundary fragments contribute each site to exactly the one
+    process owning it. Replaces the reference's single-host Pool + concat
+    (ref: src/python/pat2beta.py:41-65).
+
+    `batch_frags` is accepted for launcher compatibility and unused (the
+    region iterator already streams in bounded chunks).
+
+    Output assembly: the beta is a flat binary (site-major), so process p
+    owns the contiguous byte range [(lo-1), (hi-1)) * 2 * itemsize and
+    pwrites it directly — on one machine (emulated multi-host) or any
+    shared filesystem this is exact and contention-free; a pod without a
+    shared FS would write per-host shard files and concatenate.
     """
     import jax
-    import jax.numpy as jnp
     from jax.experimental import multihost_utils
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
 
-    from ..formats.beta import save_beta, trim_to_uint
-    from ..formats.pat import read_pat
-    from .sharded import bucket_fragments, build_pileup_accum_step
-
+    from ..formats.beta import trim_to_uint
     from ..formats.pat import iter_pat_region
+    from .sharded import ShardedPileupV3
 
-    mesh = global_sites_mesh()
-    n_dev = mesh.devices.size
     pid = jax.process_index()
-    k_local = len(jax.local_devices())
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n_dev = len(devs)
     n_pad = (nr_sites + n_dev - 1) // n_dev * n_dev
     S = n_pad // n_dev
 
-    # per-process input sharding: this process's site rows, STREAMED in
-    # bounded memory (a 30x pat range is still GBs materialized; the
-    # region iterator seeks via the .cdx and reads chunk by chunk).
-    # The range derives from this process's device POSITIONS in the sorted
-    # process-major mesh — `pid * k_local` silently diverges from mesh
-    # ownership when per-process device counts are heterogeneous.
-    pos = [i for i, d in enumerate(mesh.devices.ravel())
-           if d.process_index == pid]
+    # this process's site range derives from its device POSITIONS in the
+    # sorted process-major device list — `pid * k_local` silently diverges
+    # from that ownership when per-process device counts are heterogeneous
+    pos = [i for i, d in enumerate(devs) if d.process_index == pid]
     if pos != list(range(pos[0], pos[0] + len(pos))):
         raise RuntimeError(
-            f"process {pid} devices are not contiguous in the sorted mesh "
-            f"({pos}); per-process input ranges require process-major "
-            "device ordering")
-    lo = pos[0] * S + 1                 # 1-based, inclusive
+            f"process {pid} devices are not contiguous in the sorted "
+            f"device list ({pos}); per-process input ranges require "
+            "process-major ordering")
+    lo = min(pos[0] * S + 1, nr_sites + 1)   # 1-based, inclusive
     hi = min((pos[-1] + 1) * S + 1, nr_sites + 1)
-    it = iter_pat_region(pat_path, (lo, hi)) if hi > lo else iter(())
     logger.info("multihost pat2beta: p%d streams sites [%d, %d)", pid, lo,
                 hi)
 
-    halo = 0  # grows (collectively) when a longer fragment arrives
-    step = None
-    sh2 = NamedSharding(mesh, P("sites", None))
-    sh1 = NamedSharding(mesh, P("sites"))
-    total = jax.make_array_from_process_local_data(
-        sh2, np.zeros((k_local * S, 2), dtype=np.int32), (n_pad, 2))
-
-    pend = None
     n_seen = 0
-
-    def next_batch():
-        """Next <= batch_frags fragments STARTING in [lo, hi), or None."""
-        nonlocal pend
-        parts = []
-        got = 0
-        while got < batch_frags:
-            if pend is None:
-                nxt = next(it, None)
-                if nxt is None:
-                    break
-                keep = (nxt.start >= lo) & (nxt.start < hi)
-                pend = nxt.take(np.asarray(keep))
-                if pend.nr_frags == 0:
-                    pend = None
-                    continue
-            take = min(batch_frags - got, pend.nr_frags)
-            parts.append(pend.take(slice(0, take)))
-            pend = pend.take(slice(take, pend.nr_frags)) \
-                if take < pend.nr_frags else None
-            got += take
-        if not parts:
-            return None
-        if len(parts) == 1:
-            return parts[0]
-        from ..cli.cmd_pat import _concat_frags
-
-        return _concat_frags(parts)
-
-    # dynamic collective rounds: each round every process reports whether
-    # it still has input (allgather), and all run one identically-shaped
-    # step — processes that ran dry contribute empty buckets
-    while True:
-        batch = next_batch()
-        has = 0 if batch is None else batch.nr_frags
-        if _allgather_max(has) == 0:
-            break
-        n_seen += has
-        if batch is None:
-            start = np.zeros(0, np.int64)
-            ln_ = cn_ = np.zeros(0, np.int32)
-            cd_ = np.zeros((0, 1), np.uint8)
-        else:
-            start, ln_, cn_, cd_ = (batch.start, batch.length, batch.count,
-                                    batch.codes)
-        hmax = _allgather_max(int(ln_.max()) if has else 1)
-        h = 16
-        while h < hmax:
-            h <<= 1
-        if h > S:
-            raise ValueError(f"fragment length {hmax} exceeds a site "
-                             f"shard ({S})")
-        if step is None or h > halo:
-            halo = h
-            step = build_pileup_accum_step(mesh, n_pad, halo)
-        L = _allgather_max(cd_.shape[1] if has else 1)
-        L = (L + 31) // 32 * 32
-        rs, ln, cn, cd = bucket_fragments(
-            start, ln_, cn_, cd_, k_local * S, k_local,
-            max_len=L, base=lo, fp_mult=1)
-        cap = _allgather_max(rs.shape[0] // k_local)
-        cap = 1 << max(int(cap - 1).bit_length(), 6)  # pow2: few jit shapes
-        per = rs.shape[0] // k_local
-
-        def pad(a, fill=0):
-            a = a.reshape(k_local, per, *a.shape[1:])
-            want = [(0, 0), (0, cap - per)] + [(0, 0)] * (a.ndim - 2)
-            return np.pad(a, want, constant_values=fill).reshape(
-                k_local * cap, *a.shape[2:])
-
-        ga = [jax.make_array_from_process_local_data(
-                  sh2 if a.ndim > 1 else sh1, np.ascontiguousarray(x),
-                  (n_dev * cap,) + a.shape[1:])
-              for a, x in ((rs, pad(rs)), (ln, pad(ln)), (cn, pad(cn)),
-                           (cd, pad(cd, 3)))]
-        total = step(total, *ga)
+    if hi > lo:
+        local = sorted(jax.local_devices(), key=lambda d: d.id)
+        lmesh = Mesh(np.array(local), axis_names=("sites",))
+        acc = ShardedPileupV3(lmesh, (lo, hi))
+        for frags in iter_pat_region(pat_path, (lo, hi)):
+            acc.add(frags)
+            n_seen += frags.nr_frags
+        counts = acc.result().astype(np.int64)
+    else:
+        counts = np.zeros((0, 2), dtype=np.int64)
     logger.info("multihost pat2beta: p%d streamed %d frags", pid, n_seen)
 
-    # cross-process reduction checks + assembly: overflow-safe coverage
-    # all-reduce (the _psum64 pair, replicated to every process) and a full
-    # all-gather for the beta write on process 0
-    from .sharded import decode_sum64
+    # one tiny collective: exact int64 coverage total across processes
+    covs = multihost_utils.process_allgather(
+        np.asarray([int(counts[:, 1].sum())], dtype=np.int64))
+    cov = int(np.sum(covs))
 
-    pair = jax.jit(
-        lambda t: (jnp.sum(t[:, 1], dtype=jnp.int32),
-                   jnp.sum(t[:, 1].astype(jnp.float32))),
-        out_shardings=NamedSharding(mesh, P()))(total)
-    cov = decode_sum64(np.asarray(pair[0]), np.asarray(pair[1]))
-    counts = multihost_utils.process_allgather(total, tiled=True)[:nr_sites]
+    itemsize = 2 if lbeta else 1
+    if pid == 0:
+        with open(out_path, "wb") as f:
+            f.truncate(nr_sites * 2 * itemsize)
+    multihost_utils.sync_global_devices("wgbs_beta_truncate")
+    if hi > lo:
+        beta_local = trim_to_uint(counts, lbeta)
+        with open(out_path, "r+b") as f:
+            f.seek((lo - 1) * 2 * itemsize)
+            f.write(np.ascontiguousarray(beta_local).tobytes())
+    multihost_utils.sync_global_devices("wgbs_beta_written")
     logger.info("multihost pat2beta: p%d total coverage %d", pid, cov)
     if pid != 0:
         return None
-    save_beta(out_path, trim_to_uint(counts, lbeta))
     return out_path
+
+
+def segment_worker(beta_paths, ranges, out_prefix, max_cpg=1000,
+                   max_bp=2000, pseudo_count=15.0, chunk_size=None,
+                   min_cpg=1, mode="exact", genome=None):
+    """Per-process body of the multi-process segmentation.
+
+    The 60k-site chunk axis is round-robined across processes (the
+    distributed form of the reference's process-per-chunk Pool,
+    ref: src/python/segment.py:137-155); each process segments its chunks
+    with its own local devices (fast mode) or host DP threads (exact
+    mode), writes a part file, and process 0 stitches the overlap patches
+    and returns the final blocks. Only barriers cross processes — the
+    chunk results move through part files (matching the pat2beta
+    assembly: the shared-FS write is the pod-scale seam).
+    """
+    import jax
+    from jax.experimental import multihost_utils
+
+    from ..genome.refdir import Genome
+    from ..models.segment import (DEF_CHUNK, SegmentConfig, _seg_fn,
+                                  break_to_chunks, finalize_segmentation,
+                                  segment_chunks)
+
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    idx = Genome(genome).index
+    cfg = SegmentConfig(max_cpg=max_cpg, max_bp=max_bp,
+                        pseudo_count=pseudo_count,
+                        chunk_size=chunk_size or DEF_CHUNK,
+                        min_cpg=min_cpg, mode=mode)
+    ranges = [(int(s), int(e)) for s, e in ranges]
+    tags, chunks = break_to_chunks(ranges, cfg.chunk_size)
+    own = list(range(pid, len(chunks), nproc))
+    logger.info("multihost segment: p%d owns %d/%d chunks", pid, len(own),
+                len(chunks))
+    results = segment_chunks(beta_paths, chunks, idx, cfg, subset=own)
+    np.savez(f"{out_prefix}.part{pid}.npz",
+             idx=np.asarray(own, dtype=np.int64),
+             **{f"r{i}": np.asarray(results[i], dtype=np.int64)
+                for i in own})
+    multihost_utils.sync_global_devices("wgbs_segment_parts")
+    if pid != 0:
+        return None
+    results_all = [None] * len(chunks)
+    for q in range(nproc):
+        part = f"{out_prefix}.part{q}.npz"
+        with np.load(part) as z:
+            for i in z["idx"]:
+                results_all[int(i)] = z[f"r{int(i)}"]
+        os.unlink(part)
+    seg = _seg_fn(beta_paths, idx, cfg)
+    starts, ends = finalize_segmentation(tags, chunks, results_all, seg, cfg)
+    out = out_prefix + ".blocks.npz"
+    np.savez(out, starts=starts, ends=ends)
+    return out
+
+
+def run_segment_multiprocess(beta_paths, ranges, out_prefix,
+                             num_processes=2, local_devices=2,
+                             platform="cpu", timeout=600, **cfg_kwargs):
+    """Launcher: multi-process segmentation on this machine (emulated
+    multi-host). Returns (starts, ends) loaded from process 0's output."""
+    import json as _json
+    import tempfile
+
+    port = free_port()
+    params = dict(beta_paths=list(beta_paths),
+                  ranges=[[int(s), int(e)] for s, e in ranges],
+                  out_prefix=out_prefix, **cfg_kwargs)
+    fd, pfile = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as f:
+        _json.dump(params, f)
+    cmd_base = [
+        sys.executable, "-m", "wgbs_tools_tpu.parallel.multihost",
+        "--job", "segment", "--params", pfile,
+        "--coordinator", f"localhost:{port}",
+        "--num_processes", str(num_processes),
+    ]
+    if local_devices:
+        cmd_base += ["--local_devices", str(local_devices)]
+    if platform:
+        cmd_base += ["--platform", platform]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = op.dirname(op.dirname(op.dirname(
+        op.abspath(__file__)))) + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(cmd_base + ["--process_id", str(i)], env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for i in range(num_processes)]
+    fail = None
+    for i, pr in enumerate(procs):
+        try:
+            out, _ = pr.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            pr.kill()
+            out, _ = pr.communicate()
+            fail = fail or f"worker {i} timed out"
+        if pr.returncode != 0 and fail is None:
+            fail = (f"worker {i} rc={pr.returncode}:\n"
+                    + out.decode(errors="replace")[-2000:])
+    os.unlink(pfile)
+    if fail:
+        raise RuntimeError(f"multi-process segment failed: {fail}")
+    with np.load(out_prefix + ".blocks.npz") as z:
+        return z["starts"].copy(), z["ends"].copy()
 
 
 def _worker_main(argv=None):
@@ -236,14 +286,27 @@ def _worker_main(argv=None):
     p.add_argument("--process_id", type=int, required=True)
     p.add_argument("--local_devices", type=int, default=None)
     p.add_argument("--platform", default=None)
-    p.add_argument("--pat", required=True)
-    p.add_argument("--out", required=True)
-    p.add_argument("--nr_sites", type=int, required=True)
+    p.add_argument("--job", default="pat2beta",
+                   choices=["pat2beta", "segment"])
+    p.add_argument("--params", default=None,
+                   help="JSON file of job kwargs (segment)")
+    p.add_argument("--pat")
+    p.add_argument("--out")
+    p.add_argument("--nr_sites", type=int)
     p.add_argument("--lbeta", action="store_true")
     args = p.parse_args(argv)
     distributed_init(args.coordinator, args.num_processes, args.process_id,
                      local_devices=args.local_devices,
                      platform=args.platform)
+    if args.job == "segment":
+        import json as _json
+
+        with open(args.params) as f:
+            params = _json.load(f)
+        segment_worker(**params)
+        return 0
+    if not (args.pat and args.out and args.nr_sites):
+        p.error("--pat/--out/--nr_sites are required for the pat2beta job")
     pat2beta_worker(args.pat, args.out, args.nr_sites, lbeta=args.lbeta)
     return 0
 

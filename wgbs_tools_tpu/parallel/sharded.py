@@ -396,7 +396,7 @@ class ShardedPileupV3:
     (ref: src/python/pat2beta.py:14-65, stdin2beta.cpp:59-93).
     """
 
-    def __init__(self, mesh, window, interpret=None):
+    def __init__(self, mesh, window, interpret=None, backend="auto"):
         if "samples" in mesh.shape and mesh.shape["samples"] != 1:
             raise ValueError("ShardedPileupV3 shards sites only; use a "
                              "mesh with a singleton samples axis")
@@ -408,13 +408,16 @@ class ShardedPileupV3:
         self.S = (self.n + self.n_shards - 1) // self.n_shards
         self.n_pad = self.S * self.n_shards
         self.interpret = interpret
+        # "auto": the Pallas kernel on TPU, the XLA scatter elsewhere
+        # (interpret-mode Pallas on CPU meshes would be the slowest path)
+        self.backend = backend
         self.totals = [
             jax.device_put(jnp.zeros((self.S, 2), dtype=jnp.int32), d)
             for d in self.devices
         ]
 
     def add(self, frags):
-        from ..ops.pileup_tpu3 import pileup_pallas_v3
+        from ..ops.pileup import pileup_frags
 
         if frags.nr_frags == 0:
             return
@@ -428,9 +431,11 @@ class ShardedPileupV3:
             if sel.nr_frags == 0:
                 continue
             with jax.default_device(dev):
-                res = pileup_pallas_v3(
-                    sel.start, sel.length, sel.count, sel.codes, lo,
-                    self.S, interpret=self.interpret, to_host=False)
+                kw = {} if self.interpret is None else \
+                    {"interpret": self.interpret}
+                res = pileup_frags(sel, (lo, lo + self.S),
+                                   backend=self.backend, to_host=False,
+                                   **kw)
                 self.totals[i] = _shard_add(self.totals[i], res)
 
     def _global(self):
