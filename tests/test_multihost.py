@@ -145,3 +145,107 @@ def test_segment_cli_procs(tmp_path, mini_genome, capsys):
     assert cli_main(["segment", "--betas", b, "-c", "2000", "-o", o2,
                      "--procs", "2"]) == 0
     assert open(o1).read() == open(o2).read()
+
+
+def test_bam2pat_procs_matches_single(tmp_path, mini_genome):
+    """bam2pat --procs 2: contiguous chromosome parts, BGZF-concatenated —
+    decompressed pat content identical to the single-process output, and
+    the rebuilt index serves region reads."""
+    from tests.bisim import dump_bam, simulate_reads
+    from wgbs_tools_tpu.genome.cpg_index import read_fasta
+    from wgbs_tools_tpu.parallel.multihost import run_bam2pat_multiprocess
+    from wgbs_tools_tpu.pipeline.bam2pat_run import bam2pat
+
+    rng = np.random.default_rng(21)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=500, paired=True)
+    bam = dump_bam(reads, seqs, str(tmp_path / "mp.bam"))
+
+    d1 = tmp_path / "single"
+    d1.mkdir()
+    _, single_pat, _ = bam2pat(bam, genome=mini_genome, out_dir=str(d1))
+    d2 = tmp_path / "multi"
+    d2.mkdir()
+    multi_pat = run_bam2pat_multiprocess(bam, out_dir=str(d2),
+                                         num_processes=2, timeout=600)
+
+    import gzip
+
+    with gzip.open(single_pat) as f:
+        want = f.read()
+    with gzip.open(multi_pat) as f:
+        got = f.read()
+    assert got == want, "multi-process pat content != single-process"
+
+    # region read through the rebuilt index
+    from wgbs_tools_tpu.formats.pat import read_pat
+
+    fr = read_pat(multi_pat, region_sites=(5, 500))
+    fr2 = read_pat(single_pat, region_sites=(5, 500))
+    assert fr.nr_frags == fr2.nr_frags
+
+
+def test_bam2pat_cli_procs(tmp_path, mini_genome):
+    """`bam2pat --procs 2` end-to-end through the CLI, beta equal too."""
+    from tests.bisim import dump_bam, simulate_reads
+    from wgbs_tools_tpu.cli.main import main as cli_main
+    from wgbs_tools_tpu.genome.cpg_index import read_fasta
+
+    rng = np.random.default_rng(22)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=300, paired=False)
+    bam = dump_bam(reads, seqs, str(tmp_path / "c.bam"))
+    d1 = tmp_path / "s"
+    d2 = tmp_path / "m"
+    d1.mkdir()
+    d2.mkdir()
+    assert cli_main(["bam2pat", bam, "-o", str(d1)]) == 0
+    assert cli_main(["bam2pat", bam, "-o", str(d2), "--procs", "2"]) == 0
+    import gzip
+
+    name = [p for p in os.listdir(d1) if p.endswith(".pat.gz")][0]
+    with gzip.open(d1 / name) as f:
+        want = f.read()
+    with gzip.open(d2 / name) as f:
+        got = f.read()
+    assert got == want
+    bname = [p for p in os.listdir(d1) if p.endswith(".beta")][0]
+    assert (d2 / bname).read_bytes() == (d1 / bname).read_bytes()
+
+
+def test_bai_chrom_weights(tmp_path, mini_genome):
+    """The .bai parser extracts per-reference compressed spans (hand-built
+    index blob: 2 refs, one with chunks + a 37450 pseudo-bin to skip, one
+    empty)."""
+    import struct
+
+    from tests.bisim import dump_bam, simulate_reads
+    from wgbs_tools_tpu.genome.cpg_index import read_fasta
+    from wgbs_tools_tpu.parallel.multihost import _bam_chrom_weights
+
+    rng = np.random.default_rng(23)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=50, paired=False)
+    bam = dump_bam(reads, seqs, str(tmp_path / "w.bam"))
+
+    n_ref = len(seqs)
+    blob = b"BAI\x01" + struct.pack("<i", n_ref)
+    # ref 0: bin 4681 with a chunk spanning coffsets 1000..9000, plus the
+    # 37450 pseudo-bin (meta counts) that must NOT affect the span
+    blob += struct.pack("<i", 2)
+    blob += struct.pack("<Ii", 4681, 1)
+    blob += struct.pack("<QQ", 1000 << 16, 9000 << 16)
+    blob += struct.pack("<Ii", 37450, 2)
+    blob += struct.pack("<QQ", 123 << 16, (1 << 40) << 16)
+    blob += struct.pack("<QQ", 50, 0)
+    blob += struct.pack("<i", 1) + struct.pack("<Q", 1000 << 16)
+    # remaining refs: no bins
+    for _ in range(n_ref - 1):
+        blob += struct.pack("<i", 0) + struct.pack("<i", 0)
+    with open(bam + ".bai", "wb") as f:
+        f.write(blob)
+
+    chroms = list(seqs)
+    w = _bam_chrom_weights(bam, chroms, mini_genome.index)
+    assert w[chroms[0]] == 8001.0  # 9000 - 1000 + 1
+    assert all(w[c] == 1.0 for c in chroms[1:])

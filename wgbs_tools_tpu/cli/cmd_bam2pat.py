@@ -72,6 +72,12 @@ def main(argv):
                                "default 256 MB)")
     stream_g.add_argument("--no_stream", dest="stream", action="store_false",
                           help="force the whole-file in-memory path")
+    p.add_argument("--procs", type=int, default=None,
+                   help="convert contiguous chromosome blocks in N worker "
+                        "processes (.bai-weighted partition; parts "
+                        "concatenate in chromosome order — the "
+                        "multi-process form of the reference's "
+                        "per-chromosome Pool)")
     add_gr_args(p)
     args = p.parse_args(argv)
     if args.verbose or args.debug:
@@ -95,6 +101,31 @@ def main(argv):
                 continue
             mb = (op.join(args.out_dir, pretty_name(bam) + ".mbias")
                   if args.mbias else None)
+            if args.procs and args.procs > 1:
+                if args.mbias or args.long_reads or args.no_pat:
+                    raise IllegalArgumentError(
+                        "--procs does not combine with --mbias/--long/"
+                        "--no_pat (single-process covers those)")
+                from ..parallel.multihost import run_bam2pat_multiprocess
+
+                pat_path = run_bam2pat_multiprocess(
+                    bam, out_dir=args.out_dir, num_processes=args.procs,
+                    genome=args.genome, min_mapq=args.mapq,
+                    exclude_flags=args.exclude_flags, clip=args.clip,
+                    min_cpg=args.min_cpg,
+                    nanopore=args.nanopore, np_thresh=args.np_thresh,
+                    cpc_call=args.cpc_call,
+                    combine_mods=args.combine_mods,
+                    whitelist=args.whitelist, blacklist=args.blacklist,
+                    blueprint=args.blueprint,
+                    include_flags=args.include_flags,
+                    top_strand=args.top_strand,
+                    bottom_strand=args.bottom_strand,
+                    read_group=args.read_group, stream=args.stream)
+                if not args.no_beta and pat_path:
+                    pat2beta(pat_path, args.out_dir, genome=g,
+                             lbeta=args.lbeta)
+                continue
             frags, pat_path, stats = bam2pat(
                 bam, genome=g, out_dir=args.out_dir, min_mapq=args.mapq,
                 exclude_flags=args.exclude_flags, clip=args.clip,

@@ -2,21 +2,23 @@
 
 The reference's only multi-node awareness is reading
 SLURM_JOB_CPUS_PER_NODE for its Pool size (ref: src/python/
-utils_wgbs.py:250-261) — every run is one host. Here the TPU-native
-equivalent is real: N processes (one per host / pod-slice worker) join one
-`jax.distributed` job, their local devices form a single global mesh, and
-the same shard_map pileup step that runs single-process executes SPMD
-across processes — the halo `ppermute` and coverage `psum` become
-cross-process collectives over ICI/DCN with no code change to the kernel
-(parallel/sharded.py::build_pileup_accum_step).
+utils_wgbs.py:250-261) — every run is one host. Here three whole-genome
+jobs scale across N processes (one per host / pod-slice worker):
 
-Input sharding is per-process by genomic range: process p reads ONLY the
-pat rows whose startCpG falls in its shards' site rows (the ".cdx"-indexed
-region read), so no host ever touches the whole file — the "16 hosts shard
-the pat by chromosome ranges" layout of BENCHMARKS.md's v5p-16 projection.
-Fragments crossing a shard boundary are completed by the halo exchange,
-exactly as in the single-process mesh path, so the assembled beta is
-byte-identical to the single-device pileup.
+- **pat2beta**: processes join one `jax.distributed` job; each streams
+  the pat rows overlapping its site range (".cdx"-indexed region read)
+  into the v3 sharded pileup over its LOCAL devices, clipping fragments
+  at its window edges. The pileup itself needs no cross-process
+  collectives (round-5 redesign — the round-4 halo ppermute, per-round
+  shape allgathers, and full-genome count allgather are gone); each
+  process pwrites its own byte range of the beta. Per-process memory is
+  O(shard).
+- **segment**: the 60k-site chunk axis round-robins across processes
+  (the distributed form of the reference's chunk Pool,
+  ref: src/python/segment.py:137-155); process 0 stitches.
+- **bam2pat**: contiguous chromosome blocks per worker (.bai-weighted),
+  raw-BGZF part concat in chromosome order — host-bound, so workers are
+  standalone processes (no device collectives to express).
 
 On CPUs (tests / this sandbox) the same wiring runs with
 `--xla_force_host_platform_device_count` virtual devices per process; on a
@@ -279,22 +281,208 @@ def run_segment_multiprocess(beta_paths, ranges, out_prefix,
         return z["starts"].copy(), z["ends"].copy()
 
 
+def _bam_ref_names(bam_path):
+    """Reference names from a BAM header (lazy gzip read — only the header
+    blocks are ever decompressed)."""
+    import gzip
+    import struct
+
+    with gzip.open(bam_path, "rb") as f:
+        if f.read(4) != b"BAM\x01":
+            raise IOError(f"{bam_path}: not a BAM file")
+        (l_text,) = struct.unpack("<i", f.read(4))
+        f.read(l_text)
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        names = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", f.read(4))
+            names.append(f.read(l_name)[:-1].decode())
+            f.read(4)  # l_ref
+        return names
+
+
+def _bam_chrom_weights(bam_path, chrom_names, idx):
+    """Per-chromosome work estimate for partitioing bam2pat workers.
+
+    With a .bai sidecar: compressed byte span of each reference's records
+    (linear-index min .. chunk-end max — the same information `samtools
+    view <chrom>` seeks by). Without one: the genome's per-chromosome CpG
+    counts as a proxy.
+    """
+    import struct
+
+    bai = bam_path + ".bai"
+    if not op.isfile(bai):
+        return {c: float(max(idx.chrom_nr_sites(c), 1))
+                for c in chrom_names}
+    try:
+        with open(bai, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError("bad magic")
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        spans = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            beg, end = None, 0
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                for _ in range(n_chunk):
+                    cbeg, cend = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    if bin_id == 37450:  # pseudo-bin: meta counts, not coords
+                        continue
+                    c0, c1 = cbeg >> 16, cend >> 16
+                    beg = c0 if beg is None else min(beg, c0)
+                    end = max(end, c1)
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4 + 8 * n_intv
+            spans.append(0.0 if beg is None else float(end - beg + 1))
+        # map BAM ref order -> requested chromosome names via the header
+        ref_names = _bam_ref_names(bam_path)
+        w = {c: 1.0 for c in chrom_names}
+        for name, sp in zip(ref_names, spans):
+            if name in w:
+                w[name] = max(sp, 1.0)
+        return w
+    except Exception as e:
+        logger.info("bam2pat --procs: .bai parse failed (%s); using CpG "
+                    "counts for balance", e)
+        return {c: float(max(idx.chrom_nr_sites(c), 1))
+                for c in chrom_names}
+
+
+def _partition_contiguous(names, weights, n_parts):
+    """Split `names` (order preserved) into <= n_parts CONTIGUOUS groups
+    with roughly equal total weight. Contiguity matters: per-part pat
+    files concatenate in chromosome order, which IS global startCpG order
+    (chromosome site ranges are disjoint and increasing)."""
+    total = sum(weights[c] for c in names)
+    parts, cur, acc = [], [], 0.0
+    target = total / max(n_parts, 1)
+    for c in names:
+        cur.append(c)
+        acc += weights[c]
+        if acc >= target and len(parts) < n_parts - 1:
+            parts.append(cur)
+            cur, acc = [], 0.0
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+def bam2pat_part_worker(bam, out_dir, chroms, genome=None, **kw):
+    """Standalone worker: run bam2pat restricted to a CONTIGUOUS block of
+    chromosomes; the part pat lands in out_dir. No jax.distributed — the
+    bam2pat pipeline is host-bound (decode + calling) with no cross-part
+    dependencies (mates pair within a chromosome, exactly as in the
+    single-process pipeline and the reference's per-chromosome Pool,
+    ref: src/python/bam2pat.py:303-356)."""
+    from ..genome.refdir import Genome
+    from ..pipeline.bam2pat_run import bam2pat
+
+    g = Genome(genome)
+    _, pat_path, _ = bam2pat(bam, genome=g, out_dir=out_dir,
+                             include_chroms=list(chroms), **kw)
+    return pat_path
+
+
+def run_bam2pat_multiprocess(bam, out_dir=".", num_processes=2,
+                             genome=None, timeout=1800, **kw):
+    """Multi-process bam2pat: contiguous chromosome blocks (.bai-weighted
+    when a BAI exists) across worker processes; parts concatenate by raw
+    BGZF byte append (readers skip the embedded empty EOF blocks), then
+    the .cdx/.csi index is rebuilt over the final file. The decompressed
+    pat is byte-identical to the single-process output. Returns the pat
+    path."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from ..genome.refdir import Genome
+    from ..pipeline.bam_columnar import scan_bam_columnar  # noqa: F401
+    from ..utils import pretty_name
+
+    g = Genome(genome)
+    idx = g.index
+    present = [c for c in idx.chrom_names if c in set(_bam_ref_names(bam))]
+    weights = _bam_chrom_weights(bam, present, idx)
+    parts = _partition_contiguous(present, weights, num_processes)
+    out_path = op.join(out_dir, pretty_name(bam) + ".pat.gz")
+
+    with tempfile.TemporaryDirectory() as td:
+        procs = []
+        part_paths = []
+        env = dict(os.environ)
+        env["PYTHONPATH"] = op.dirname(op.dirname(op.dirname(
+            op.abspath(__file__)))) + os.pathsep + env.get("PYTHONPATH", "")
+        for w, chroms in enumerate(parts):
+            wdir = op.join(td, f"w{w}")
+            os.makedirs(wdir)
+            params = dict(bam=bam, out_dir=wdir, chroms=chroms,
+                          genome=genome, **kw)
+            pfile = op.join(td, f"w{w}.json")
+            with open(pfile, "w") as f:
+                _json.dump(params, f)
+            part_paths.append(op.join(wdir, pretty_name(bam) + ".pat.gz"))
+            procs.append(subprocess.Popen(
+                [sys.executable, "-m", "wgbs_tools_tpu.parallel.multihost",
+                 "--job", "bam2pat", "--params", pfile],
+                env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT))
+        fail = None
+        for w, pr in enumerate(procs):
+            try:
+                out, _ = pr.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                pr.kill()
+                out, _ = pr.communicate()
+                fail = fail or f"worker {w} timed out"
+            if pr.returncode != 0 and fail is None:
+                fail = (f"worker {w} rc={pr.returncode}:\n"
+                        + out.decode(errors="replace")[-2000:])
+        if fail:
+            raise RuntimeError(f"multi-process bam2pat failed: {fail}")
+        with open(out_path, "wb") as dst:
+            for pp in part_paths:
+                if op.isfile(pp):
+                    with open(pp, "rb") as src:
+                        shutil.copyfileobj(src, dst)
+    from ..formats.pat import index_pat
+
+    index_pat(out_path)
+    return out_path
+
+
 def _worker_main(argv=None):
     p = argparse.ArgumentParser(prog="wgbs-multihost-worker")
-    p.add_argument("--coordinator", required=True)
-    p.add_argument("--num_processes", type=int, required=True)
-    p.add_argument("--process_id", type=int, required=True)
+    p.add_argument("--coordinator")
+    p.add_argument("--num_processes", type=int)
+    p.add_argument("--process_id", type=int)
     p.add_argument("--local_devices", type=int, default=None)
     p.add_argument("--platform", default=None)
     p.add_argument("--job", default="pat2beta",
-                   choices=["pat2beta", "segment"])
+                   choices=["pat2beta", "segment", "bam2pat"])
     p.add_argument("--params", default=None,
-                   help="JSON file of job kwargs (segment)")
+                   help="JSON file of job kwargs (segment / bam2pat)")
     p.add_argument("--pat")
     p.add_argument("--out")
     p.add_argument("--nr_sites", type=int)
     p.add_argument("--lbeta", action="store_true")
     args = p.parse_args(argv)
+    if args.job == "bam2pat":
+        # standalone host-pipeline worker: no jax.distributed (no device
+        # collectives in the bam2pat path)
+        import json as _json
+
+        with open(args.params) as f:
+            params = _json.load(f)
+        bam2pat_part_worker(**params)
+        return 0
     distributed_init(args.coordinator, args.num_processes, args.process_id,
                      local_devices=args.local_devices,
                      platform=args.platform)
