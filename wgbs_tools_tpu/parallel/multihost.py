@@ -474,7 +474,11 @@ def _worker_main(argv=None):
     p.add_argument("--nr_sites", type=int)
     p.add_argument("--lbeta", action="store_true")
     args = p.parse_args(argv)
+    # validate before any backend/distributed initialization so usage
+    # errors exit with argparse's code (2), not a traceback
     if args.job == "bam2pat":
+        if not args.params:
+            p.error("--params is required for the bam2pat job")
         # standalone host-pipeline worker: no jax.distributed (no device
         # collectives in the bam2pat path)
         import json as _json
@@ -483,6 +487,14 @@ def _worker_main(argv=None):
             params = _json.load(f)
         bam2pat_part_worker(**params)
         return 0
+    if not (args.coordinator and args.num_processes
+            and args.process_id is not None):
+        p.error("--coordinator/--num_processes/--process_id are required")
+    if args.job == "segment" and not args.params:
+        p.error("--params is required for the segment job")
+    if args.job == "pat2beta" and not (args.pat and args.out
+                                       and args.nr_sites):
+        p.error("--pat/--out/--nr_sites are required for the pat2beta job")
     distributed_init(args.coordinator, args.num_processes, args.process_id,
                      local_devices=args.local_devices,
                      platform=args.platform)
@@ -493,8 +505,6 @@ def _worker_main(argv=None):
             params = _json.load(f)
         segment_worker(**params)
         return 0
-    if not (args.pat and args.out and args.nr_sites):
-        p.error("--pat/--out/--nr_sites are required for the pat2beta job")
     pat2beta_worker(args.pat, args.out, args.nr_sites, lbeta=args.lbeta)
     return 0
 
