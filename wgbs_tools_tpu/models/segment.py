@@ -587,33 +587,39 @@ def segment_chunks(beta_paths, chunks, index, cfg: SegmentConfig,
     results = [None] * len(chunks)
     own = list(range(len(chunks))) if subset is None else         sorted(set(int(i) for i in subset))
     if cfg.mode == "exact" and _use_exact_device():
-        # device exact DP per chunk: bit-identical tracebacks (software-
-        # double arithmetic); ineligible windows stay None and take the
-        # host path below. Per-window launches — the vmapped batch form
-        # measured 2x SLOWER per window on-chip (layout pessimization of
-        # the big (B, n, W) cost tensors; see BENCHMARKS.md), so batching
-        # stays an explicitly-invoked experiment (segment_exact_device_batch)
-        from .segment_exact_tpu import segment_exact_device_T
+        # device exact DP, BATCHED over equal-size chunks: bit-identical
+        # tracebacks (band-clipped cost build + site-major ring-buffer DP
+        # over software doubles — 95 ms/window at batch=16 on the v5e,
+        # ~19x the round-4 per-window form; see BENCHMARKS.md).
+        # Ineligible windows stay None and take the host path below.
+        from .segment_exact_tpu import segment_exact_device_batch
 
+        by_size = {}
         for i in own:
             s, e = chunks[i]
-            n = e - s
-            if n <= 1:
-                continue
-            data = np.stack([load_beta(b, sites=chunks[i])
-                             for b in beta_paths])
-            for d, b in zip(data, beta_paths):
-                # same invalid-beta guard as the host path
-                # (segment_sites_window) — corrupt files must raise, not
-                # segment silently, on the device route too
-                if (d[:, 0] > d[:, 1]).any():
-                    raise IllegalArgumentError(f"invalid beta data in {b}")
-            loci = index.loci[s - 1 : e - 1]
-            W = int(min(cfg.max_cpg, n))
-            T = segment_exact_device_T(data, loci, W, cfg.max_bp,
-                                       cfg.pseudo_count)
-            if T is not None:
-                results[i] = _traceback(T, n) + s
+            if e - s > 1:
+                by_size.setdefault(e - s, []).append(i)
+        for n, idxs in by_size.items():
+            datas, locis = [], []
+            for i in idxs:
+                s, e = chunks[i]
+                data = np.stack([load_beta(b, sites=chunks[i])
+                                 for b in beta_paths])
+                for d, b in zip(data, beta_paths):
+                    # same invalid-beta guard as the host path
+                    # (segment_sites_window) — corrupt files must raise,
+                    # not segment silently, on the device route too
+                    if (d[:, 0] > d[:, 1]).any():
+                        raise IllegalArgumentError(
+                            f"invalid beta data in {b}")
+                datas.append(data)
+                locis.append(index.loci[s - 1 : e - 1])
+            Ts = segment_exact_device_batch(
+                np.stack(datas), np.stack(locis), int(min(cfg.max_cpg, n)),
+                cfg.max_bp, cfg.pseudo_count)
+            for i, T in zip(idxs, Ts):
+                if T is not None:
+                    results[i] = _traceback(T, n) + chunks[i][0]
     if cfg.mode == "fast":
         # batch all equal-size chunks into single device launches
         by_size = {}

@@ -44,6 +44,21 @@ from .segment import _hankel
 LL_CAP = int(os.environ.get("WGBS_TPU_LL_CAP", 8192))
 
 _TABLE_CACHE = {}
+_DEV_TABLE_CACHE = {}
+
+
+def _device_table(pc, tbl):
+    """Device-resident 128-padded copy of the host ll table (one resident
+    at a time — re-shipping 10s-of-MB per window would dominate on slow
+    links)."""
+    key = (float(pc), tbl.shape[0])
+    hit = _DEV_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    arr = jnp.asarray(np.pad(tbl, (0, (-tbl.shape[0]) % 128)))
+    _DEV_TABLE_CACHE.clear()
+    _DEV_TABLE_CACHE[key] = arr
+    return arr
 
 
 def build_ll_table(pc, cap):
@@ -80,6 +95,28 @@ def build_ll_table(pc, cap):
     return ll
 
 
+def max_band_width(loci, W, max_bp):
+    """Largest number of in-band candidate predecessors of any site — the
+    effective DP window. The reference's max_bp cap (segmentor.cpp band)
+    typically bounds this to ~an eighth of max_cpg at WGBS spacing, so
+    clipping the device cost build and DP to it cuts both the table
+    gathers and the scan work by the same factor (the host C++ DP already
+    band-prunes — this is the device analogue). Exactness: every cell
+    dropped by the clip has loci-distance > max_bp, i.e. was already
+    masked out of the max/argmax in the full-width build."""
+    if not max_bp:
+        return int(W)
+    loci = np.asarray(loci, dtype=np.int64)
+    klo = np.searchsorted(loci, loci - max_bp, side="left")
+    width = np.arange(loci.shape[0], dtype=np.int64) - klo + 1
+    return int(min(max(int(width.max(initial=1)), 1), W))
+
+
+def _round_width(bw):
+    """Pad the band width to a lane-friendly size (mult of 128, min 128)."""
+    return max((bw + 127) // 128 * 128, 128)
+
+
 def max_band_total(data, loci, W, max_bp):
     """Largest in-band (nm <= nt) total of any candidate block — the table
     size the device kernel needs. Host-side, int64, monotone loci only."""
@@ -93,6 +130,37 @@ def max_band_total(data, loci, W, max_bp):
     hi = np.minimum(np.maximum(hi, np.arange(n) + 1), np.arange(n) + W)
     hi = np.minimum(hi, n)
     return int((pt[:, hi] - pt[:, :n]).max(initial=0))
+
+
+def _gather_tbl(tbl, idx):
+    """f32 table lookup via 128-lane ROW gather + one-hot lane select.
+
+    XLA's plain 1-D `take` runs at ~0.11 G elem/s on this chip; gathering
+    (T/128, 128) rows and selecting the lane on the VPU measured 3x
+    faster (0.33 G elem/s, bench_gather.py) — the row fetches tile onto
+    the native (8,128) layout. Chunked over the site axis with `lax.map`
+    so the materialized rows stay ~128 MB. Bit-exact: the select keeps
+    the f32 value untouched (0/1 mask + sum with one nonzero).
+    tbl must be padded to a multiple of 128 entries.
+    WGBS_TPU_LL_GATHER=take reverts to the plain take for A/B.
+    """
+    if os.environ.get("WGBS_TPU_LL_GATHER") == "take":
+        return jnp.take(tbl, idx)
+    n, Wd = idx.shape
+    CH = 2048
+    n_pad = -(-n // CH) * CH
+    if n_pad != n:
+        idx = jnp.pad(idx, ((0, n_pad - n), (0, 0)))
+    t2 = tbl.reshape(-1, 128)
+    lanes = jnp.arange(128, dtype=jnp.int32)[None, None, :]
+
+    def body(ic):
+        rows = t2[ic >> 7]
+        sel = lanes == (ic & 127)[..., None]
+        return jnp.sum(jnp.where(sel, rows, 0.0), axis=-1)
+
+    out = jax.lax.map(body, idx.reshape(-1, CH, Wd)).reshape(n_pad, Wd)
+    return out[:n]
 
 
 def _exact_cost_body(pm, pt, loci, tbl, W, max_bp):
@@ -124,7 +192,7 @@ def _exact_cost_body(pm, pt, loci, tbl, W, max_bp):
         ntc = jnp.where(use, nt, 0)
         nmc = jnp.where(use, nm, 0)
         idx = ntc * (ntc + 1) // 2 + nmc
-        ll = jnp.where(use, jnp.take(tbl, idx), jnp.float32(0))
+        ll = jnp.where(use, _gather_tbl(tbl, idx), jnp.float32(0))
         # ll values are normal-or-zero f32; the cheap widen is exact here
         return f64_from_f32_normal(ll)
 
@@ -154,28 +222,35 @@ def _dp_exact_body(Ch, Cl, ok, W, unroll=8):
     with ks[i] = argmax predecessor (first maximum, ascending k — the
     reference's strict-'>' scan order).
 
-    `unroll` consecutive sites are processed inside each scan step (the
-    sequential dependency flows through the unrolled body), cutting the
-    per-step scan overhead by that factor; the arithmetic and its order
-    are unchanged, so the result stays bit-identical. Padding steps past n
-    write only beyond the real M region and their ks are discarded."""
+    The carry is the (W,) sliding window of M values itself, advanced by a
+    STATIC shift (concat of a static slice + the new value) — the round-4
+    form carried the whole (n+W,) M array and paid two dynamic slices and
+    two dynamic updates into it per site, which dominated the scan
+    (319 ms of the 439 ms window at W_band=128; the arithmetic itself is
+    ~1 ms of VPU work). Same operations in the same order on the same
+    values, so the result stays bit-identical: window cells with k < 0
+    are +0.0 here exactly as the old Mpad zeros were, and are excluded by
+    the same `ok` mask. `unroll` sites run inside each scan step; padding
+    steps past n emit discarded ks."""
     n = Ch.shape[0]
     n_pad = -(-n // unroll) * unroll
     if n_pad != n:
         Ch = jnp.pad(Ch, ((0, n_pad - n), (0, 0)))
         Cl = jnp.pad(Cl, ((0, n_pad - n), (0, 0)))
         ok = jnp.pad(ok, ((0, n_pad - n), (0, 0)))
-    Mh0 = jnp.zeros(n_pad + W + 1, jnp.uint32)  # +0.0; M[j] at index W+j
-    Ml0 = jnp.zeros(n_pad + W + 1, jnp.uint32)
+    # ring buffer of W + unroll M values: window reads and the new-value
+    # write happen at STATIC offsets (u is a python int in the unrolled
+    # loop), so no per-site dynamic slice, no cross-lane shift
+    Bh0 = jnp.zeros(W + unroll, jnp.uint32)  # +0.0 == M[k] init (masked)
+    Bl0 = jnp.zeros(W + unroll, jnp.uint32)
 
     def step(carry, xs):
-        Mh, Ml = carry
+        Bh, Bl = carry
         i0, chs, cls, oks = xs
         outs = []
         for u in range(unroll):
-            i = i0 + u
-            wh = jax.lax.dynamic_slice(Mh, (i + 1,), (W,))
-            wl = jax.lax.dynamic_slice(Ml, (i + 1,), (W,))
+            wh = jax.lax.slice(Bh, (u,), (u + W,))
+            wl = jax.lax.slice(Bl, (u,), (u + W,))
             sh_, sl_ = f64_add(wh, wl, chs[u], cls[u])
             kh, kl = f64_sort_key(sh_, sl_)
             kh = jnp.where(oks[u], kh, jnp.uint32(0))
@@ -184,15 +259,15 @@ def _dp_exact_body(Ch, Cl, ok, W, unroll=8):
             c2 = kh == mhi
             mlo = jnp.max(jnp.where(c2, kl, jnp.uint32(0)))
             am = jnp.argmax(c2 & (kl == mlo)).astype(jnp.int32)
-            Mh = jax.lax.dynamic_update_slice(Mh, sh_[am][None],
-                                              (W + i + 1,))
-            Ml = jax.lax.dynamic_update_slice(Ml, sl_[am][None],
-                                              (W + i + 1,))
-            outs.append(i - (W - 1) + am)
-        return (Mh, Ml), jnp.stack(outs)
+            Bh = Bh.at[W + u].set(sh_[am])
+            Bl = Bl.at[W + u].set(sl_[am])
+            outs.append((i0 + u) - (W - 1) + am)
+        Bh = jnp.concatenate([Bh[unroll:], jnp.zeros(unroll, jnp.uint32)])
+        Bl = jnp.concatenate([Bl[unroll:], jnp.zeros(unroll, jnp.uint32)])
+        return (Bh, Bl), jnp.stack(outs)
 
     (_, _), ks = jax.lax.scan(
-        step, (Mh0, Ml0),
+        step, (Bh0, Bl0),
         (jnp.arange(0, n_pad, unroll, dtype=jnp.int32),
          Ch.reshape(-1, unroll, W), Cl.reshape(-1, unroll, W),
          ok.reshape(-1, unroll, W)))
@@ -202,6 +277,70 @@ def _dp_exact_body(Ch, Cl, ok, W, unroll=8):
 @partial(jax.jit, static_argnames=("W",))
 def _dp_exact_pairs(Ch, Cl, ok, W):
     return _dp_exact_body(Ch, Cl, ok, W)
+
+
+def _dp_exact_batched_ring(Ch_t, Cl_t, ok_t, W, unroll=8):
+    """Batched ring-buffer DP over (n, B, W) cost pairs (site-major
+    layout: the scan consumes leading-axis slices directly, avoiding the
+    round-4 (B, n, W)-as-xs transpose blowup). Per-step arithmetic runs on
+    (B, W) tiles, amortizing the per-instruction overhead that bounds the
+    single-window scan (measured 5.3 us/site at W=128 — pure VPU issue
+    overhead on 128-lane vectors). Same per-window op order as
+    _dp_exact_body — bit-identical results."""
+    n, B, _ = Ch_t.shape
+    n_pad = -(-n // unroll) * unroll
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0), (0, 0))
+        Ch_t = jnp.pad(Ch_t, pad)
+        Cl_t = jnp.pad(Cl_t, pad)
+        ok_t = jnp.pad(ok_t, pad)
+    Bh0 = jnp.zeros((B, W + unroll), jnp.uint32)
+    Bl0 = jnp.zeros((B, W + unroll), jnp.uint32)
+    rows = jnp.arange(B)
+
+    def step(carry, xs):
+        Bh, Bl = carry
+        i0, chs, cls, oks = xs  # chs: (unroll, B, W)
+        outs = []
+        for u in range(unroll):
+            wh = jax.lax.slice(Bh, (0, u), (B, u + W))
+            wl = jax.lax.slice(Bl, (0, u), (B, u + W))
+            sh_, sl_ = f64_add(wh, wl, chs[u], cls[u])
+            kh, kl = f64_sort_key(sh_, sl_)
+            kh = jnp.where(oks[u], kh, jnp.uint32(0))
+            kl = jnp.where(oks[u], kl, jnp.uint32(0))
+            mhi = jnp.max(kh, axis=1, keepdims=True)
+            c2 = kh == mhi
+            mlo = jnp.max(jnp.where(c2, kl, jnp.uint32(0)), axis=1,
+                          keepdims=True)
+            am = jnp.argmax(c2 & (kl == mlo), axis=1).astype(jnp.int32)
+            Bh = Bh.at[:, W + u].set(sh_[rows, am])
+            Bl = Bl.at[:, W + u].set(sl_[rows, am])
+            outs.append((i0 + u) - (W - 1) + am)
+        Bh = jnp.concatenate(
+            [Bh[:, unroll:], jnp.zeros((B, unroll), jnp.uint32)], axis=1)
+        Bl = jnp.concatenate(
+            [Bl[:, unroll:], jnp.zeros((B, unroll), jnp.uint32)], axis=1)
+        return (Bh, Bl), jnp.stack(outs)  # (unroll, B)
+
+    (_, _), ks = jax.lax.scan(
+        step, (Bh0, Bl0),
+        (jnp.arange(0, n_pad, unroll, dtype=jnp.int32),
+         Ch_t.reshape(-1, unroll, B, W), Cl_t.reshape(-1, unroll, B, W),
+         ok_t.reshape(-1, unroll, B, W)))
+    return ks.reshape(-1, B).T[:, :n]  # (B, n)
+
+
+@partial(jax.jit, static_argnames=("W", "max_bp"))
+def _exact_batch_ring(pm, pt, loci, tbl, W, max_bp):
+    """Batched cost+DP: vmapped cost build -> site-major transpose -> one
+    ring-buffer DP scan over all B windows."""
+    ch, cl, ok = jax.vmap(
+        lambda a, b, c: _exact_cost_body(a, b, c, tbl, W, max_bp))(
+            pm, pt, loci)
+    return _dp_exact_batched_ring(
+        jnp.moveaxis(ch, 0, 1), jnp.moveaxis(cl, 0, 1),
+        jnp.moveaxis(ok, 0, 1), W)
 
 
 def _dp_exact_batched(Ch, Cl, ok, W, unroll=8):
@@ -264,15 +403,19 @@ def _exact_batch(pm, pt, loci, tbl, W, max_bp):
 
 
 def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
-                               cap_limit=None, batch=4):
+                               cap_limit=None, batch=16):
     """Batched device exact DP over equal-size windows.
 
     datas: (B, K, n, 2) int counts; locis: (B, n). Returns a list of B
     traceback arrays (n+1,) — entries are None for windows the device path
     cannot take (non-monotone loci / totals past the table cap); the caller
-    runs those on the host. Windows are processed `batch` at a time with a
-    fixed launch shape (tail padded by repeating the first window) so the
-    per-step scan overhead amortizes across the batch.
+    runs those on the host. Windows run `batch` at a time with a fixed
+    launch shape (tail padded by repeating the first window) through the
+    site-major ring-buffer DP (_dp_exact_batched_ring): the scan's
+    per-instruction overhead — the single-window bound, 5.3 us/site at
+    the typical 128-site band — amortizes across the batch. Measured on
+    the v5e chip at n=60k/K=3/~30x: 95 ms/window at batch=16 (vs 446 ms
+    single-window, vs 1.78 s for the round-4 full-width form).
     """
     datas = np.asarray(datas)
     locis = np.asarray(locis, dtype=np.int64)
@@ -294,7 +437,9 @@ def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
     if not elig:
         return res
     cap = 1 << max(int(need_max - 1).bit_length(), 6)
-    tbl = jnp.asarray(build_ll_table(pseudo_count, cap))
+    tbl = _device_table(pseudo_count, build_ll_table(pseudo_count, cap))
+    Wb = min(W, _round_width(max(
+        max_band_width(locis[w], W, max_bp) for w in elig)))
 
     def prep(w):
         ps = np.concatenate(
@@ -307,9 +452,9 @@ def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
         sel = elig[lo : lo + batch]
         padded = sel + [sel[0]] * (batch - len(sel))
         pms, pts = zip(*(prep(w) for w in padded))
-        ks = np.asarray(_exact_batch(
+        ks = np.asarray(_exact_batch_ring(
             jnp.asarray(np.stack(pms)), jnp.asarray(np.stack(pts)),
-            jnp.asarray(locis[padded], dtype=jnp.int32), tbl, W,
+            jnp.asarray(locis[padded], dtype=jnp.int32), tbl, Wb,
             int(max_bp) if max_bp else 0))
         for j, w in enumerate(sel):
             T = np.empty(n + 1, dtype=np.int64)
@@ -338,6 +483,9 @@ def segment_exact_device_T(data, loci, W, max_bp, pseudo_count,
         return None
     cap = 1 << max(int(need - 1).bit_length(), 6)
     tbl = build_ll_table(pseudo_count, cap)
+    # band clip: every candidate farther than max_bp is masked anyway, so
+    # both the cost build and the DP shrink to the real band width
+    Wb = min(W, _round_width(max_band_width(loci, W, max_bp)))
 
     d64 = data.astype(np.int64)
     ps = np.concatenate(
@@ -349,8 +497,9 @@ def segment_exact_device_T(data, loci, W, max_bp, pseudo_count,
     ch, cl, ok = _exact_cost_pairs(
         jnp.asarray(pm), jnp.asarray(pt),
         jnp.asarray(loci, dtype=jnp.int32),
-        jnp.asarray(tbl), W, int(max_bp) if max_bp else 0)
-    ks = np.asarray(_dp_exact_pairs(ch, cl, ok, W))
+        _device_table(pseudo_count, tbl), Wb,
+        int(max_bp) if max_bp else 0)
+    ks = np.asarray(_dp_exact_pairs(ch, cl, ok, Wb))
     T = np.empty(n + 1, dtype=np.int64)
     T[0] = 0
     T[1:] = ks
