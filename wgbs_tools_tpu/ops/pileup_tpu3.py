@@ -80,6 +80,21 @@ def _g_max():
 # class default; ROW_CHUNK is the single-class grid's default.
 
 
+def _unpack_words(words, rc):
+    """(rc, 8) packed int32 -> (rc, SB) 2-bit codes, lane l = field l//8 of
+    word l%8 (the host placement layout).
+
+    Probed alternative (round 5): a single broadcasted variable shift
+    `(words[:, None, :] >> 2*iota) & 3` followed by a (rc, 16, 8) ->
+    (rc, 128) reshape — Mosaic rejects the shape cast
+    ("infer-vector-layout: unsupported shape cast" on
+    vector<16x16x8xi32> -> vector<16x128xi32>), so the 16-way
+    shift+mask+lane-concat chain remains the only lowering this
+    toolchain accepts."""
+    return jnp.concatenate(
+        [(words >> (2 * j)) & 3 for j in range(16)], axis=1)
+
+
 def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
             acc_m, acc_c, sem_out, *, tile, rc, g_max):
     i = pl.program_id(0)
@@ -100,9 +115,8 @@ def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
         base_g = meta_blk[0, 1, rc - 1] - g_max  # stashed in the padding row
 
         words = words_blk[...]
-        work = jnp.concatenate(
-            [(words >> (2 * j)) & 3 for j in range(16)], axis=1
-        )  # (rc, SB) — codes pre-placed at their in-sub-block offsets
+        # (rc, SB) — codes pre-placed at their in-sub-block offsets
+        work = _unpack_words(words, rc)
         observed = work != CODE_DOT
         meth_call = observed & (work != 0)  # codes 1 (C) and 2 (H)
 
@@ -162,9 +176,8 @@ def _kernel_flat(ctile_ref, meta_blk, words_blk, meth_out, cov_out,
     base_g = meta_blk[0, 1, rc - 1] - g_max  # stashed in the padding row
 
     words = words_blk[...]
-    work = jnp.concatenate(
-        [(words >> (2 * j)) & 3 for j in range(16)], axis=1
-    )  # (rc, SB) — codes pre-placed at their in-sub-block offsets
+    # (rc, SB) — codes pre-placed at their in-sub-block offsets
+    work = _unpack_words(words, rc)
     observed = work != CODE_DOT
     meth_call = observed & (work != 0)  # codes 1 (C) and 2 (H)
 
