@@ -429,11 +429,14 @@ def segment_windows_fast(datas, locis, max_cpg=1000, max_bp=2000,
 def _use_exact_device():
     """Policy for running exact mode's DP on the accelerator.
 
-    Opt-in via WGBS_TPU_SEGMENT_EXACT_DEVICE=1 (or auto: =auto uses the
-    device whenever a real TPU backend is present — uploads are tiny
-    (prefix sums + a one-time ll table) so unlike device calling this path
-    is compute-dominated even over a slow link; see BENCHMARKS.md for the
-    measured crossover)."""
+    Opt-in via WGBS_TPU_SEGMENT_EXACT_DEVICE=1 (=auto enables it whenever
+    a real TPU backend is present). The shipped default stays the host
+    C++ path: the round-5 genome-wide four-way (BENCH_SEG4_r05.json)
+    measured host-exact 65 s on 2 threads vs device-exact 134 s on this
+    tunneled chip (borders identical) — the host path scales with cores
+    while the device row is mostly beta IO + compiles + stitching around
+    a 95 ms/window kernel. Turn it on when host cores are the scarce
+    resource."""
     import os
 
     v = os.environ.get("WGBS_TPU_SEGMENT_EXACT_DEVICE", "0").lower()

