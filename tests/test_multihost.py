@@ -249,3 +249,109 @@ def test_bai_chrom_weights(tmp_path, mini_genome):
     w = _bam_chrom_weights(bam, chroms, mini_genome.index)
     assert w[chroms[0]] == 8001.0  # 9000 - 1000 + 1
     assert all(w[c] == 1.0 for c in chroms[1:])
+
+
+def _make_bai(bam):
+    """Minimal .bai for a coordinate-sorted test BAM: one bin per ref with
+    one chunk spanning the ref's records (real virtual offsets computed
+    from the BGZF block table)."""
+    import struct
+
+    from wgbs_tools_tpu.native import bgzf_decompress_native
+
+    raw = open(bam, "rb").read()
+    blocks = []  # (coffset, decompressed start)
+    c = d = 0
+    while c + 18 <= len(raw):
+        bl = struct.unpack_from("<H", raw, c + 16)[0] + 1
+        isize = struct.unpack_from("<I", raw, c + bl - 4)[0]
+        blocks.append((c, d))
+        c += bl
+        d += isize
+    dstarts = [b[1] for b in blocks]
+
+    def voff(doff):
+        import bisect
+
+        j = bisect.bisect_right(dstarts, doff) - 1
+        return (blocks[j][0] << 16) | (doff - dstarts[j])
+
+    buf = bgzf_decompress_native(raw)
+    (l_text,) = struct.unpack_from("<i", buf, 4)
+    pos = 8 + l_text
+    (n_ref,) = struct.unpack_from("<i", buf, pos)
+    pos += 4
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack_from("<i", buf, pos)
+        pos += 4 + l_name + 4
+    spans = [None] * n_ref
+    while pos + 8 <= len(buf):
+        (bs,) = struct.unpack_from("<i", buf, pos)
+        (rid,) = struct.unpack_from("<i", buf, pos + 4)
+        end = pos + 4 + bs
+        if 0 <= rid < n_ref:
+            v0, v1 = voff(pos), voff(end)
+            spans[rid] = ((v0, v1) if spans[rid] is None
+                          else (min(spans[rid][0], v0),
+                                max(spans[rid][1], v1)))
+        pos = end
+    out = b"BAI\x01" + struct.pack("<i", n_ref)
+    for sp in spans:
+        if sp is None:
+            out += struct.pack("<i", 0) + struct.pack("<i", 0)
+        else:
+            out += struct.pack("<i", 1)
+            out += struct.pack("<Ii", 4681, 1)
+            out += struct.pack("<QQ", sp[0], sp[1])
+            out += struct.pack("<i", 0)
+    with open(bam + ".bai", "wb") as f:
+        f.write(out)
+    return spans
+
+
+def test_bam2pat_procs_bai_ranged_decode(tmp_path, mini_genome):
+    """With a .bai present, workers decode only their chromosome block's
+    byte range: the ranged scan returns exactly that ref's records, and
+    the end-to-end --procs output stays identical to single-process."""
+    from tests.bisim import dump_bam, simulate_reads
+    from wgbs_tools_tpu.genome.cpg_index import read_fasta
+    from wgbs_tools_tpu.parallel.multihost import (_bai_ref_begs,
+                                                   run_bam2pat_multiprocess)
+    from wgbs_tools_tpu.pipeline.bam2pat_run import bam2pat
+    from wgbs_tools_tpu.pipeline.bam_columnar import scan_bam_columnar
+
+    rng = np.random.default_rng(31)
+    seqs = read_fasta(mini_genome.join("genome.fa"))
+    reads, _ = simulate_reads(seqs, rng, n_reads=600, paired=True)
+    bam = dump_bam(reads, seqs, str(tmp_path / "rb.bam"))
+    spans = _make_bai(bam)
+    begs = _bai_ref_begs(bam)
+    assert begs is not None and begs[0] is not None
+
+    # ranged scan of ref 1's slice: every scanned record is ref >= 1, and
+    # the ref-1 record count matches the full scan's
+    full = scan_bam_columnar(bam)
+    assert full is not None
+    v0 = begs[1]
+    v1 = begs[2] if len(begs) > 2 and begs[2] is not None else None
+    part = scan_bam_columnar(bam, byte_range=(v0, v1))
+    assert part is not None
+    n_full_r1 = int((full[4][:, 0] == 1).sum())
+    n_part_r1 = int((part[4][:, 0] == 1).sum())
+    assert n_part_r1 == n_full_r1 and n_full_r1 > 0
+    assert int(part[4].shape[0]) < int(full[4].shape[0])
+
+    d1 = tmp_path / "s"
+    d2 = tmp_path / "m"
+    d1.mkdir()
+    d2.mkdir()
+    _, single_pat, _ = bam2pat(bam, genome=mini_genome, out_dir=str(d1))
+    multi_pat = run_bam2pat_multiprocess(bam, out_dir=str(d2),
+                                         num_processes=2, timeout=600)
+    import gzip
+
+    with gzip.open(single_pat) as f:
+        want = f.read()
+    with gzip.open(multi_pat) as f:
+        got = f.read()
+    assert got == want

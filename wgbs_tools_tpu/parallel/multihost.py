@@ -356,6 +356,47 @@ def _bam_chrom_weights(bam_path, chrom_names, idx):
                 for c in chrom_names}
 
 
+def _bai_ref_begs(bam_path):
+    """Per-reference smallest chunk-begin VIRTUAL offset from the .bai
+    (None for refs without alignments), in BAM header ref order — the
+    seek targets for per-worker ranged decode. Returns None when no
+    usable .bai exists."""
+    import struct
+
+    bai = bam_path + ".bai"
+    if not op.isfile(bai):
+        return None
+    try:
+        with open(bai, "rb") as f:
+            data = f.read()
+        if data[:4] != b"BAI\x01":
+            return None
+        off = 4
+        (n_ref,) = struct.unpack_from("<i", data, off)
+        off += 4
+        begs = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, off)
+            off += 4
+            beg = None
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, off)
+                off += 8
+                for _ in range(n_chunk):
+                    cbeg, _cend = struct.unpack_from("<QQ", data, off)
+                    off += 16
+                    if bin_id == 37450:  # pseudo-bin
+                        continue
+                    beg = cbeg if beg is None else min(beg, cbeg)
+            (n_intv,) = struct.unpack_from("<i", data, off)
+            off += 4 + 8 * n_intv
+            begs.append(beg)
+        return begs
+    except Exception as e:
+        logger.info("bam2pat --procs: .bai voffset parse failed (%s)", e)
+        return None
+
+
 def _partition_contiguous(names, weights, n_parts):
     """Split `names` (order preserved) into <= n_parts CONTIGUOUS groups
     with roughly equal total weight. Contiguity matters: per-part pat
@@ -375,19 +416,25 @@ def _partition_contiguous(names, weights, n_parts):
     return parts
 
 
-def bam2pat_part_worker(bam, out_dir, chroms, genome=None, **kw):
+def bam2pat_part_worker(bam, out_dir, chroms, genome=None, byte_range=None,
+                        **kw):
     """Standalone worker: run bam2pat restricted to a CONTIGUOUS block of
     chromosomes; the part pat lands in out_dir. No jax.distributed — the
     bam2pat pipeline is host-bound (decode + calling) with no cross-part
     dependencies (mates pair within a chromosome, exactly as in the
     single-process pipeline and the reference's per-chromosome Pool,
-    ref: src/python/bam2pat.py:303-356)."""
+    ref: src/python/bam2pat.py:303-356). byte_range: optional BAI
+    virtual-offset pair — only that slice of the BAM is decompressed."""
     from ..genome.refdir import Genome
     from ..pipeline.bam2pat_run import bam2pat
 
     g = Genome(genome)
+    if byte_range is not None:
+        byte_range = (int(byte_range[0]),
+                      None if byte_range[1] is None else int(byte_range[1]))
     _, pat_path, _ = bam2pat(bam, genome=g, out_dir=out_dir,
-                             include_chroms=list(chroms), **kw)
+                             include_chroms=list(chroms),
+                             byte_range=byte_range, **kw)
     return pat_path
 
 
@@ -409,10 +456,44 @@ def run_bam2pat_multiprocess(bam, out_dir=".", num_processes=2,
 
     g = Genome(genome)
     idx = g.index
-    present = [c for c in idx.chrom_names if c in set(_bam_ref_names(bam))]
+    ref_names = _bam_ref_names(bam)
+    present = [c for c in idx.chrom_names if c in set(ref_names)]
     weights = _bam_chrom_weights(bam, present, idx)
     parts = _partition_contiguous(present, weights, num_processes)
     out_path = op.join(out_dir, pretty_name(bam) + ".pat.gz")
+
+    # per-worker BYTE ranges from the .bai: each worker decompresses only
+    # its chromosome block's records (plus the header) instead of the
+    # whole BAM — decode then scales 1/N. Requires the BAM's on-disk ref
+    # order (restricted to present chroms) to match genome order, which a
+    # coordinate-sorted BAM against the same reference always satisfies;
+    # otherwise workers fall back to whole-file decode + chrom filter
+    # (identical output either way — the range is a pure IO optimization).
+    begs = _bai_ref_begs(bam)
+    ranges = [None] * len(parts)
+    if begs is not None:
+        beg_of = {n: begs[i] for i, n in enumerate(ref_names)
+                  if i < len(begs)}
+        order_ok = ([c for c in ref_names if c in set(present)] == present)
+        if order_ok:
+            starts = []
+            for chroms in parts:
+                vs = [beg_of.get(c) for c in chroms
+                      if beg_of.get(c) is not None]
+                starts.append(min(vs) if vs else None)
+            for w in range(len(parts)):
+                v0 = starts[w]
+                if v0 is None:
+                    continue
+                v1 = None
+                for w2 in range(w + 1, len(parts)):
+                    if starts[w2] is not None:
+                        v1 = starts[w2]
+                        break
+                ranges[w] = [int(v0), None if v1 is None else int(v1)]
+        else:
+            logger.info("bam2pat --procs: BAM ref order differs from the "
+                        "genome's; using whole-file decode per worker")
 
     with tempfile.TemporaryDirectory() as td:
         procs = []
@@ -424,7 +505,7 @@ def run_bam2pat_multiprocess(bam, out_dir=".", num_processes=2,
             wdir = op.join(td, f"w{w}")
             os.makedirs(wdir)
             params = dict(bam=bam, out_dir=wdir, chroms=chroms,
-                          genome=genome, **kw)
+                          genome=genome, byte_range=ranges[w], **kw)
             pfile = op.join(td, f"w{w}.json")
             with open(pfile, "w") as f:
                 _json.dump(params, f)

@@ -108,7 +108,7 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
             combine_mods=False, whitelist=None, blacklist=None,
             blueprint=False, threads=1, include_flags=None, top_strand=False,
             bottom_strand=False, read_group=None, stream=None,
-            slab_bytes=None):
+            slab_bytes=None, byte_range=None):
     """Convert a BAM to a sorted/collapsed PatFrags batch (and pat.gz file).
 
     Returns (frags, out_path or None, stats). `stream=True` (or BAMs larger
@@ -123,6 +123,8 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     g = genome if genome is not None else Genome(None)
     idx = g.index
 
+    if byte_range is not None:
+        stream = False  # ranged decode is an in-memory columnar feature
     if stream is None and not blueprint and not with_qname and write_output:
         auto = int(os.environ.get("WGBS_TPU_STREAM_BYTES", 256 << 20))
         try:
@@ -161,7 +163,7 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     if not blueprint:
         from .bam_columnar import scan_bam_columnar
 
-        columnar = scan_bam_columnar(bam_path)
+        columnar = scan_bam_columnar(bam_path, byte_range=byte_range)
     if columnar is not None:
         from .bam import parse_tag
         from .bam_columnar import process_chrom_columnar
