@@ -64,24 +64,6 @@ def distributed_init(coordinator, num_processes, process_id,
     return jax
 
 
-def global_sites_mesh():
-    """1-D `sites` mesh over every device of the distributed job, ordered
-    process-major so shard ownership is contiguous per process."""
-    import jax
-    from jax.sharding import Mesh
-
-    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    return Mesh(np.array(devs), axis_names=("sites",))
-
-
-def _allgather_max(value):
-    """Max of a host int across processes (shape agreement for jit calls)."""
-    from jax.experimental import multihost_utils
-
-    return int(np.max(multihost_utils.process_allgather(
-        np.asarray([value], dtype=np.int64))))
-
-
 def pat2beta_worker(pat_path, out_path, nr_sites, lbeta=False,
                     batch_frags=None):
     """Per-process body of the multi-process pat2beta.

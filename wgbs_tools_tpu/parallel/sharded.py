@@ -2,11 +2,19 @@
 over a (samples, sites) device mesh.
 
 Mapping from the reference's process parallelism (see parallel/mesh.py):
-fragments are bucketed by the site-shard containing their start; boundary-
-crossing reads contribute to the next shard via a halo `ppermute` (replacing
-the order-preserving file concat of bam2pat.py:398-422); multi-sample
-segmentation costs reduce with `psum` over the samples axis (replacing the
-in-process dataset loop of segmentor.cpp:120-135).
+fragments shard by site range; multi-sample segmentation costs reduce
+with `psum` over the samples axis (replacing the in-process dataset loop
+of segmentor.cpp:120-135). Two pileup forms ship:
+
+- ShardedPileupV3 (the TPU production path): fragments CLIPPED at shard
+  boundaries on the host, the row-packed v3 Pallas kernel dispatched per
+  mesh device — no halo collective at all, 93.5% of the single-chip
+  flat-grid rate through the sharded path.
+- ShardedPileup (CPU meshes / A/B): XLA scatter per shard with boundary-
+  crossing reads riding a halo `ppermute` (replacing the order-preserving
+  file concat of bam2pat.py:398-422).
+
+Both are bit-identical to the single-device pileup (integer adds).
 """
 
 import functools
