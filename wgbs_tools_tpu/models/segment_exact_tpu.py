@@ -343,6 +343,20 @@ def _exact_batch_ring(pm, pt, loci, tbl, W, max_bp):
         jnp.moveaxis(ok, 0, 1), W)
 
 
+@partial(jax.jit, static_argnames=("W", "max_bp"))
+def _exact_batch_ring_raw(data, loci, tbl, W, max_bp):
+    """As _exact_batch_ring but fed the RAW (B, K, n, 2) count tensor:
+    the wraparound prefix sums run ON DEVICE (int32 cumsum wraps mod 2^32
+    exactly like the host's int64-then-mask chain), so the h2d ships the
+    narrow count bytes instead of 4x-wider precomputed prefix pairs —
+    on slow links the transfer was a third of the genome-wide wall."""
+    d32 = data.astype(jnp.int32)
+    ps = jnp.concatenate(
+        [jnp.zeros((d32.shape[0], d32.shape[1], 1, 2), jnp.int32),
+         jnp.cumsum(d32, axis=2)], axis=2)
+    return _exact_batch_ring(ps[..., 0], ps[..., 1], loci, tbl, W, max_bp)
+
+
 def _dp_exact_batched(Ch, Cl, ok, W, unroll=8):
     """Explicitly batched DP over (B, n, W) cost pairs.
 
@@ -441,19 +455,15 @@ def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
     Wb = min(W, _round_width(max(
         max_band_width(locis[w], W, max_bp) for w in elig)))
 
-    def prep(w):
-        ps = np.concatenate(
-            [np.zeros((K, 1, 2), np.int64),
-             np.cumsum(datas[w].astype(np.int64), axis=1)], axis=1)
-        return ((ps[:, :, 0] & 0xFFFFFFFF).astype(np.uint32).view(np.int32),
-                (ps[:, :, 1] & 0xFFFFFFFF).astype(np.uint32).view(np.int32))
-
+    # ship the counts in their narrow on-disk dtype; the wraparound
+    # prefix sums run on device (_exact_batch_ring_raw) — 4x less h2d
+    # than precomputed int32 prefix pairs
+    ship = datas if datas.dtype.itemsize <= 4 else datas.astype(np.int32)
     for lo in range(0, len(elig), batch):
         sel = elig[lo : lo + batch]
         padded = sel + [sel[0]] * (batch - len(sel))
-        pms, pts = zip(*(prep(w) for w in padded))
-        ks = np.asarray(_exact_batch_ring(
-            jnp.asarray(np.stack(pms)), jnp.asarray(np.stack(pts)),
+        ks = np.asarray(_exact_batch_ring_raw(
+            jnp.asarray(ship[padded]),
             jnp.asarray(locis[padded], dtype=jnp.int32), tbl, Wb,
             int(max_bp) if max_bp else 0))
         for j, w in enumerate(sel):
