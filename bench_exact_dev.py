@@ -134,3 +134,25 @@ if os.environ.get("BE_BATCH"):
         ts.append(time.perf_counter() - t0)
     dt = sorted(ts)[len(ts)//2]
     print(f"batched B={B}: {dt*1e3:.0f} ms total, {dt/B*1e3:.0f} ms/window")
+
+if os.environ.get("BE_PROD"):
+    # the production entry (segment_exact_device_batch) end to end,
+    # including h2d of the raw counts and d2h of the tracebacks
+    from wgbs_tools_tpu.models.segment_exact_tpu import (
+        segment_exact_device_batch)
+
+    B = int(os.environ.get("BE_B", 16))
+    datas = np.broadcast_to(data.astype(np.uint8),
+                            (B,) + data.shape).copy()
+    locis = np.broadcast_to(loci, (B, N)).copy()
+    Ts = segment_exact_device_batch(datas, locis, W, MAX_BP, 15.0, batch=B)
+    assert all(t is not None for t in Ts)
+    ts = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        Ts = segment_exact_device_batch(datas, locis, W, MAX_BP, 15.0,
+                                        batch=B)
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts)//2]
+    print(f"prod batch B={B}: {dt*1e3:.0f} ms total, "
+          f"{dt/B*1e3:.0f} ms/window (incl. h2d + traceback d2h)")
