@@ -433,7 +433,6 @@ def run_bam2pat_multiprocess(bam, out_dir=".", num_processes=2,
     import tempfile
 
     from ..genome.refdir import Genome
-    from ..pipeline.bam_columnar import scan_bam_columnar  # noqa: F401
     from ..utils import pretty_name
 
     g = Genome(genome)
