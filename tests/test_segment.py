@@ -291,3 +291,31 @@ def test_exact_native_malformed_meth_gt_cov():
                           pseudo_count=15.0, mode="exact")
     assert res[0] == 0 and res[-1] == n
     assert np.all(np.diff(res) > 0)
+
+
+def test_fast_stitch_batched_matches_serial(beta_fixture):
+    """The batched patch stitcher (one device launch per round) produces
+    exactly the serial _stitch_2 result."""
+    from wgbs_tools_tpu.models.segment import (_seg_fn, break_to_chunks,
+                                               finalize_segmentation,
+                                               segment_chunks,
+                                               segment_ranges)
+
+    paths, datas, loci = beta_fixture
+    n = datas.shape[1]
+
+    class FakeIndex:
+        pass
+
+    fake = FakeIndex()
+    fake.loci = loci.astype(np.int64)
+    cfg = SegmentConfig(max_cpg=150, max_bp=3000, pseudo_count=15.0,
+                        chunk_size=700, mode="fast")
+    st, en = segment_ranges(paths, [(1, n + 1)], fake, cfg)  # batched
+
+    tags, chunks = break_to_chunks([(1, n + 1)], cfg.chunk_size)
+    results = segment_chunks(paths, chunks, fake, cfg)
+    st2, en2 = finalize_segmentation(tags, chunks, results,
+                                     _seg_fn(paths, fake, cfg), cfg)
+    assert st.tolist() == st2.tolist()
+    assert en.tolist() == en2.tolist()
