@@ -122,6 +122,16 @@ def main(argv):
                     top_strand=args.top_strand,
                     bottom_strand=args.bottom_strand,
                     read_group=args.read_group, stream=args.stream)
+                if args.read_group and pat_path and op.isfile(pat_path):
+                    # same RG-suffix rename as the single-process path
+                    # (ref: bam2pat.py:406-407)
+                    import os
+
+                    os.replace(pat_path, out_pat)
+                    for ext in (".cdx", ".cdx.npz", ".csi"):
+                        if op.isfile(pat_path + ext):
+                            os.replace(pat_path + ext, out_pat + ext)
+                    pat_path = out_pat
                 if not args.no_beta and pat_path:
                     pat2beta(pat_path, args.out_dir, genome=g,
                              lbeta=args.lbeta)

@@ -147,7 +147,9 @@ def _gather_tbl(tbl, idx):
     if os.environ.get("WGBS_TPU_LL_GATHER") == "take":
         return jnp.take(tbl, idx)
     n, Wd = idx.shape
-    CH = 2048
+    # bound the materialized (CH, Wd, 128) row tensor to ~134 MB even when
+    # max_bp=0 leaves the window unclipped (Wd = max_cpg)
+    CH = max(256, 2048 * 128 // max(Wd, 1))
     n_pad = -(-n // CH) * CH
     if n_pad != n:
         idx = jnp.pad(idx, ((0, n_pad - n), (0, 0)))

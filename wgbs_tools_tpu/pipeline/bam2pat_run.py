@@ -163,7 +163,9 @@ def bam2pat(bam_path, genome=None, out_dir=".", region=None, min_mapq=MIN_MAPQ,
     if not blueprint:
         from .bam_columnar import scan_bam_columnar
 
-        columnar = scan_bam_columnar(bam_path, byte_range=byte_range)
+        columnar = (scan_bam_columnar(bam_path, byte_range=byte_range)
+                    if byte_range is not None
+                    else scan_bam_columnar(bam_path))
     if columnar is not None:
         from .bam import parse_tag
         from .bam_columnar import process_chrom_columnar
