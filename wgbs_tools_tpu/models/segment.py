@@ -472,10 +472,14 @@ def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
 
     if mode == "exact":
         T = None
-        if _use_exact_device():
-            # device path: ll-table lookups + software IEEE-double DP
-            # (segment_exact_tpu.py) — bit-identical to the host chain;
-            # returns None for ineligible windows (host handles those)
+        # device path: ll-table lookups + software IEEE-double DP
+        # (segment_exact_tpu.py) — bit-identical to the host chain; returns
+        # None for ineligible windows (host handles those). Small windows
+        # (stitch patches: data-dependent ~100-400-site sizes) stay on the
+        # host — each DISTINCT size would compile a fresh device program,
+        # and the remote compiles dwarfed the whole genome-wide run
+        # (measured 107.8 -> 446 s variance before this gate)
+        if n >= 4096 and _use_exact_device():
             from .segment_exact_tpu import segment_exact_device_T
 
             T = segment_exact_device_T(data, loci, W, max_bp, pseudo_count)

@@ -459,7 +459,12 @@ def segment_exact_device_batch(datas, locis, W, max_bp, pseudo_count,
 
     # ship the counts in their narrow on-disk dtype; the wraparound
     # prefix sums run on device (_exact_batch_ring_raw) — 4x less h2d
-    # than precomputed int32 prefix pairs
+    # than precomputed int32 prefix pairs. Batches run SYNCHRONOUSLY:
+    # dispatching all launches before the first fetch (async-dispatch
+    # pipelining) measured 3x SLOWER genome-wide on the tunneled chip
+    # (354.7 s vs 107.8 s, same blocks) — deep dispatch queues behave
+    # pathologically on this transport, matching the round-3 finding for
+    # the pileup flush.
     ship = datas if datas.dtype.itemsize <= 4 else datas.astype(np.int32)
     for lo in range(0, len(elig), batch):
         sel = elig[lo : lo + batch]
