@@ -733,4 +733,29 @@ int64_t place_pack_rows(const uint8_t* codes, int64_t W, int64_t P,
     return P;
 }
 
+// Per-LANE repeat counts for the count-agnostic v3 row packing: write each
+// piece's count (< 256) into the 8-bit field of its lanes, 4 lanes per
+// int32 word (lane l -> word l%32, byte l/32 — mirroring the code layout's
+// word l%8 / field l/8). words must be zero-initialized ((R, 32) int32).
+int64_t place_counts_rows(const int32_t* p_cnt, const int32_t* p_rr,
+                          const int32_t* p_len, const int32_t* piece_row,
+                          int64_t P, int32_t* words) {
+    constexpr int64_t W_COLS = 32;
+    for (int64_t p = 0; p < P; p++) {
+        int32_t* row = words + (int64_t)piece_row[p] * W_COLS;
+        const int64_t rr = p_rr[p], len = p_len[p];
+        if (rr < 0 || len < 0 || rr + len > 128) return -1;
+        if (p_cnt[p] < 0 || p_cnt[p] > 255) return -1;
+        const uint32_t c = (uint32_t)p_cnt[p];
+        for (int64_t j = 0; j < len; j++) {
+            const int64_t pos = rr + j;
+            const uint32_t s = (uint32_t)(8 * (pos >> 5));
+            int32_t* w = row + (pos & 31);
+            const uint32_t wu = ((uint32_t)*w & ~(0xFFu << s)) | (c << s);
+            *w = (int32_t)wu;
+        }
+    }
+    return P;
+}
+
 }  // extern "C"

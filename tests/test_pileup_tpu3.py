@@ -187,3 +187,50 @@ def test_native_place_pack_matches_numpy(monkeypatch):
             assert np.array_equal(a, b)
         else:
             assert a == b
+
+
+def test_v3_high_counts_exact(rng):
+    """Counts past 256 must survive the one-hot strip matmul exactly.
+
+    Regression: the default-precision f32 dot lowers to a single bf16
+    pass (TPU MXU and XLA:CPU alike), silently rounding any count or
+    per-site strip sum past 256 — found as an off-by-one on a count-293
+    fragment. Precision.HIGHEST restores exact integer sums < 2^24."""
+    from wgbs_tools_tpu.ops.pileup import pileup_xla
+
+    frags = random_frags(rng, 300, 4000, max_len=10, max_count=3000,
+                         dot_rate=0.1, h_rate=0.05)
+    got = pileup_pallas_v3(frags.start, frags.length, frags.count,
+                           frags.codes, 1, 4000)
+    exp = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                     1, 4000)
+    assert (got == exp).all()
+
+
+def test_v3_lane_counts_exact(rng, monkeypatch):
+    """Count-agnostic row packing + per-lane 8-bit counts
+    (WGBS_TPU_V3_LANE_COUNTS=1): fewer rows, bit-identical output; counts
+    past 255 fall back to the classic per-count-row staging."""
+    from wgbs_tools_tpu.ops.pileup import pileup_xla
+    from wgbs_tools_tpu.ops.pileup_tpu3 import stage_v3
+
+    frags = random_frags(rng, 4000, 30000, max_len=16, max_count=5,
+                         dot_rate=0.05, h_rate=0.02)
+    exp = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                     1, 30000)
+    monkeypatch.setenv("WGBS_TPU_V3_LANE_COUNTS", "1")
+    got = pileup_pallas_v3(frags.start, frags.length, frags.count,
+                           frags.codes, 1, 30000)
+    assert (got == exp).all()
+
+    # the lane form really packs deeper: compare row counts directly
+    st_lane = stage_v3(frags.start, frags.length, frags.count, frags.codes,
+                       1, 30000, lane_counts=True)
+    st_classic = stage_v3(frags.start, frags.length, frags.count,
+                          frags.codes, 1, 30000, lane_counts=False)
+    def rows(st):
+        # real rows carry a nonzero count in meta[:, 0] (1s in lane mode)
+        return sum(int((t[2][:, 0] > 0).sum())
+                   for t in (st if isinstance(st, list) else [st]))
+
+    assert rows(st_lane) < rows(st_classic)

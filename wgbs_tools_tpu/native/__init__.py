@@ -86,6 +86,9 @@ def _bind_symbols(lib):
     lib.place_pack_rows.restype = i64
     lib.place_pack_rows.argtypes = [ctypes.c_void_p, i64, i64] \
         + [ctypes.c_void_p] * 6
+    lib.place_counts_rows.restype = i64
+    lib.place_counts_rows.argtypes = [ctypes.c_void_p] * 4 + [i64] \
+        + [ctypes.c_void_p]
 
 
 def _ptr(arr, ctype):
@@ -434,6 +437,27 @@ def place_pack_native(codes, p_src, p_off, p_rr, p_len, piece_row, words):
         ctypes.c_int64(p_src.shape[0]), p_src.ctypes.data,
         p_off.ctypes.data, p_rr.ctypes.data, p_len.ctypes.data,
         piece_row.ctypes.data, words.ctypes.data)
+    return None if got < 0 else int(got)
+
+
+def place_counts_native(p_cnt, p_rr, p_len, piece_row, cnt_words):
+    """Per-lane repeat counts for the count-agnostic v3 packing: write each
+    piece's count (< 256) into its lanes' 8-bit fields of the (R, 32)
+    int32 word matrix (zero-initialized by the caller). Returns the piece
+    count, or None when the library is unavailable / a count exceeds 255
+    (the caller then stays on the per-count-row classic path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    p_cnt = np.ascontiguousarray(p_cnt, dtype=np.int32)
+    p_rr = np.ascontiguousarray(p_rr, dtype=np.int32)
+    p_len = np.ascontiguousarray(p_len, dtype=np.int32)
+    piece_row = np.ascontiguousarray(piece_row, dtype=np.int32)
+    assert cnt_words.dtype == np.int32 and cnt_words.flags.c_contiguous
+    got = lib.place_counts_rows(
+        p_cnt.ctypes.data, p_rr.ctypes.data, p_len.ctypes.data,
+        piece_row.ctypes.data, ctypes.c_int64(p_cnt.shape[0]),
+        cnt_words.ctypes.data)
     return None if got < 0 else int(got)
 
 

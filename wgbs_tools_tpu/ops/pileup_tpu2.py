@@ -114,8 +114,17 @@ def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
         onehot = (
             dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, fc), 0)
         ).astype(jnp.float32)
-        strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
-        strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+        # Precision.HIGHEST is LOAD-BEARING: the default f32 dot runs a
+        # single-bf16-pass matmul on TPU (and XLA:CPU), which rounds any
+        # count/strip value past 256 — found as an off-by-one on
+        # count-295 fragments. With HIGHEST each f32 operand's exact
+        # multi-bf16 expansion is accumulated in f32, so one-hot sums of
+        # integers < 2^24 are exact (regression: test_pileup_tpu3.py::
+        # test_v3_high_counts_exact).
+        strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
         off0 = base_g * SB - i * tile
         # NOTE: unrolled on purpose — a fori_loop needs dynamic_slice on the

@@ -125,8 +125,17 @@ def _kernel(c0_ref, c1_ref, meta_blk, words_blk, meth_out, cov_out,
         onehot = (
             dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
         ).astype(jnp.float32)
-        strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
-        strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+        # Precision.HIGHEST is LOAD-BEARING: the default f32 dot runs a
+        # single-bf16-pass matmul on TPU (and XLA:CPU), which rounds any
+        # count/strip value past 256 — found as an off-by-one on
+        # count-295 fragments. With HIGHEST each f32 operand's exact
+        # multi-bf16 expansion is accumulated in f32, so one-hot sums of
+        # integers < 2^24 are exact (regression: test_pileup_tpu3.py::
+        # test_v3_high_counts_exact).
+        strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+        strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
 
         off0 = base_g * SB - i * tile
         for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
@@ -186,8 +195,11 @@ def _kernel_flat(ctile_ref, meta_blk, words_blk, meth_out, cov_out,
     onehot = (
         dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
     ).astype(jnp.float32)
-    strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
-    strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: see _kernel — exactness past count 256
+    strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     off0 = base_g * SB - t * tile
     for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
@@ -282,6 +294,120 @@ def _flat_args(c0, c1, n_chunks):
     return ctile, (lens > 0)
 
 
+def _kernel_flat_lc(ctile_ref, meta_blk, words_blk, cnts_blk, meth_out,
+                    cov_out, acc_m, acc_c, sem_out, *, tile, rc, g_max):
+    """Flat grid with per-LANE repeat counts (count-agnostic row packing):
+    identical to _kernel_flat except the (rc, 1) per-row count broadcast
+    becomes a 4-way 8-bit unpack of the (rc, 32) count words — pieces of
+    different counts share rows, so the chunk count (and the launch) shrink
+    by the packing factor. Bit-exactness: same f32 one-hot matmul bound
+    (per-site per-chunk count sums < 2^24)."""
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+    t = ctile_ref[c]
+    dg = meta_blk[0, 1].reshape(rc)
+    base_g = meta_blk[0, 1, rc - 1] - g_max  # stashed in the padding row
+
+    words = words_blk[...]
+    # (rc, SB) — codes pre-placed at their in-sub-block offsets
+    work = _unpack_words(words, rc)
+    observed = work != CODE_DOT
+    meth_call = observed & (work != 0)  # codes 1 (C) and 2 (H)
+
+    cw = cnts_blk[...]
+    cnts = jnp.concatenate(
+        [(cw >> (8 * j)) & 255 for j in range(4)], axis=1)  # (rc, SB)
+
+    mv = jnp.where(meth_call, cnts, 0).astype(jnp.float32)
+    cv = jnp.where(observed, cnts, 0).astype(jnp.float32)
+    onehot = (
+        dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
+    ).astype(jnp.float32)
+    # Precision.HIGHEST: see _kernel — exactness past count 256
+    strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    off0 = base_g * SB - t * tile
+    for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
+        off = off0 + g * SB
+        ok = (off >= 0) & (off + SB <= tile)
+        offc = pl.multiple_of(jnp.clip(off, 0, tile - SB), SB)
+        acc_m[:, pl.ds(offc, SB)] += \
+            jnp.where(ok, strips_m[g], 0.0).astype(jnp.int32)[None]
+        acc_c[:, pl.ds(offc, SB)] += \
+            jnp.where(ok, strips_c[g], 0.0).astype(jnp.int32)[None]
+
+    flush = (c == n_c - 1) | (ctile_ref[c + 1] != t)
+
+    @pl.when(flush)
+    def _():
+        cp_m = pltpu.make_async_copy(acc_m, meth_out.at[t], sem_out.at[0])
+        cp_c = pltpu.make_async_copy(acc_c, cov_out.at[t], sem_out.at[1])
+        cp_m.start()
+        cp_c.start()
+        cp_m.wait()
+        cp_c.wait()
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_len", "tile", "rc", "g_max", "interpret"),
+)
+def _call_flat_lc(ctile, covered, meta, words, cnts, window_len, tile, rc,
+                  g_max, interpret=False):
+    num_tiles = (window_len + tile - 1) // tile
+
+    def meta_idx(c, ctile_ref):
+        return (c, 0, 0)
+
+    def words_idx(c, ctile_ref):
+        return (c, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(meta.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 2, rc), meta_idx),
+            pl.BlockSpec((rc, words.shape[1]), words_idx),
+            pl.BlockSpec((rc, cnts.shape[1]), words_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_flat_lc, tile=tile, rc=rc,
+                               g_max=g_max)
+    meth, cov = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ctile, meta, words, cnts)
+    cvr = covered[:, None, None]
+    meth = jnp.where(cvr, meth, 0)
+    cov = jnp.where(cvr, cov, 0)
+    return meth.reshape(-1)[:window_len], cov.reshape(-1)[:window_len]
+
+
 def call_staged(staged, window_len, interpret=False, grid="flat"):
     """Dispatch a staged tuple (from stage_v3 — carries its own geometry)
     to a kernel grid: 'flat' (default, one step per chunk) or 'tiled' (the
@@ -289,6 +415,16 @@ def call_staged(staged, window_len, interpret=False, grid="flat"):
     (A double-buffered-flush variant was built and measured slower than
     the synchronous flush — 317 vs 510 M frags/s — and removed; the
     per-step cost is not the flush DMA wait.)"""
+    if len(staged) == 9:  # lane-count form (flat grid only)
+        c0, c1, meta, words, cnts, max_chunks, tile, rc, g_max = staged
+        if grid == "tiled":
+            raise ValueError("lane-count staging has no tiled-grid kernel; "
+                             "unset WGBS_TPU_V3_LANE_COUNTS for tiled A/B")
+        ctile, covered = _flat_args(c0, c1, meta.shape[0])
+        return _call_flat_lc(jnp.asarray(ctile), jnp.asarray(covered),
+                             jnp.asarray(meta), jnp.asarray(words),
+                             jnp.asarray(cnts), window_len, tile, rc,
+                             g_max, interpret)
     c0, c1, meta, words, max_chunks, tile, rc, g_max = staged
     if grid == "tiled":
         return _call(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
@@ -374,8 +510,20 @@ def _prep_window(start, length, count, codes, window_start, window_len):
     return rel, length, count, codes
 
 
+def _env_lane_counts():
+    """WGBS_TPU_V3_LANE_COUNTS=1: pack rows count-agnostically and carry
+    per-LANE 8-bit repeat counts instead of one count per row. Pieces of
+    different counts then share rows, cutting the row count (measured
+    1.36x at the headline workload: 504k -> 370k rows) at the price of an
+    extra (rc, 32) count-word input and a 4-way 8-bit unpack in the
+    kernel. Only the flat grid implements it; counts >= 256 fall back to
+    the classic per-count-row form."""
+    return _os.environ.get("WGBS_TPU_V3_LANE_COUNTS", "0") not in ("0", "")
+
+
 def stage_v3(start, length, count, codes, window_start, window_len,
-             tile=None, rc=None, g_max=None, classes=None):
+             tile=None, rc=None, g_max=None, classes=None,
+             lane_counts=None):
     """Host staging: window prep, sub-block split, native row packing,
     code placement, chunking. Returns (c0, c1, meta, words, max_chunks,
     tile, rc, g_max) — the tuple carries its geometry so call_staged can
@@ -436,8 +584,15 @@ def stage_v3(start, length, count, codes, window_start, window_len,
                                p_cnt[order])
     p_src, p_off = p_src[order], p_off[order]
 
-    packed = pack_rows_native(p_g, p_cnt, p_rr, p_len) if F else \
-        (np.zeros(0, np.int32),) * 3
+    if lane_counts is None:
+        lane_counts = _env_lane_counts()
+    lane_counts = bool(lane_counts and F
+                       and int(p_cnt.max(initial=0)) < 256)
+    if F:
+        pk_cnt = np.ones_like(p_cnt) if lane_counts else p_cnt
+        packed = pack_rows_native(p_g, pk_cnt, p_rr, p_len)
+    else:
+        packed = (np.zeros(0, np.int32),) * 3
     if packed is None:
         return None
     piece_row, row_g, row_count = packed
@@ -480,6 +635,15 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         all_words = (planar_pack_cols(rowmat, SB // 16) if R else
                      np.zeros((0, SB // 16), dtype=np.int32))
 
+    all_cnts = None
+    if lane_counts:
+        from ..native import place_counts_native
+
+        all_cnts = np.zeros((max(R, 1), SB // 4), dtype=np.int32)
+        if place_counts_native(p_cnt, p_rr, p_len, piece_row,
+                               all_cnts) is None:
+            return None  # rows were packed count-agnostically; no mixing
+
     # chunking over rows: bounded rows, sub-block span, single tile
     row_tile = row_g // tile_sb
     breaks = [0]
@@ -499,7 +663,8 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     num_tiles = (window_len + tile - 1) // tile
     if classes is None:
         return _assemble_class(row_g, row_tile, row_count, all_words,
-                               bstarts, bends, rc, g_max, tile, num_tiles, R)
+                               bstarts, bends, rc, g_max, tile, num_tiles,
+                               R, all_cnts=all_cnts)
     out = []
     lens_c = bends - bstarts
     lo = 0
@@ -510,15 +675,17 @@ def stage_v3(start, length, count, codes, window_start, window_len,
             else (lens_c > lo)
         out.append(_assemble_class(
             row_g, row_tile, row_count, all_words, bstarts[sel], bends[sel],
-            rc_c, g_max, tile, num_tiles, R))
+            rc_c, g_max, tile, num_tiles, R, all_cnts=all_cnts))
         lo = rc_c - 1
     return out
 
 
 def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
-                    rc, g_max, tile, num_tiles, R):
+                    rc, g_max, tile, num_tiles, R, all_cnts=None):
     """Build one staged tuple from a (sorted, disjoint) subset of chunk row
-    ranges. Shared by the single-class stage_v3 and stage_v3_classes."""
+    ranges. Shared by the single-class stage_v3 and stage_v3_classes.
+    With all_cnts (lane-count mode) the tuple gains the (n_chunks*rc, 32)
+    count-word matrix after `words` (9 fields instead of 8)."""
     n_real = max(bstarts.shape[0], 1)
     gran = 1 << max(4, n_real.bit_length() - 3)
     n_chunks = (n_real + gran - 1) // gran * gran
@@ -527,6 +694,8 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
     meta = np.zeros((n_chunks, 2, rc), dtype=np.int32)
     meta[:, 1, :] = g_max  # padding rows select no one-hot group
     words = np.full((n_chunks * rc, w_cols), -1, dtype=np.int32)  # all '.'
+    cnts = (np.zeros((n_chunks * rc, SB // 4), dtype=np.int32)
+            if all_cnts is not None else None)
     if R and bstarts.shape[0]:
         lens_c = bends - bstarts
         ci_arr = np.repeat(np.arange(bstarts.shape[0]), lens_c)
@@ -542,6 +711,8 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
         # so the padding default there still selects no group after decode)
         meta[: bstarts.shape[0], 1, rc - 1] = base_g + g_max
         words[ci_arr * rc + pos_arr] = all_words[rows]
+        if cnts is not None:
+            cnts[ci_arr * rc + pos_arr] = all_cnts[rows]
         chunk_tile = row_tile[bstarts]
     else:
         chunk_tile = np.zeros(n_real, dtype=np.int64)
@@ -554,6 +725,9 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
         c1 = np.zeros(num_tiles, dtype=np.int64)
     max_chunks = max(int((c1 - c0).max(initial=1)), 1)
     max_chunks = 1 << (max_chunks - 1).bit_length()
+    if cnts is not None:
+        return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
+                cnts, max_chunks, tile, rc, g_max)
     return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
             max_chunks, tile, rc, g_max)
 
@@ -578,8 +752,11 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
     if packed:
         codes = unpack_codes(np.asarray(codes))
     classes = _env_classes()
+    grid = _os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
+    # lane-count packing has a flat-grid kernel only
+    lane = _env_lane_counts() and grid == "flat"
     staged = stage_v3(start, length, count, codes, window_start, window_len,
-                      classes=classes)
+                      classes=classes, lane_counts=lane)
     if staged is None:  # native packer unavailable: v2 does the same job
         from .pileup_tpu2 import pileup_pallas_v2
 
@@ -588,7 +765,6 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
                                 to_host=to_host)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    grid = _os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
     if classes is None:
         meth, cov = call_staged(staged, window_len, interpret, grid)
     else:
