@@ -112,20 +112,30 @@ def _device_runner(frags, n_sites):
                              frags.codes, 1, n_sites, classes=classes)
     if staged is not None and isinstance(staged, list):
         # row-count-class dispatch (WGBS_TPU_V3_CLASSES): stage device args
-        # per class, dispatch all grids per run, sum on device
+        # per class, dispatch all grids per run, sum on device. 9-field
+        # tuples are the lane-count form (WGBS_TPU_V3_LANE_COUNTS=1).
         runs = []
         for st in staged:
-            c0, c1, meta, words, mc, tile, rc, g_max = st
+            if len(st) == 9:
+                c0, c1, meta, words, cnts, mc, tile, rc, g_max = st
+                dcnts = jnp.asarray(cnts)
+            else:
+                c0, c1, meta, words, mc, tile, rc, g_max = st
+                dcnts = None
             ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
             runs.append((jnp.asarray(ctile), jnp.asarray(covered),
-                         jnp.asarray(meta), jnp.asarray(words), tile, rc,
-                         g_max))
+                         jnp.asarray(meta), jnp.asarray(words), dcnts,
+                         tile, rc, g_max))
 
         def run():
             meth = cov = None
-            for ct, cv, me, wo, tile, rc, g_max in runs:
-                m, c = p3._call_flat(ct, cv, me, wo, n_sites, tile, rc,
-                                     g_max, interpret)
+            for ct, cv, me, wo, cn, tile, rc, g_max in runs:
+                if cn is not None:
+                    m, c = p3._call_flat_lc(ct, cv, me, wo, cn, n_sites,
+                                            tile, rc, g_max, interpret)
+                else:
+                    m, c = p3._call_flat(ct, cv, me, wo, n_sites, tile, rc,
+                                         g_max, interpret)
                 meth = m if meth is None else meth + m
                 cov = c if cov is None else cov + c
             return meth, cov
@@ -195,11 +205,16 @@ def _sharded_runner(frags, n_sites):
         runs = []
         with jax.default_device(dev):
             for st in (staged if isinstance(staged, list) else [staged]):
-                c0, c1, meta, words, mc, tile, rc, g_max = st
+                if len(st) == 9:
+                    c0, c1, meta, words, cnts, mc, tile, rc, g_max = st
+                    dcnts = jnp.asarray(cnts)
+                else:
+                    c0, c1, meta, words, mc, tile, rc, g_max = st
+                    dcnts = None
                 ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
                 runs.append((jnp.asarray(ctile), jnp.asarray(covered),
-                             jnp.asarray(meta), jnp.asarray(words), tile,
-                             rc, g_max))
+                             jnp.asarray(meta), jnp.asarray(words), dcnts,
+                             tile, rc, g_max))
         per_dev.append((i, dev, runs))
 
     def run():
@@ -207,9 +222,13 @@ def _sharded_runner(frags, n_sites):
         for i, dev, runs in per_dev:
             with jax.default_device(dev):
                 meth = cov = None
-                for ct, cv, me, wo, tile, rc, g_max in runs:
-                    m, c = p3._call_flat(ct, cv, me, wo, acc.S, tile, rc,
-                                         g_max, interpret)
+                for ct, cv, me, wo, cn, tile, rc, g_max in runs:
+                    if cn is not None:
+                        m, c = p3._call_flat_lc(ct, cv, me, wo, cn, acc.S,
+                                                tile, rc, g_max, interpret)
+                    else:
+                        m, c = p3._call_flat(ct, cv, me, wo, acc.S, tile,
+                                             rc, g_max, interpret)
                     meth = m if meth is None else meth + m
                     cov = c if cov is None else cov + c
                 acc.totals[i] = _shard_add(

@@ -113,8 +113,9 @@ def test_v3_flat_vs_tiled_grids(rng):
     ]
     for frags in cases:
         wl = int(frags.start.max()) + 64
+        # classic staging: the tiled grid has no lane-count kernel
         staged = stage_v3(frags.start, frags.length, frags.count,
-                          frags.codes, 1, wl)
+                          frags.codes, 1, wl, lane_counts=False)
         flat = call_staged(staged, wl, interpret=True, grid="flat")
         tiled = call_staged(staged, wl, interpret=True, grid="tiled")
         assert (np.asarray(flat[0]) == np.asarray(tiled[0])).all()
