@@ -204,6 +204,9 @@ def _call_kernel_v2_impl(seqmat, lens, pos1, bottom, k0_rel, nvalid,
     loci_g = jnp.zeros((R, K), dtype=jnp.int32)
     for b in range(4):
         plane = ((tile_pad >> (8 * b)) & 0xFF).astype(jnp.float32)
+        # default (single-bf16-pass) precision is SAFE here, unlike the
+        # pileup strip dots: each one-hot row selects exactly one byte
+        # plane value (< 256, bf16-exact), so the sum has one exact term
         sel = jnp.dot(onehot, _hankel(plane),
                       preferred_element_type=jnp.float32)
         loci_g = loci_g | (sel.astype(jnp.int32) << (8 * b))
