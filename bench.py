@@ -132,7 +132,8 @@ def _device_runner(frags, n_sites):
             for ct, cv, me, wo, cn, tile, rc, g_max in runs:
                 if cn is not None:
                     m, c = p3._call_flat_lc(ct, cv, me, wo, cn, n_sites,
-                                            tile, rc, g_max, interpret)
+                                            tile, rc, g_max, interpret,
+                                            p3._lc_fast_dot())
                 else:
                     m, c = p3._call_flat(ct, cv, me, wo, n_sites, tile, rc,
                                          g_max, interpret)
@@ -225,7 +226,8 @@ def _sharded_runner(frags, n_sites):
                 for ct, cv, me, wo, cn, tile, rc, g_max in runs:
                     if cn is not None:
                         m, c = p3._call_flat_lc(ct, cv, me, wo, cn, acc.S,
-                                                tile, rc, g_max, interpret)
+                                                tile, rc, g_max, interpret,
+                                                p3._lc_fast_dot())
                     else:
                         m, c = p3._call_flat(ct, cv, me, wo, acc.S, tile,
                                              rc, g_max, interpret)

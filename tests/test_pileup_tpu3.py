@@ -235,3 +235,32 @@ def test_v3_lane_counts_exact(rng, monkeypatch):
                    for t in (st if isinstance(st, list) else [st]))
 
     assert rows(st_lane) < rows(st_classic)
+
+
+def test_v3_lane_counts_fast_dot_exact(rng, monkeypatch):
+    """The lane-count kernel's DEFAULT-precision strip dots are bit-exact:
+    every dot input is an integer <= 255 (one bf16 term) and accumulation
+    is f32 — adversarial deep overlap with counts near 255 drives per-chunk
+    strip sums past 2^16 and must still match the integer oracle, under
+    both WGBS_TPU_V3_LC_DOT settings."""
+    from wgbs_tools_tpu.formats.pat import PatFrags
+
+    F = 4000
+    starts = (1 + rng.integers(0, 60, F)).astype(np.int64)
+    lengths = rng.integers(1, 17, F).astype(np.int32)
+    counts = rng.integers(200, 256, F).astype(np.int32)
+    codes = rng.integers(0, 4, (F, 16)).astype(np.uint8)
+    frags = PatFrags(starts, lengths, counts, codes,
+                     np.zeros(F, np.int16), ["chr1"], None)
+    exp = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                     1, 512)
+    # per-site cov sums really exceed 2^16 (the bf16 integer limit is
+    # 256; f32 accumulation is exact to 2^24)
+    assert int(np.asarray(exp)[:, 1].max()) > (1 << 16)
+
+    monkeypatch.setenv("WGBS_TPU_V3_LANE_COUNTS", "1")
+    for mode in ("fast", "highest"):
+        monkeypatch.setenv("WGBS_TPU_V3_LC_DOT", mode)
+        got = pileup_pallas_v3(frags.start, frags.length, frags.count,
+                               frags.codes, 1, 512, interpret=True)
+        assert (np.asarray(got) == np.asarray(exp)).all(), mode

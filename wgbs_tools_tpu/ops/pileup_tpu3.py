@@ -295,7 +295,8 @@ def _flat_args(c0, c1, n_chunks):
 
 
 def _kernel_flat_lc(ctile_ref, meta_blk, words_blk, cnts_blk, meth_out,
-                    cov_out, acc_m, acc_c, sem_out, *, tile, rc, g_max):
+                    cov_out, acc_m, acc_c, sem_out, *, tile, rc, g_max,
+                    fast_dot):
     """Flat grid with per-LANE repeat counts (count-agnostic row packing):
     identical to _kernel_flat except the (rc, 1) per-row count broadcast
     becomes a 4-way 8-bit unpack of the (rc, 32) count words — pieces of
@@ -329,11 +330,22 @@ def _kernel_flat_lc(ctile_ref, meta_blk, words_blk, cnts_blk, meth_out,
     onehot = (
         dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
     ).astype(jnp.float32)
-    # Precision.HIGHEST: see _kernel — exactness past count 256
+    # Unlike the classic kernels (whose per-row counts are unbounded and
+    # need Precision.HIGHEST — see _kernel), EVERY dot input here is an
+    # integer <= 255: stage_v3 gates the lane-count form off whenever any
+    # count >= 256, cnts unpacks 8-bit fields, and onehot is 0/1. Integers
+    # in [0, 256] are exactly representable in a single bf16 term and the
+    # MXU accumulates in f32, so the DEFAULT single-pass dot is bit-exact
+    # for this kernel (verified on-chip against pileup_xla on deep-overlap
+    # count-255 workloads with strip sums past 2^16) at ~1/6 the MXU
+    # passes of HIGHEST. WGBS_TPU_V3_LC_DOT=highest keeps the old form
+    # for A/B.
+    prec = (jax.lax.Precision.DEFAULT if fast_dot
+            else jax.lax.Precision.HIGHEST)
     strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
     strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
 
     off0 = base_g * SB - t * tile
     for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
@@ -359,12 +371,21 @@ def _kernel_flat_lc(ctile_ref, meta_blk, words_blk, cnts_blk, meth_out,
         acc_c[...] = jnp.zeros_like(acc_c)
 
 
+def _lc_fast_dot():
+    """WGBS_TPU_V3_LC_DOT: 'fast' (default) runs the lane-count kernel's
+    strip dots at DEFAULT precision (single MXU pass — exact because every
+    input is an integer <= 255, see _kernel_flat_lc); 'highest' keeps the
+    6-pass HIGHEST form for A/B."""
+    return _os.environ.get("WGBS_TPU_V3_LC_DOT", "fast") != "highest"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("window_len", "tile", "rc", "g_max", "interpret"),
+    static_argnames=("window_len", "tile", "rc", "g_max", "interpret",
+                     "fast_dot"),
 )
 def _call_flat_lc(ctile, covered, meta, words, cnts, window_len, tile, rc,
-                  g_max, interpret=False):
+                  g_max, interpret=False, fast_dot=True):
     num_tiles = (window_len + tile - 1) // tile
 
     def meta_idx(c, ctile_ref):
@@ -392,7 +413,7 @@ def _call_flat_lc(ctile, covered, meta, words, cnts, window_len, tile, rc,
         ],
     )
     kernel = functools.partial(_kernel_flat_lc, tile=tile, rc=rc,
-                               g_max=g_max)
+                               g_max=g_max, fast_dot=fast_dot)
     meth, cov = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -424,7 +445,7 @@ def call_staged(staged, window_len, interpret=False, grid="flat"):
         return _call_flat_lc(jnp.asarray(ctile), jnp.asarray(covered),
                              jnp.asarray(meta), jnp.asarray(words),
                              jnp.asarray(cnts), window_len, tile, rc,
-                             g_max, interpret)
+                             g_max, interpret, _lc_fast_dot())
     c0, c1, meta, words, max_chunks, tile, rc, g_max = staged
     if grid == "tiled":
         return _call(jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
