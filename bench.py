@@ -108,47 +108,76 @@ def _device_runner(frags, n_sites):
         from wgbs_tools_tpu.ops import pileup_tpu3 as p3
 
         classes = p3._env_classes()
+        # lane/vals staging has flat-grid kernels only; the tiled A/B grid
+        # stages classic (mirrors pileup_pallas_v3's gate)
         staged = p3.stage_v3(frags.start, frags.length, frags.count,
-                             frags.codes, 1, n_sites, classes=classes)
+                             frags.codes, 1, n_sites, classes=classes,
+                             lane_counts=(False if grid == "tiled"
+                                          else None))
     if staged is not None and isinstance(staged, list):
         # row-count-class dispatch (WGBS_TPU_V3_CLASSES): stage device args
-        # per class, dispatch all grids per run, sum on device. 9-field
-        # tuples are the lane-count form (WGBS_TPU_V3_LANE_COUNTS=1).
+        # per class, dispatch all grids per run, sum on device. 10-field
+        # tuples are the value-plane form (WGBS_TPU_V3_VALS=1), 9-field
+        # the lane-count form (WGBS_TPU_V3_LANE_COUNTS=1).
         runs = []
         for st in staged:
-            if len(st) == 9:
+            if len(st) == 10:  # value-plane form (WGBS_TPU_V3_VALS=1)
+                c0, c1, meta, mvp, cvp, mc, tile, rc, g_max, _tag = st
+                a, b, kind = jnp.asarray(mvp), jnp.asarray(cvp), "vals"
+            elif len(st) == 9:  # lane-count form
                 c0, c1, meta, words, cnts, mc, tile, rc, g_max = st
-                dcnts = jnp.asarray(cnts)
+                a, b, kind = jnp.asarray(words), jnp.asarray(cnts), "lc"
             else:
                 c0, c1, meta, words, mc, tile, rc, g_max = st
-                dcnts = None
+                a, b, kind = jnp.asarray(words), None, "classic"
             ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
-            runs.append((jnp.asarray(ctile), jnp.asarray(covered),
-                         jnp.asarray(meta), jnp.asarray(words), dcnts,
-                         tile, rc, g_max))
+            runs.append((kind, jnp.asarray(ctile), jnp.asarray(covered),
+                         jnp.asarray(meta), a, b, tile, rc, g_max))
 
         def run():
             meth = cov = None
-            for ct, cv, me, wo, cn, tile, rc, g_max in runs:
-                if cn is not None:
-                    m, c = p3._call_flat_lc(ct, cv, me, wo, cn, n_sites,
+            for kind, ct, cv, me, a, b, tile, rc, g_max in runs:
+                if kind == "vals":
+                    m, c = p3._call_flat_vals(ct, cv, me, a, b, n_sites,
+                                              tile, rc, g_max, interpret)
+                elif kind == "lc":
+                    m, c = p3._call_flat_lc(ct, cv, me, a, b, n_sites,
                                             tile, rc, g_max, interpret,
                                             p3._lc_fast_dot())
                 else:
-                    m, c = p3._call_flat(ct, cv, me, wo, n_sites, tile, rc,
+                    m, c = p3._call_flat(ct, cv, me, a, n_sites, tile, rc,
                                          g_max, interpret)
                 meth = m if meth is None else meth + m
                 cov = c if cov is None else cov + c
             return meth, cov
     elif staged is not None:
-        c0, c1, meta, words, mc, tile, rc, g_max = staged
         if grid == "tiled":
+            c0, c1, meta, words, mc, tile, rc, g_max = staged
             dev = (jnp.asarray(c0), jnp.asarray(c1), jnp.asarray(meta),
                    jnp.asarray(words))
 
             def run():
                 return p3._call(*dev, n_sites, tile, rc, g_max, mc, interpret)
+        elif len(staged) == 10:  # value-plane form
+            c0, c1, meta, mvp, cvp, mc, tile, rc, g_max, _tag = staged
+            ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
+            dev = (jnp.asarray(ctile), jnp.asarray(covered),
+                   jnp.asarray(meta), jnp.asarray(mvp), jnp.asarray(cvp))
+
+            def run():
+                return p3._call_flat_vals(*dev, n_sites, tile, rc, g_max,
+                                          interpret)
+        elif len(staged) == 9:  # lane-count form
+            c0, c1, meta, words, cnts, mc, tile, rc, g_max = staged
+            ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
+            dev = (jnp.asarray(ctile), jnp.asarray(covered),
+                   jnp.asarray(meta), jnp.asarray(words), jnp.asarray(cnts))
+
+            def run():
+                return p3._call_flat_lc(*dev, n_sites, tile, rc, g_max,
+                                        interpret, p3._lc_fast_dot())
         else:
+            c0, c1, meta, words, mc, tile, rc, g_max = staged
             ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
             dev = (jnp.asarray(ctile), jnp.asarray(covered),
                    jnp.asarray(meta), jnp.asarray(words))
@@ -206,16 +235,19 @@ def _sharded_runner(frags, n_sites):
         runs = []
         with jax.default_device(dev):
             for st in (staged if isinstance(staged, list) else [staged]):
-                if len(st) == 9:
+                if len(st) == 10:  # value-plane form
+                    c0, c1, meta, mvp, cvp, mc, tile, rc, g_max, _tag = st
+                    a, b, kind = jnp.asarray(mvp), jnp.asarray(cvp), "vals"
+                elif len(st) == 9:  # lane-count form
                     c0, c1, meta, words, cnts, mc, tile, rc, g_max = st
-                    dcnts = jnp.asarray(cnts)
+                    a, b, kind = (jnp.asarray(words), jnp.asarray(cnts),
+                                  "lc")
                 else:
                     c0, c1, meta, words, mc, tile, rc, g_max = st
-                    dcnts = None
+                    a, b, kind = jnp.asarray(words), None, "classic"
                 ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
-                runs.append((jnp.asarray(ctile), jnp.asarray(covered),
-                             jnp.asarray(meta), jnp.asarray(words), dcnts,
-                             tile, rc, g_max))
+                runs.append((kind, jnp.asarray(ctile), jnp.asarray(covered),
+                             jnp.asarray(meta), a, b, tile, rc, g_max))
         per_dev.append((i, dev, runs))
 
     def run():
@@ -223,13 +255,17 @@ def _sharded_runner(frags, n_sites):
         for i, dev, runs in per_dev:
             with jax.default_device(dev):
                 meth = cov = None
-                for ct, cv, me, wo, cn, tile, rc, g_max in runs:
-                    if cn is not None:
-                        m, c = p3._call_flat_lc(ct, cv, me, wo, cn, acc.S,
+                for kind, ct, cv, me, a, b, tile, rc, g_max in runs:
+                    if kind == "vals":
+                        m, c = p3._call_flat_vals(ct, cv, me, a, b, acc.S,
+                                                  tile, rc, g_max,
+                                                  interpret)
+                    elif kind == "lc":
+                        m, c = p3._call_flat_lc(ct, cv, me, a, b, acc.S,
                                                 tile, rc, g_max, interpret,
                                                 p3._lc_fast_dot())
                     else:
-                        m, c = p3._call_flat(ct, cv, me, wo, acc.S, tile,
+                        m, c = p3._call_flat(ct, cv, me, a, acc.S, tile,
                                              rc, g_max, interpret)
                     meth = m if meth is None else meth + m
                     cov = c if cov is None else cov + c

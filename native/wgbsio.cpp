@@ -758,4 +758,39 @@ int64_t place_counts_rows(const int32_t* p_cnt, const int32_t* p_rr,
     return P;
 }
 
+// Pre-masked uint8 VALUE PLANES for the v3 value-plane staging: instead
+// of packed 2-bit codes + packed 8-bit counts (which the kernel must
+// unpack, compare and select every step), write the two dot operands the
+// kernel actually needs, one byte per lane: mv[pos] = count if the code
+// is a methylation call (C/H), cv[pos] = count if observed (not '.'),
+// else 0. Planes are (R, 128) uint8, ZERO-initialized by the caller
+// (zero == "no contribution", so padding needs no fill pass). Pieces
+// within a row occupy disjoint [rr, rr+len) ranges (pack_rows128's
+// first-fit invariant), so plain stores suffice. Counts must be < 256
+// (the lane/vals forms are gated off above that; return -1 restores the
+// classic path).
+int64_t place_vals_rows(const uint8_t* codes, int64_t W, int64_t P,
+                        const int64_t* p_src, const int64_t* p_off,
+                        const int64_t* p_rr, const int64_t* p_len,
+                        const int32_t* p_cnt, const int32_t* piece_row,
+                        uint8_t* mv, uint8_t* cv) {
+    for (int64_t p = 0; p < P; p++) {
+        const uint8_t* src = codes + p_src[p] * W + p_off[p];
+        const int64_t rr = p_rr[p], len = p_len[p];
+        if (rr < 0 || len < 0 || rr + len > 128) return -1;
+        if (p_cnt[p] < 0 || p_cnt[p] > 255) return -1;
+        const uint8_t c = (uint8_t)p_cnt[p];
+        uint8_t* mrow = mv + (int64_t)piece_row[p] * 128;
+        uint8_t* crow = cv + (int64_t)piece_row[p] * 128;
+        for (int64_t j = 0; j < len; j++) {
+            const uint8_t code = src[j] & 3u;
+            if (code == 3u) continue;  // '.' — unobserved, leave 0
+            const int64_t pos = rr + j;
+            crow[pos] = c;
+            if (code != 0u) mrow[pos] = c;  // codes 1 (C) and 2 (H)
+        }
+    }
+    return P;
+}
+
 }  // extern "C"

@@ -177,12 +177,14 @@ def test_native_place_pack_matches_numpy(monkeypatch):
     codes = rng.integers(0, 3, size=(3000, 30)).astype(np.uint8)
     codes[np.arange(30)[None, :] >= length[:, None]] = 3
 
-    native = stage_v3(start, length, count, codes, 1, n_sites)
+    native = stage_v3(start, length, count, codes, 1, n_sites,
+                      vals=False)
     import wgbs_tools_tpu.native as nat
 
     monkeypatch.setattr(nat, "place_pack_native",
                         lambda *a, **k: None)  # force the numpy fallback
-    fallback = stage_v3(start, length, count, codes, 1, n_sites)
+    fallback = stage_v3(start, length, count, codes, 1, n_sites,
+                        vals=False)
     for a, b in zip(native, fallback):
         if isinstance(a, np.ndarray):
             assert np.array_equal(a, b)
@@ -259,8 +261,87 @@ def test_v3_lane_counts_fast_dot_exact(rng, monkeypatch):
     assert int(np.asarray(exp)[:, 1].max()) > (1 << 16)
 
     monkeypatch.setenv("WGBS_TPU_V3_LANE_COUNTS", "1")
+    monkeypatch.setenv("WGBS_TPU_V3_VALS", "0")  # subject: the lc kernel
     for mode in ("fast", "highest"):
         monkeypatch.setenv("WGBS_TPU_V3_LC_DOT", mode)
         got = pileup_pallas_v3(frags.start, frags.length, frags.count,
                                frags.codes, 1, 512, interpret=True)
         assert (np.asarray(got) == np.asarray(exp)).all(), mode
+
+
+def test_v3_value_planes_exact(rng, monkeypatch):
+    """Value-plane staging (WGBS_TPU_V3_VALS, the round-5 default): the
+    host ships pre-masked uint8 mv/cv planes and the kernel is two loads +
+    two single-pass dots — bit-identical to the oracle, including
+    adversarial deep overlap with counts near 255 (per-site sums past
+    2^16). Counts >= 256 and a failed native place both fall back (classic
+    / packed lane-count) with identical output."""
+    from wgbs_tools_tpu.formats.pat import PatFrags
+    from wgbs_tools_tpu.ops.pileup import pileup_xla
+
+    F = 4000
+    starts = (1 + rng.integers(0, 60, F)).astype(np.int64)
+    lengths = rng.integers(1, 17, F).astype(np.int32)
+    counts = rng.integers(200, 256, F).astype(np.int32)
+    codes = rng.integers(0, 4, (F, 16)).astype(np.uint8)
+    frags = PatFrags(starts, lengths, counts, codes,
+                     np.zeros(F, np.int16), ["chr1"], None)
+    exp = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                     1, 512)
+    assert int(np.asarray(exp)[:, 1].max()) > (1 << 16)
+
+    st = stage_v3(frags.start, frags.length, frags.count, frags.codes,
+                  1, 512)
+    assert len(st) == 10 and st[-1] == "vals"  # the default form
+    got = pileup_pallas_v3(frags.start, frags.length, frags.count,
+                           frags.codes, 1, 512, interpret=True)
+    assert (np.asarray(got) == np.asarray(exp)).all()
+
+    # native place failure -> packed lane-count staging, same output
+    import wgbs_tools_tpu.native as nat
+
+    monkeypatch.setattr(nat, "place_vals_native", lambda *a, **k: None)
+    st2 = stage_v3(frags.start, frags.length, frags.count, frags.codes,
+                   1, 512)
+    assert len(st2) == 9
+    got2 = pileup_pallas_v3(frags.start, frags.length, frags.count,
+                            frags.codes, 1, 512, interpret=True)
+    assert (np.asarray(got2) == np.asarray(exp)).all()
+    monkeypatch.undo()
+
+    # any count >= 256 -> classic staging (vals rides the lane-count gate)
+    frags_hi = PatFrags(starts[:64], lengths[:64],
+                        np.full(64, 300, np.int32), codes[:64],
+                        np.zeros(64, np.int16), ["chr1"], None)
+    st3 = stage_v3(frags_hi.start, frags_hi.length, frags_hi.count,
+                   frags_hi.codes, 1, 512)
+    assert len(st3) == 8
+    exp_hi = pileup_xla(frags_hi.start, frags_hi.length, frags_hi.count,
+                        frags_hi.codes, 1, 512)
+    got3 = pileup_pallas_v3(frags_hi.start, frags_hi.length, frags_hi.count,
+                            frags_hi.codes, 1, 512, interpret=True)
+    assert (np.asarray(got3) == np.asarray(exp_hi)).all()
+
+
+def test_v3_vals_vs_lane_vs_classic_identical(rng):
+    """Three-way staging bit-identity on one workload: value planes vs
+    packed lane counts vs classic per-count rows, all equal to the XLA
+    oracle (disjoint forms of the same row packing)."""
+    from wgbs_tools_tpu.ops.pileup import pileup_xla
+    from wgbs_tools_tpu.ops.pileup_tpu3 import call_staged
+
+    frags = random_frags(rng, 3000, 25000, max_len=16, max_count=7,
+                         dot_rate=0.05, h_rate=0.02)
+    wl = 25000
+    exp = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
+                     1, wl)
+    outs = {}
+    for name, kw in (("vals", dict(lane_counts=True, vals=True)),
+                     ("lane", dict(lane_counts=True, vals=False)),
+                     ("classic", dict(lane_counts=False))):
+        st = stage_v3(frags.start, frags.length, frags.count, frags.codes,
+                      1, wl, **kw)
+        m, c = call_staged(st, wl, interpret=True)
+        outs[name] = np.stack([np.asarray(m), np.asarray(c)], axis=1)
+        assert (outs[name] == exp).all(), name
+    assert len({o.tobytes() for o in outs.values()}) == 1

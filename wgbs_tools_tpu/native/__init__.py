@@ -89,6 +89,9 @@ def _bind_symbols(lib):
     lib.place_counts_rows.restype = i64
     lib.place_counts_rows.argtypes = [ctypes.c_void_p] * 4 + [i64] \
         + [ctypes.c_void_p]
+    lib.place_vals_rows.restype = i64
+    lib.place_vals_rows.argtypes = [ctypes.c_void_p, i64, i64] \
+        + [ctypes.c_void_p] * 8
 
 
 def _ptr(arr, ctype):
@@ -458,6 +461,35 @@ def place_counts_native(p_cnt, p_rr, p_len, piece_row, cnt_words):
         p_cnt.ctypes.data, p_rr.ctypes.data, p_len.ctypes.data,
         piece_row.ctypes.data, ctypes.c_int64(p_cnt.shape[0]),
         cnt_words.ctypes.data)
+    return None if got < 0 else int(got)
+
+
+def place_vals_native(codes, p_src, p_off, p_rr, p_len, p_cnt, piece_row,
+                      mv, cv):
+    """Pre-masked uint8 value planes for the v3 value-plane staging: write
+    each piece's count into mv (where the code is a methylation call) and
+    cv (where observed) at its lane positions of the (R, 128) uint8 planes
+    (zero-initialized by the caller). Returns the piece count, or None
+    when the library is unavailable / a count exceeds 255 (the caller then
+    stays on the packed-words path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    p_src = np.ascontiguousarray(p_src, dtype=np.int64)
+    p_off = np.ascontiguousarray(p_off, dtype=np.int64)
+    p_rr = np.ascontiguousarray(p_rr, dtype=np.int64)
+    p_len = np.ascontiguousarray(p_len, dtype=np.int64)
+    p_cnt = np.ascontiguousarray(p_cnt, dtype=np.int32)
+    piece_row = np.ascontiguousarray(piece_row, dtype=np.int32)
+    assert mv.dtype == np.uint8 and mv.flags.c_contiguous
+    assert cv.dtype == np.uint8 and cv.flags.c_contiguous
+    got = lib.place_vals_rows(
+        codes.ctypes.data, ctypes.c_int64(codes.shape[1]),
+        ctypes.c_int64(p_src.shape[0]), p_src.ctypes.data,
+        p_off.ctypes.data, p_rr.ctypes.data, p_len.ctypes.data,
+        p_cnt.ctypes.data, piece_row.ctypes.data,
+        mv.ctypes.data, cv.ctypes.data)
     return None if got < 0 else int(got)
 
 

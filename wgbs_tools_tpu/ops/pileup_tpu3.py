@@ -20,6 +20,16 @@ most of that gap:
 Bit-exactness: identical integer adds in a different grouping (and the
 same f32 one-hot matmul bound as v2: per-site per-chunk count sums must
 stay < 2^24, true for any real data).
+
+Three staged forms share that row packing (newest first, each the
+fallback of the one above):
+- VALUE PLANES (round 5, default — `WGBS_TPU_V3_VALS`): count-agnostic
+  rows + pre-masked uint8 mv/cv planes; the kernel is two loads + two
+  single-pass dots (1046.9 M frags/s on-chip at the headline shape);
+- LANE COUNTS (`WGBS_TPU_V3_LANE_COUNTS`): count-agnostic rows + packed
+  2-bit codes + packed per-lane 8-bit counts (415.6 M frags/s);
+- CLASSIC: per-(sub-block, count) rows + packed codes; the only form for
+  counts >= 256 and the tiled A/B grid.
 """
 
 import functools
@@ -371,6 +381,116 @@ def _kernel_flat_lc(ctile_ref, meta_blk, words_blk, cnts_blk, meth_out,
         acc_c[...] = jnp.zeros_like(acc_c)
 
 
+def _kernel_flat_vals(ctile_ref, meta_blk, mv_blk, cv_blk, meth_out,
+                      cov_out, acc_m, acc_c, sem_out, *, tile, rc, g_max):
+    """Flat grid over pre-masked uint8 VALUE PLANES (round 5): the host
+    ships the two dot operands directly — mv[lane] = count where the code
+    is a methylation call, cv[lane] = count where observed, else 0 — so
+    the per-step kernel work collapses to two block loads, two converts
+    and two single-pass dots. The 16-way 2-bit code unpack, the 4-way
+    count unpack, and the compare/select chain of _kernel_flat_lc all
+    disappear (measured 2.5x: 415.6 -> 1046.9 M frags/s same-process A/B
+    at the headline shape, bit-identical).
+
+    Exactness: the value planes are uint8 (stage_v3 gates this form off at
+    any count >= 256), so every dot input is an integer <= 255 — one exact
+    bf16 term — and the MXU accumulates in f32: the DEFAULT-precision dot
+    is bit-exact (same argument as _kernel_flat_lc's fast path; u8->bf16
+    is not a Mosaic-supported cast, so the convert goes u8->i32->f32).
+    Replaces the same reference hot loop, stdin2beta.cpp:59-93."""
+    c = pl.program_id(0)
+    n_c = pl.num_programs(0)
+
+    @pl.when(c == 0)
+    def _():
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+    t = ctile_ref[c]
+    dg = meta_blk[0, 1].reshape(rc)
+    base_g = meta_blk[0, 1, rc - 1] - g_max  # stashed in the padding row
+
+    mv = mv_blk[...].astype(jnp.int32).astype(jnp.float32)
+    cv = cv_blk[...].astype(jnp.int32).astype(jnp.float32)
+    onehot = (
+        dg[None, :] == jax.lax.broadcasted_iota(jnp.int32, (g_max, rc), 0)
+    ).astype(jnp.float32)
+    strips_m = jnp.dot(onehot, mv, preferred_element_type=jnp.float32)
+    strips_c = jnp.dot(onehot, cv, preferred_element_type=jnp.float32)
+
+    off0 = base_g * SB - t * tile
+    for g in range(g_max):  # unrolled: Mosaic can't slice strips dynamically
+        off = off0 + g * SB
+        ok = (off >= 0) & (off + SB <= tile)
+        offc = pl.multiple_of(jnp.clip(off, 0, tile - SB), SB)
+        acc_m[:, pl.ds(offc, SB)] += \
+            jnp.where(ok, strips_m[g], 0.0).astype(jnp.int32)[None]
+        acc_c[:, pl.ds(offc, SB)] += \
+            jnp.where(ok, strips_c[g], 0.0).astype(jnp.int32)[None]
+
+    flush = (c == n_c - 1) | (ctile_ref[c + 1] != t)
+
+    @pl.when(flush)
+    def _():
+        cp_m = pltpu.make_async_copy(acc_m, meth_out.at[t], sem_out.at[0])
+        cp_c = pltpu.make_async_copy(acc_c, cov_out.at[t], sem_out.at[1])
+        cp_m.start()
+        cp_c.start()
+        cp_m.wait()
+        cp_c.wait()
+        acc_m[...] = jnp.zeros_like(acc_m)
+        acc_c[...] = jnp.zeros_like(acc_c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_len", "tile", "rc", "g_max", "interpret"),
+)
+def _call_flat_vals(ctile, covered, meta, mv, cv, window_len, tile, rc,
+                    g_max, interpret=False):
+    num_tiles = (window_len + tile - 1) // tile
+
+    def meta_idx(c, ctile_ref):
+        return (c, 0, 0)
+
+    def rows_idx(c, ctile_ref):
+        return (c, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(meta.shape[0],),
+        in_specs=[
+            pl.BlockSpec((1, 2, rc), meta_idx),
+            pl.BlockSpec((rc, mv.shape[1]), rows_idx),
+            pl.BlockSpec((rc, cv.shape[1]), rows_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.VMEM((1, tile), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_kernel_flat_vals, tile=tile, rc=rc,
+                               g_max=g_max)
+    meth, cov = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, 1, tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(ctile, meta, mv, cv)
+    cvr = covered[:, None, None]
+    meth = jnp.where(cvr, meth, 0)
+    cov = jnp.where(cvr, cov, 0)
+    return meth.reshape(-1)[:window_len], cov.reshape(-1)[:window_len]
+
+
 def _lc_fast_dot():
     """WGBS_TPU_V3_LC_DOT: 'fast' (default) runs the lane-count kernel's
     strip dots at DEFAULT precision (single MXU pass — exact because every
@@ -436,6 +556,16 @@ def call_staged(staged, window_len, interpret=False, grid="flat"):
     (A double-buffered-flush variant was built and measured slower than
     the synchronous flush — 317 vs 510 M frags/s — and removed; the
     per-step cost is not the flush DMA wait.)"""
+    if len(staged) == 10:  # value-plane form (flat grid only)
+        c0, c1, meta, mvp, cvp, max_chunks, tile, rc, g_max, _tag = staged
+        if grid == "tiled":
+            raise ValueError("value-plane staging has no tiled-grid kernel; "
+                             "unset WGBS_TPU_V3_VALS for tiled A/B")
+        ctile, covered = _flat_args(c0, c1, meta.shape[0])
+        return _call_flat_vals(jnp.asarray(ctile), jnp.asarray(covered),
+                               jnp.asarray(meta), jnp.asarray(mvp),
+                               jnp.asarray(cvp), window_len, tile, rc,
+                               g_max, interpret)
     if len(staged) == 9:  # lane-count form (flat grid only)
         c0, c1, meta, words, cnts, max_chunks, tile, rc, g_max = staged
         if grid == "tiled":
@@ -544,9 +674,25 @@ def _env_lane_counts():
     return _os.environ.get("WGBS_TPU_V3_LANE_COUNTS", "1") not in ("0", "")
 
 
+def _env_vals():
+    """WGBS_TPU_V3_VALS (default ON): stage pre-masked uint8 VALUE PLANES
+    — mv[lane] = count where the code is a methylation call, cv[lane] =
+    count where observed, else 0 — instead of packed 2-bit codes + packed
+    8-bit counts. The kernel's per-step work collapses to two block loads
+    + two single-pass dots; the whole unpack/compare/select chain
+    disappears. Measured on-chip at the headline shape: 1046.9 vs 415.6 M
+    frags/s (same-process A/B, bit-identical). Trade-off: 256 B/row h2d
+    vs the packed form's 160 B/row (irrelevant for device-resident staged
+    batches, visible on slow links — the tunnel e2e auto-policy picks the
+    host kernel there anyway). Rides the lane-count gate: any count >=
+    256 falls back to classic staging (values then stay one exact bf16
+    term each, keeping the DEFAULT-precision dot bit-exact)."""
+    return _os.environ.get("WGBS_TPU_V3_VALS", "1") not in ("0", "")
+
+
 def stage_v3(start, length, count, codes, window_start, window_len,
              tile=None, rc=None, g_max=None, classes=None,
-             lane_counts=None):
+             lane_counts=None, vals=None):
     """Host staging: window prep, sub-block split, native row packing,
     code placement, chunking. Returns (c0, c1, meta, words, max_chunks,
     tile, rc, g_max) — the tuple carries its geometry so call_staged can
@@ -611,6 +757,9 @@ def stage_v3(start, length, count, codes, window_start, window_len,
         lane_counts = _env_lane_counts()
     lane_counts = bool(lane_counts and F
                        and int(p_cnt.max(initial=0)) < 256)
+    if vals is None:
+        vals = _env_vals()
+    vals = bool(vals and lane_counts)
     if F:
         pk_cnt = np.ones_like(p_cnt) if lane_counts else p_cnt
         packed = pack_rows_native(p_g, pk_cnt, p_rr, p_len)
@@ -621,45 +770,66 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     piece_row, row_g, row_count = packed
     R = row_g.shape[0]
 
-    # place piece codes into per-row planar words: the fused native pass
-    # writes the packed (R, 8) word matrix directly (one C loop instead of
-    # the numpy rowmat scatter + planar_pack_cols — together ~1.1 s per 2M
-    # fragments, the dominant host-staging cost)
-    from ..native import place_pack_native
+    # value-plane staging: write the kernel's two dot operands directly
+    # (one byte per lane); on any failure fall back to the packed-words
+    # lane-count form below
+    all_mv = all_cv = None
+    if vals:
+        from ..native import place_vals_native
 
-    all_words = np.full((max(R, 1), SB // 16), -1, dtype=np.int32)
-    placed = (place_pack_native(codes, p_src, p_off, p_rr, p_len,
-                                piece_row, all_words)
-              if F else 0)
-    if placed is None and F:
-        # numpy fallback: dense DOT-gapped (R, SB) matrix, then bit-pack.
-        # PERF: one reused int32 (P, W) buffer, in-place adds. Fresh large
-        # temps are dominated by first-touch page faults on this host, and
-        # the (P,1)+(1,W) outer-broadcast ufunc path is ~25x slower than
-        # materialize-then-add — both avoided here.
-        rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
-        P = p_g.shape[0]
-        # int32 indices halve the hot buffer's footprint, but flat offsets
-        # reach F*W / R*SB — switch to int64 before they could wrap (a
-        # direct pileup_frags call on a >=17M-fragment batch at W=128)
-        idt = (np.int64 if max(int(F) * W, (R + 1) * SB) >= (1 << 31)
-               else np.int32)
-        colw = np.arange(W, dtype=idt)
-        m = colw[None, :] < p_len[:, None].astype(idt)
-        buf = np.empty((P, W), dtype=idt)
-        buf[:] = colw
-        np.minimum(buf, (p_len - 1).astype(idt)[:, None], out=buf)
-        buf += (p_src.astype(np.int64) * W + p_off).astype(idt)[:, None]
-        vals = codes.reshape(-1)[buf[m]]
-        buf[:] = colw
-        buf += (piece_row.astype(np.int64) * SB + p_rr).astype(
-            idt)[:, None]
-        rowmat.reshape(-1)[buf[m]] = vals
-        all_words = (planar_pack_cols(rowmat, SB // 16) if R else
-                     np.zeros((0, SB // 16), dtype=np.int32))
+        all_mv = np.zeros((max(R, 1), SB), dtype=np.uint8)
+        all_cv = np.zeros((max(R, 1), SB), dtype=np.uint8)
+        ok = (place_vals_native(codes, p_src, p_off, p_rr, p_len, p_cnt,
+                                piece_row, all_mv, all_cv) if F else 0)
+        if ok is None:
+            vals = False
+            all_mv = all_cv = None
+
+    all_words = None
+    if not vals:
+        # place piece codes into per-row planar words: the fused native
+        # pass writes the packed (R, 8) word matrix directly (one C loop
+        # instead of the numpy rowmat scatter + planar_pack_cols —
+        # together ~1.1 s per 2M fragments, the dominant host-staging
+        # cost). Skipped entirely by the value-plane form above.
+        from ..native import place_pack_native
+
+        all_words = np.full((max(R, 1), SB // 16), -1, dtype=np.int32)
+        placed = (place_pack_native(codes, p_src, p_off, p_rr, p_len,
+                                    piece_row, all_words)
+                  if F else 0)
+        if placed is None and F:
+            # numpy fallback: dense DOT-gapped (R, SB) matrix, then
+            # bit-pack. PERF: one reused int32 (P, W) buffer, in-place
+            # adds. Fresh large temps are dominated by first-touch page
+            # faults on this host, and the (P,1)+(1,W) outer-broadcast
+            # ufunc path is ~25x slower than materialize-then-add — both
+            # avoided here.
+            rowmat = np.full((max(R, 1), SB), CODE_DOT, dtype=np.uint8)
+            P = p_g.shape[0]
+            # int32 indices halve the hot buffer's footprint, but flat
+            # offsets reach F*W / R*SB — switch to int64 before they
+            # could wrap (a direct pileup_frags call on a
+            # >=17M-fragment batch at W=128)
+            idt = (np.int64 if max(int(F) * W, (R + 1) * SB) >= (1 << 31)
+                   else np.int32)
+            colw = np.arange(W, dtype=idt)
+            m = colw[None, :] < p_len[:, None].astype(idt)
+            buf = np.empty((P, W), dtype=idt)
+            buf[:] = colw
+            np.minimum(buf, (p_len - 1).astype(idt)[:, None], out=buf)
+            buf += (p_src.astype(np.int64) * W + p_off).astype(
+                idt)[:, None]
+            pvals = codes.reshape(-1)[buf[m]]
+            buf[:] = colw
+            buf += (piece_row.astype(np.int64) * SB + p_rr).astype(
+                idt)[:, None]
+            rowmat.reshape(-1)[buf[m]] = pvals
+            all_words = (planar_pack_cols(rowmat, SB // 16) if R else
+                         np.zeros((0, SB // 16), dtype=np.int32))
 
     all_cnts = None
-    if lane_counts:
+    if lane_counts and not vals:
         from ..native import place_counts_native
 
         all_cnts = np.zeros((max(R, 1), SB // 4), dtype=np.int32)
@@ -682,12 +852,17 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     bstarts = np.asarray(breaks[:-1], dtype=np.int64)
     bends = np.asarray(breaks[1:], dtype=np.int64)
     if not R:
-        all_words = np.zeros((0, SB // 16), dtype=np.int32)
+        if vals:
+            all_mv = np.zeros((0, SB), dtype=np.uint8)
+            all_cv = np.zeros((0, SB), dtype=np.uint8)
+        else:
+            all_words = np.zeros((0, SB // 16), dtype=np.int32)
+    planes = (all_mv, all_cv) if vals else None
     num_tiles = (window_len + tile - 1) // tile
     if classes is None:
         return _assemble_class(row_g, row_tile, row_count, all_words,
                                bstarts, bends, rc, g_max, tile, num_tiles,
-                               R, all_cnts=all_cnts)
+                               R, all_cnts=all_cnts, planes=planes)
     out = []
     lens_c = bends - bstarts
     lo = 0
@@ -698,17 +873,23 @@ def stage_v3(start, length, count, codes, window_start, window_len,
             else (lens_c > lo)
         out.append(_assemble_class(
             row_g, row_tile, row_count, all_words, bstarts[sel], bends[sel],
-            rc_c, g_max, tile, num_tiles, R, all_cnts=all_cnts))
+            rc_c, g_max, tile, num_tiles, R, all_cnts=all_cnts,
+            planes=planes))
         lo = rc_c - 1
     return out
 
 
 def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
-                    rc, g_max, tile, num_tiles, R, all_cnts=None):
+                    rc, g_max, tile, num_tiles, R, all_cnts=None,
+                    planes=None):
     """Build one staged tuple from a (sorted, disjoint) subset of chunk row
     ranges. Shared by the single-class stage_v3 and stage_v3_classes.
     With all_cnts (lane-count mode) the tuple gains the (n_chunks*rc, 32)
-    count-word matrix after `words` (9 fields instead of 8)."""
+    count-word matrix after `words` (9 fields instead of 8). With `planes`
+    (value-plane mode, (all_mv, all_cv)) the tuple instead carries the two
+    (n_chunks*rc, 128) uint8 value planes where words/cnts would sit, plus
+    a trailing "vals" marker (10 fields) — zero-filled padding rows are
+    "no contribution" by construction."""
     n_real = max(bstarts.shape[0], 1)
     gran = 1 << max(4, n_real.bit_length() - 3)
     n_chunks = (n_real + gran - 1) // gran * gran
@@ -716,9 +897,16 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
     w_cols = SB // 16
     meta = np.zeros((n_chunks, 2, rc), dtype=np.int32)
     meta[:, 1, :] = g_max  # padding rows select no one-hot group
-    words = np.full((n_chunks * rc, w_cols), -1, dtype=np.int32)  # all '.'
-    cnts = (np.zeros((n_chunks * rc, SB // 4), dtype=np.int32)
-            if all_cnts is not None else None)
+    if planes is not None:
+        mvp = np.zeros((n_chunks * rc, SB), dtype=np.uint8)
+        cvp = np.zeros((n_chunks * rc, SB), dtype=np.uint8)
+        words = cnts = None
+    else:
+        mvp = cvp = None
+        words = np.full((n_chunks * rc, w_cols), -1,
+                        dtype=np.int32)  # all '.'
+        cnts = (np.zeros((n_chunks * rc, SB // 4), dtype=np.int32)
+                if all_cnts is not None else None)
     if R and bstarts.shape[0]:
         lens_c = bends - bstarts
         ci_arr = np.repeat(np.arange(bstarts.shape[0]), lens_c)
@@ -733,9 +921,13 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
         # base_g stashed in the guaranteed-padding row rc-1 (offset by g_max
         # so the padding default there still selects no group after decode)
         meta[: bstarts.shape[0], 1, rc - 1] = base_g + g_max
-        words[ci_arr * rc + pos_arr] = all_words[rows]
-        if cnts is not None:
-            cnts[ci_arr * rc + pos_arr] = all_cnts[rows]
+        if planes is not None:
+            mvp[ci_arr * rc + pos_arr] = planes[0][rows]
+            cvp[ci_arr * rc + pos_arr] = planes[1][rows]
+        else:
+            words[ci_arr * rc + pos_arr] = all_words[rows]
+            if cnts is not None:
+                cnts[ci_arr * rc + pos_arr] = all_cnts[rows]
         chunk_tile = row_tile[bstarts]
     else:
         chunk_tile = np.zeros(n_real, dtype=np.int64)
@@ -748,6 +940,9 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
         c1 = np.zeros(num_tiles, dtype=np.int64)
     max_chunks = max(int((c1 - c0).max(initial=1)), 1)
     max_chunks = 1 << (max_chunks - 1).bit_length()
+    if planes is not None:
+        return (c0.astype(np.int32), c1.astype(np.int32), meta, mvp,
+                cvp, max_chunks, tile, rc, g_max, "vals")
     if cnts is not None:
         return (c0.astype(np.int32), c1.astype(np.int32), meta, words,
                 cnts, max_chunks, tile, rc, g_max)
