@@ -107,11 +107,11 @@ def _device_runner(frags, n_sites):
     if KERNEL == "v3":
         from wgbs_tools_tpu.ops import pileup_tpu3 as p3
 
-        classes = p3._env_classes()
         # lane/vals staging has flat-grid kernels only; the tiled A/B grid
-        # stages classic (mirrors pileup_pallas_v3's gate)
+        # stages classic (mirrors pileup_pallas_v3's gate). Geometry and
+        # classes resolve inside stage_v3 by the active form.
         staged = p3.stage_v3(frags.start, frags.length, frags.count,
-                             frags.codes, 1, n_sites, classes=classes,
+                             frags.codes, 1, n_sites,
                              lane_counts=(False if grid == "tiled"
                                           else None))
     if staged is not None and isinstance(staged, list):
@@ -222,7 +222,6 @@ def _sharded_runner(frags, n_sites):
     interpret = jax.default_backend() != "tpu"
     mesh = make_mesh(samples_axis=1)
     acc = ShardedPileupV3(mesh, (1, n_sites + 1))
-    classes = p3._env_classes()
     per_dev = []
     for i, dev in enumerate(acc.devices):
         lo = 1 + i * acc.S
@@ -231,7 +230,7 @@ def _sharded_runner(frags, n_sites):
         if sel.nr_frags == 0:
             continue
         staged = p3.stage_v3(sel.start, sel.length, sel.count, sel.codes,
-                             lo, acc.S, classes=classes)
+                             lo, acc.S)
         runs = []
         with jax.default_device(dev):
             for st in (staged if isinstance(staged, list) else [staged]):

@@ -115,7 +115,8 @@ def test_v3_flat_vs_tiled_grids(rng):
         wl = int(frags.start.max()) + 64
         # classic staging: the tiled grid has no lane-count kernel
         staged = stage_v3(frags.start, frags.length, frags.count,
-                          frags.codes, 1, wl, lane_counts=False)
+                          frags.codes, 1, wl, lane_counts=False,
+                          classes=None)
         flat = call_staged(staged, wl, interpret=True, grid="flat")
         tiled = call_staged(staged, wl, interpret=True, grid="tiled")
         assert (np.asarray(flat[0]) == np.asarray(tiled[0])).all()
@@ -178,13 +179,13 @@ def test_native_place_pack_matches_numpy(monkeypatch):
     codes[np.arange(30)[None, :] >= length[:, None]] = 3
 
     native = stage_v3(start, length, count, codes, 1, n_sites,
-                      vals=False)
+                      vals=False, lane_counts=False, classes=None)
     import wgbs_tools_tpu.native as nat
 
     monkeypatch.setattr(nat, "place_pack_native",
                         lambda *a, **k: None)  # force the numpy fallback
     fallback = stage_v3(start, length, count, codes, 1, n_sites,
-                        vals=False)
+                        vals=False, lane_counts=False, classes=None)
     for a, b in zip(native, fallback):
         if isinstance(a, np.ndarray):
             assert np.array_equal(a, b)
@@ -315,7 +316,8 @@ def test_v3_value_planes_exact(rng, monkeypatch):
                         np.zeros(64, np.int16), ["chr1"], None)
     st3 = stage_v3(frags_hi.start, frags_hi.length, frags_hi.count,
                    frags_hi.codes, 1, 512)
-    assert len(st3) == 8
+    # classic form, classed (the packed-form default geometry)
+    assert isinstance(st3, list) and all(len(t) == 8 for t in st3)
     exp_hi = pileup_xla(frags_hi.start, frags_hi.length, frags_hi.count,
                         frags_hi.codes, 1, 512)
     got3 = pileup_pallas_v3(frags_hi.start, frags_hi.length, frags_hi.count,
@@ -340,7 +342,7 @@ def test_v3_vals_vs_lane_vs_classic_identical(rng):
                      ("lane", dict(lane_counts=True, vals=False)),
                      ("classic", dict(lane_counts=False))):
         st = stage_v3(frags.start, frags.length, frags.count, frags.codes,
-                      1, wl, **kw)
+                      1, wl, classes=None, **kw)
         m, c = call_staged(st, wl, interpret=True)
         outs[name] = np.stack([np.asarray(m), np.asarray(c)], axis=1)
         assert (outs[name] == exp).all(), name

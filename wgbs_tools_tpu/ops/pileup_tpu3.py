@@ -72,22 +72,29 @@ def _env_int(name, default, lo, mult=1):
 
 # geometry env vars are read AT CALL TIME (not import) so overrides work
 # through the persistent worker, whose process outlives any one client env
-def _tile_sb():
-    return _env_int("WGBS_TPU_V3_TILE_SB", 8, 1)
+def _tile_sb(vals=False):
+    # value-plane steps are load/dot-bound, not decode-bound: the round-5
+    # sweep moved the optimum to far larger tiles/chunks (see
+    # BENCHMARKS.md "value-plane geometry sweep")
+    return _env_int("WGBS_TPU_V3_TILE_SB", 64 if vals else 8, 1)
 
 
-def _row_chunk():
-    return _env_int("WGBS_TPU_V3_RC", 256, 8, mult=8)  # rows per chunk
+def _row_chunk(vals=False):
+    return _env_int("WGBS_TPU_V3_RC", 1024 if vals else 256, 8,
+                    mult=8)  # rows per chunk
 
 
-def _g_max():
-    return _env_int("WGBS_TPU_V3_G_MAX", _tile_sb(), 1)  # sub-blocks/chunk
+def _g_max(vals=False):
+    return _env_int("WGBS_TPU_V3_G_MAX", _tile_sb(vals),
+                    1)  # sub-blocks/chunk
 # measured on-chip (flat grid, headline shape, cross-process bench
-# methodology — see bench.py / BENCHMARKS.md round-4 class sweep):
-# TILE_SB=8 with rc classes (16, 128) is the best swept geometry
-# (397.9 M frags/s vs 313.3 single-class rc=256; finer/coarser class
-# splits and 3-class variants all slower). _env_classes holds the
-# class default; ROW_CHUNK is the single-class grid's default.
+# methodology — see bench.py / BENCHMARKS.md geometry sweeps):
+# PACKED forms: TILE_SB=8 with rc classes (16, 128) — per-step decode
+# scales with rc, so classed routing wins (397.9 vs 313.3 M frags/s
+# round 4). VALUE-PLANE form: single-class rc=1024, TILE_SB=64 — steps
+# are load/dot-bound, so fewer, fuller chunks win (round-5 sweep: 1869
+# vs 977 M frags/s for the packed-form geometry; official 3-process
+# median 2511.7 M frags/s).
 
 
 def _unpack_words(words, rc):
@@ -691,7 +698,7 @@ def _env_vals():
 
 
 def stage_v3(start, length, count, codes, window_start, window_len,
-             tile=None, rc=None, g_max=None, classes=None,
+             tile=None, rc=None, g_max=None, classes="auto",
              lane_counts=None, vals=None):
     """Host staging: window prep, sub-block split, native row packing,
     code placement, chunking. Returns (c0, c1, meta, words, max_chunks,
@@ -707,25 +714,6 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     tuples whose kernel outputs sum exactly (disjoint chunk sets, integer
     adds). With classes the break bound is classes[-1]."""
     from ..native import pack_rows_native
-
-    if tile is None:
-        tile = SB * _tile_sb()
-    if rc is None:
-        rc = _row_chunk()
-    if g_max is None:
-        g_max = _g_max()
-
-    if classes is not None:
-        classes = tuple(sorted(int(c) for c in classes))
-        if not classes or classes[0] < 8 or any(c % 8 for c in classes):
-            raise ValueError(f"bad rc classes {classes}: each must be a "
-                             "multiple of 8 (Mosaic block-dim constraint), "
-                             ">= 8")
-        rc = classes[-1]
-
-    if tile % SB:
-        raise ValueError(f"tile={tile} must be a multiple of SB={SB}")
-    tile_sb = tile // SB
 
     rel, length, count, codes = _prep_window(
         start, length, count, codes, window_start, window_len)
@@ -760,6 +748,29 @@ def stage_v3(start, length, count, codes, window_start, window_len,
     if vals is None:
         vals = _env_vals()
     vals = bool(vals and lane_counts)
+
+    # geometry defaults are FORM-aware (resolved only now that the form is
+    # known): packed forms are decode-bound per step -> small classed
+    # chunks; value planes are load/dot-bound -> one big single-class grid
+    if classes == "auto":
+        classes = _env_classes(vals)
+    if tile is None:
+        tile = SB * _tile_sb(vals)
+    if rc is None:
+        rc = _row_chunk(vals)
+    if g_max is None:
+        g_max = _g_max(vals)
+    if classes is not None:
+        classes = tuple(sorted(int(c) for c in classes))
+        if not classes or classes[0] < 8 or any(c % 8 for c in classes):
+            raise ValueError(f"bad rc classes {classes}: each must be a "
+                             "multiple of 8 (Mosaic block-dim constraint), "
+                             ">= 8")
+        rc = classes[-1]
+    if tile % SB:
+        raise ValueError(f"tile={tile} must be a multiple of SB={SB}")
+    tile_sb = tile // SB
+
     if F:
         pk_cnt = np.ones_like(p_cnt) if lane_counts else p_cnt
         packed = pack_rows_native(p_g, pk_cnt, p_rr, p_len)
@@ -950,13 +961,19 @@ def _assemble_class(row_g, row_tile, row_count, all_words, bstarts, bends,
             max_chunks, tile, rc, g_max)
 
 
-def _env_classes():
+def _env_classes(vals=False):
     """rc classes from WGBS_TPU_V3_CLASSES (e.g. '64,256'; 'none' disables).
 
-    Default (16, 128): measured 397.9 vs 313.3 M frags/s for the
-    single-class grid at the headline shape — 0.3-0.4% cross-process
-    spread, bit-identical (see BENCHMARKS.md round-4 class sweep)."""
-    raw = _os.environ.get("WGBS_TPU_V3_CLASSES", "16,128").strip().lower()
+    Packed-form default (16, 128): measured 397.9 vs 313.3 M frags/s for
+    the single-class grid at the headline shape (round-4 class sweep) —
+    per-step DECODE work scales with the static rc there, so routing
+    short chunks to a small grid pays. Value-plane default: NO classes —
+    per-step work is loads + dots, so one launch with full rc=1024 chunks
+    wins (round-5 sweep: 1869 single-class vs 977 with (16, 128))."""
+    raw = _os.environ.get("WGBS_TPU_V3_CLASSES")
+    if raw is None:
+        return None if vals else (16, 128)
+    raw = raw.strip().lower()
     if not raw or raw in ("none", "0", "off"):
         return None
     return tuple(int(x) for x in raw.split(","))
@@ -969,12 +986,12 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
 
     if packed:
         codes = unpack_codes(np.asarray(codes))
-    classes = _env_classes()
     grid = _os.environ.get("WGBS_TPU_PILEUP_V3_GRID", "flat")
-    # lane-count packing has a flat-grid kernel only
+    # lane-count/value-plane staging has flat-grid kernels only; geometry
+    # (classes, tile, rc) resolves inside stage_v3 by the active form
     lane = _env_lane_counts() and grid == "flat"
     staged = stage_v3(start, length, count, codes, window_start, window_len,
-                      classes=classes, lane_counts=lane)
+                      lane_counts=lane)
     if staged is None:  # native packer unavailable: v2 does the same job
         from .pileup_tpu2 import pileup_pallas_v2
 
@@ -983,7 +1000,7 @@ def pileup_pallas_v3(start, length, count, codes, window_start, window_len,
                                 to_host=to_host)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    if classes is None:
+    if not isinstance(staged, list):
         meth, cov = call_staged(staged, window_len, interpret, grid)
     else:
         # per-class grids over disjoint chunk sets: outputs sum exactly
