@@ -256,10 +256,13 @@ def _sharded_runner(frags, n_sites):
                 meth = cov = None
                 for kind, ct, cv, me, a, b, tile, rc, g_max in runs:
                     if kind == "vals":
-                        m, c = p3._call_flat_vals(ct, cv, me, a, b, acc.S,
-                                                  tile, rc, g_max,
-                                                  interpret)
-                    elif kind == "lc":
+                        # fused single-dispatch pileup+accumulate (the
+                        # production ShardedPileupV3._fused_add path)
+                        acc.totals[i] = p3.pileup_vals_add(
+                            acc.totals[i], ct, cv, me, a, b, acc.S,
+                            tile, rc, g_max, interpret)
+                        continue
+                    if kind == "lc":
                         m, c = p3._call_flat_lc(ct, cv, me, a, b, acc.S,
                                                 tile, rc, g_max, interpret,
                                                 p3._lc_fast_dot())
@@ -268,8 +271,9 @@ def _sharded_runner(frags, n_sites):
                                              rc, g_max, interpret)
                     meth = m if meth is None else meth + m
                     cov = c if cov is None else cov + c
-                acc.totals[i] = _shard_add(
-                    acc.totals[i], jnp.stack([meth, cov], axis=1))
+                if meth is not None:
+                    acc.totals[i] = _shard_add(
+                        acc.totals[i], jnp.stack([meth, cov], axis=1))
                 out = acc.totals[i]
         return (out,)
 

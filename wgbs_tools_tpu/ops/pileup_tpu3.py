@@ -498,6 +498,24 @@ def _call_flat_vals(ctile, covered, meta, mv, cv, window_len, tile, rc,
     return meth.reshape(-1)[:window_len], cov.reshape(-1)[:window_len]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_len", "tile", "rc", "g_max", "interpret"),
+    donate_argnums=(0,),
+)
+def pileup_vals_add(total, ctile, covered, meta, mv, cv, window_len,
+                    tile, rc, g_max, interpret=False):
+    """One dispatch: value-plane flat pileup + accumulate into the donated
+    device-resident (window_len, 2) int32 running total. Fuses the
+    kernel, the [meth, cov] stack and the add that the sharded per-device
+    path otherwise issues as three separate launches — at value-plane
+    kernel rates the extra dispatches cost as much as the kernel itself
+    (BENCHMARKS.md round-5 sharded note)."""
+    m, c = _call_flat_vals(ctile, covered, meta, mv, cv, window_len,
+                           tile, rc, g_max, interpret)
+    return total + jnp.stack([m, c], axis=1)
+
+
 def _lc_fast_dot():
     """WGBS_TPU_V3_LC_DOT: 'fast' (default) runs the lane-count kernel's
     strip dots at DEFAULT precision (single MXU pass — exact because every

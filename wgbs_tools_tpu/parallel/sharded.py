@@ -8,8 +8,10 @@ of segmentor.cpp:120-135). Two pileup forms ship:
 
 - ShardedPileupV3 (the TPU production path): fragments CLIPPED at shard
   boundaries on the host, the row-packed v3 Pallas kernel dispatched per
-  mesh device — no halo collective at all, 93.5% of the single-chip
-  flat-grid rate through the sharded path.
+  mesh device — no halo collective at all; value-plane batches go through
+  the fused single-dispatch pileup+accumulate (pileup_vals_add), putting
+  the sharded path at ~84% of the single-chip flat-grid rate (2.04 vs
+  2.43 G frags/s, round-5 bench).
 - ShardedPileup (CPU meshes / A/B): XLA scatter per shard with boundary-
   crossing reads riding a halo `ppermute` (replacing the order-preserving
   file concat of bam2pat.py:398-422).
@@ -390,8 +392,10 @@ class ShardedPileupV3:
       shard's pileup is fully independent — the halo ppermute disappears
       rather than being ported;
     - each shard's staged tensors are placed on its device
-      (`jax.default_device`) and the UNCHANGED `pileup_pallas_v3` runs
-      there, accumulating into a device-resident (S, 2) total;
+      (`jax.default_device`) and the same kernels behind
+      `pileup_pallas_v3` run there, accumulating into a device-resident
+      (S, 2) total (value-plane batches go through the fused
+      single-dispatch `pileup_vals_add`);
     - `result()`/`finalize()` assemble the per-device totals into one
       global array sharded over the mesh (`make_array_from_single_device_
       arrays`) and reuse the existing sharded fetch/saturate paths.
@@ -439,12 +443,44 @@ class ShardedPileupV3:
             if sel.nr_frags == 0:
                 continue
             with jax.default_device(dev):
+                if self._fused_add(sel, i, lo):
+                    continue
                 kw = {} if self.interpret is None else \
                     {"interpret": self.interpret}
                 res = pileup_frags(sel, (lo, lo + self.S),
                                    backend=self.backend, to_host=False,
                                    **kw)
                 self.totals[i] = _shard_add(self.totals[i], res)
+
+    def _fused_add(self, sel, i, lo):
+        """Single-dispatch fast path: value-plane staging + fused
+        pileup-and-accumulate (`ops/pileup_tpu3.pileup_vals_add`, donated
+        running total). At value-plane kernel rates the generic path's
+        three launches (kernel, stack, add) cost as much as the kernel
+        itself. Returns False when the staged form isn't a single
+        value-plane tuple (high counts, packer unavailable, non-pallas3
+        backend) — the caller then takes the generic path."""
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas3" if jax.default_backend() == "tpu" else "xla"
+        if backend != "pallas3":
+            return False
+        from ..ops import pileup_tpu3 as p3
+
+        st = p3.stage_v3(sel.start, sel.length, sel.count, sel.codes, lo,
+                         self.S)
+        if st is None or isinstance(st, list) or len(st) != 10:
+            return False
+        c0, c1, meta, mv, cv = st[:5]
+        tile, rc, g_max = st[6:9]
+        ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
+        interpret = (jax.default_backend() != "tpu"
+                     if self.interpret is None else self.interpret)
+        self.totals[i] = p3.pileup_vals_add(
+            self.totals[i], jnp.asarray(ctile), jnp.asarray(covered),
+            jnp.asarray(meta), jnp.asarray(mv), jnp.asarray(cv), self.S,
+            tile, rc, g_max, interpret)
+        return True
 
     def _global(self):
         from jax.sharding import NamedSharding
