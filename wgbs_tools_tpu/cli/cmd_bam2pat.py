@@ -84,6 +84,9 @@ def main(argv):
         from ..utils.log import set_verbose
 
         set_verbose()
+    if not op.isdir(args.out_dir):
+        # ref: src/python/bam2pat.py:509-510
+        raise IllegalArgumentError(f"Invalid output dir: {args.out_dir}")
     g = Genome(args.genome)
     include = None
     if args.region:
@@ -226,6 +229,9 @@ def main_add_cpg_counts(argv):
         gr = GenomicRegion(region=args.region, sites=args.sites, genome=g)
         lo, hi = gr.bp_tuple
         regions = {gr.chrom: (np.array([lo - 1]), np.array([hi]))}
+    if not op.isdir(args.out_dir):
+        # ref: src/python/add_cpg_counts.py:114-115
+        raise IllegalArgumentError(f"Invalid output dir: {args.out_dir}")
     for bam in args.bam:
         validate_single_file(bam)
         out = op.join(args.out_dir,
@@ -269,6 +275,9 @@ def main_split_by_allele(argv):
         from ..utils.log import set_verbose
 
         set_verbose()
+    if not op.isdir(args.out_dir):
+        # ref: src/python/split_by_allele.py:230-231
+        raise IllegalArgumentError(f"Invalid output dir: {args.out_dir}")
     validate_single_file(args.bam)
     chrom, position = args.pos.split(":")
     let1, let2 = args.alleles.split("/")
@@ -323,6 +332,9 @@ def main_split_by_meth(argv):
         gr = GenomicRegion(region=args.region, sites=args.sites,
                            genome=Genome(args.genome))
         include = gr.chrom
+    if not op.isdir(args.out_dir):
+        # ref: src/python/split_by_meth.py:141-142
+        raise IllegalArgumentError(f"Invalid output dir: {args.out_dir}")
     for bam in args.bam:
         validate_single_file(bam)
         split_bam_by_meth(bam, out_dir=args.out_dir,
