@@ -294,6 +294,10 @@ def main_beta2bw(argv):
     from ..formats.bigwig import write_bigwig
     from ..utils import delete_or_skip
 
+    if not op.isdir(args.outdir):
+        # ref: src/python/beta2bw.py:30-31
+        raise IllegalArgumentError(f"Invalid output directory: "
+                                   f"{args.outdir}")
     g = Genome(args.genome)
     idx = g.index
     chrom_sizes = [(c, int(s)) for c, s in
