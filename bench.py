@@ -123,7 +123,8 @@ def _device_runner(frags, n_sites):
         for st in staged:
             if len(st) == 10:  # value-plane form (WGBS_TPU_V3_VALS=1)
                 c0, c1, meta, mvp, cvp, mc, tile, rc, g_max, _tag = st
-                a, b, kind = jnp.asarray(mvp), jnp.asarray(cvp), "vals"
+                a, b, kind = (jnp.asarray(mvp), None if cvp is None
+                              else jnp.asarray(cvp), "vals")
             elif len(st) == 9:  # lane-count form
                 c0, c1, meta, words, cnts, mc, tile, rc, g_max = st
                 a, b, kind = jnp.asarray(words), jnp.asarray(cnts), "lc"
@@ -162,7 +163,8 @@ def _device_runner(frags, n_sites):
             c0, c1, meta, mvp, cvp, mc, tile, rc, g_max, _tag = staged
             ctile, covered = p3._flat_args(c0, c1, meta.shape[0])
             dev = (jnp.asarray(ctile), jnp.asarray(covered),
-                   jnp.asarray(meta), jnp.asarray(mvp), jnp.asarray(cvp))
+                   jnp.asarray(meta), jnp.asarray(mvp),
+                   None if cvp is None else jnp.asarray(cvp))
 
             def run():
                 return p3._call_flat_vals(*dev, n_sites, tile, rc, g_max,
@@ -236,7 +238,8 @@ def _sharded_runner(frags, n_sites):
             for st in (staged if isinstance(staged, list) else [staged]):
                 if len(st) == 10:  # value-plane form
                     c0, c1, meta, mvp, cvp, mc, tile, rc, g_max, _tag = st
-                    a, b, kind = jnp.asarray(mvp), jnp.asarray(cvp), "vals"
+                    a, b, kind = (jnp.asarray(mvp), None if cvp is None
+                              else jnp.asarray(cvp), "vals")
                 elif len(st) == 9:  # lane-count form
                     c0, c1, meta, words, cnts, mc, tile, rc, g_max = st
                     a, b, kind = (jnp.asarray(words), jnp.asarray(cnts),

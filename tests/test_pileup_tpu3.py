@@ -338,11 +338,17 @@ def test_v3_vals_vs_lane_vs_classic_identical(rng):
     exp = pileup_xla(frags.start, frags.length, frags.count, frags.codes,
                      1, wl)
     outs = {}
-    for name, kw in (("vals", dict(lane_counts=True, vals=True)),
+    for name, kw in (("vals", dict(lane_counts=True, vals=True, fused=True)),
+                     ("vals-split", dict(lane_counts=True, vals=True,
+                                         fused=False)),
                      ("lane", dict(lane_counts=True, vals=False)),
                      ("classic", dict(lane_counts=False))):
         st = stage_v3(frags.start, frags.length, frags.count, frags.codes,
                       1, wl, classes=None, **kw)
+        if name == "vals":
+            assert st[4] is None  # fused: one wide plane, no cv plane
+        elif name == "vals-split":
+            assert st[4] is not None
         m, c = call_staged(st, wl, interpret=True)
         outs[name] = np.stack([np.asarray(m), np.asarray(c)], axis=1)
         assert (outs[name] == exp).all(), name

@@ -478,7 +478,8 @@ class ShardedPileupV3:
                      if self.interpret is None else self.interpret)
         self.totals[i] = p3.pileup_vals_add(
             self.totals[i], jnp.asarray(ctile), jnp.asarray(covered),
-            jnp.asarray(meta), jnp.asarray(mv), jnp.asarray(cv), self.S,
+            jnp.asarray(meta), jnp.asarray(mv),
+            None if cv is None else jnp.asarray(cv), self.S,
             tile, rc, g_max, interpret)
         return True
 
