@@ -211,7 +211,11 @@ int64_t segment_exact_dp(const float* data, int64_t K, int64_t n,
                         ? g_memo.get_small(nmk, ntk)
                         : ll_direct(nmk, ntk, pseudo_count);
                 }
-                if (ll_sum != 0.0) row[j] = ll_sum;
+                // always write: the reference prefills each row with 0.0
+                // (segmentor.cpp:105 std::fill) — leaving the ring slot's
+                // stale previous-row value on a zero ll_sum (all-zero
+                // coverage prefix) would poison the DP after W rows
+                row[j] = (ll_sum != 0.0) ? ll_sum : 0.0;
             }
         }
         if (window < W)

@@ -319,3 +319,68 @@ def test_fast_stitch_batched_matches_serial(beta_fixture):
                                      _seg_fn(paths, fake, cfg), cfg)
     assert st.tolist() == st2.tolist()
     assert en.tolist() == en2.tolist()
+
+
+def test_numpy_fallback_nonmonotone_matches_native_and_oracle(beta_fixture):
+    """Chromosome-spanning (non-monotone-loci) windows: the numpy exact
+    fallback must reproduce the reference's literal skip semantics
+    (skipped sites NOT absorbed — segmentor.cpp:112-117) bit-for-bit.
+    Regression: the prefix-sum emulation absorbed every site and even
+    allowed cross-boundary blocks, so a worker that transiently lost the
+    native .so produced different borders than its peers (flaky
+    multi-process segment mismatch, round 5)."""
+    import wgbs_tools_tpu.native as nat
+    from wgbs_tools_tpu.models.segment import _traceback
+    from wgbs_tools_tpu.native import segment_exact_native
+
+    paths, datas, loci = beta_fixture
+    n = 800
+    loci = loci[:n].copy()
+    # chromosome-boundary shape: coordinates restart low mid-window
+    loci[500:] = loci[500:] - loci[500] + 150
+    expect = ref_segment(paths[:2], loci, 0, n, 200, 1500, 15.0)
+    T = segment_exact_native(datas[:2, :n], loci, 200, 1500, 15.0)
+    assert T is not None and _traceback(T, n).tolist() == expect.tolist()
+
+    class FakeIndex:
+        pass
+
+    fake = FakeIndex()
+    fake.loci = loci.astype(np.int64)
+    res_native = segment_sites_window(paths[:2], (1, n + 1), fake, 200,
+                                      1500, 15.0, "exact")
+    orig = nat.segment_exact_native
+    nat.segment_exact_native = lambda *a, **k: None
+    try:
+        res_numpy = segment_sites_window(paths[:2], (1, n + 1), fake, 200,
+                                         1500, 15.0, "exact")
+    finally:
+        nat.segment_exact_native = orig
+    assert res_numpy.tolist() == res_native.tolist()
+
+
+def test_native_nonmonotone_zero_coverage_ring_reuse(beta_fixture, tmp_path):
+    """Non-monotone window with an all-zero-coverage stretch placed past
+    the DP ring wrap: zero ll_sum cells must read as 0.0 (the reference
+    prefills each row — segmentor.cpp:105), not the stale value of the
+    ring slot's previous occupant. Regression for the native kernel's
+    literal branch, which skipped the write on ll_sum == 0."""
+    from wgbs_tools_tpu.models.segment import _traceback
+    from wgbs_tools_tpu.native import segment_exact_native
+
+    paths, datas, loci = beta_fixture
+    n = 800
+    W = 200  # ring size 256: rows >= 256 reuse slots
+    data = datas[:2, :n].copy()
+    data[:, 500:560, :] = 0  # zero coverage -> ll_sum == 0 prefixes
+    loci = loci[:n].copy()
+    loci[700:] = loci[700:] - loci[700] + 150  # non-monotone: literal branch
+    zpaths = []
+    for i in range(2):
+        p = str(tmp_path / f"z{i}.beta")
+        save_beta(p, data[i])
+        zpaths.append(p)
+    expect = ref_segment(zpaths, loci, 0, n, W, 1500, 15.0)
+    T = segment_exact_native(data, loci, W, 1500, 15.0)
+    assert T is not None
+    assert _traceback(T, n).tolist() == expect.tolist()

@@ -51,10 +51,55 @@ def _prefix_sums(data):
     return ps[:, :, 0], ps[:, :, 1]
 
 
+_LL_MEMO = {}  # (float(pc32), nm, nt) -> float32 ll (mirrors the C++ LLMemo)
+
+
+def _ll_pair_scalar(nm, nt, pc32):
+    """One (nm, nt) log-likelihood through the reference float chain with
+    libm log2 (math.log2 calls the platform log2, the same function the
+    native kernel and the reference use — numpy's SIMD np.log2 can differ
+    by 1 ulp, which flips near-tie DP borders; that 1-ulp gap is why this
+    is scalar). Mirrors segment_exact.cpp::ll_direct / segmentor.cpp float
+    chain: float32 p, double log2, per-term float32 rounding."""
+    import math
+
+    p = (np.float32(nm) + pc32) / (np.float32(nt) + np.float32(2) * pc32)
+    pd = float(p)
+    ll = np.float32(0.0)
+    if pd > 0.0:
+        ll = np.float32(float(ll) + float(np.float32(nm)) * math.log2(pd))
+    if pd < 1.0:
+        ll = np.float32(
+            float(ll)
+            + float(np.float32(nt) - np.float32(nm)) * math.log2(1.0 - pd))
+    return ll
+
+
+def _ll_lookup(nm_i, nt_i, pc32):
+    """Vector ll over integer count arrays via a unique-pair memo."""
+    keys = (nt_i.astype(np.int64) << 25) | nm_i.astype(np.int64)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    pck = float(pc32)
+    vals = np.empty(uniq.shape[0], dtype=np.float32)
+    for u, kk in enumerate(uniq):
+        nt = int(kk) >> 25
+        nm = int(kk) & ((1 << 25) - 1)
+        memo_key = (pck, nm, nt)
+        v = _LL_MEMO.get(memo_key)
+        if v is None:
+            v = _ll_pair_scalar(nm, nt, pc32)
+            if len(_LL_MEMO) < (1 << 22):  # bounded
+                _LL_MEMO[memo_key] = v
+        vals[u] = v
+    return vals[inv].reshape(nm_i.shape)
+
+
 def _cost_block_exact(pm, pt, loci, i_lo, i_hi, W, max_bp, pc):
     """Exact cost rows C[i, w] = cost of block [i-w .. i] for i in [i_lo,i_hi).
 
     Emulates segmentor.cpp:103-137's float chain; returns float64 (B, W).
+    Bit-identical to the native kernel (tested in test_segment.py) — the
+    log2 evaluations go through libm via _ll_pair_scalar, not np.log2.
     """
     K = pm.shape[0]
     I = np.arange(i_lo, i_hi, dtype=np.int64)[:, None]  # (B, 1)
@@ -66,21 +111,10 @@ def _cost_block_exact(pm, pt, loci, i_lo, i_hi, W, max_bp, pc):
     pc32 = np.float32(pc)
     ll_sum = np.zeros(Kc.shape, dtype=np.float64)
     for d in range(K):  # sequential dataset accumulation (matches C loop order)
-        nm32 = (pm[d][I + 1] - pm[d][Kc]).astype(np.float32)
-        nt32 = (pt[d][I + 1] - pt[d][Kc]).astype(np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            p32 = (nm32 + pc32) / (nt32 + np.float32(2) * pc32)
-            p64 = p32.astype(np.float64)
-            ll_k = np.zeros(Kc.shape, dtype=np.float32)
-            t1 = np.where(p32 > 0, nm32.astype(np.float64) * np.log2(p64), 0.0)
-            ll_k = (ll_k.astype(np.float64) + t1).astype(np.float32)
-            t2 = np.where(
-                p32 < 1,
-                (nt32 - nm32).astype(np.float64) * np.log2(1.0 - p64),
-                0.0,
-            )
-            ll_k = (ll_k.astype(np.float64) + t2).astype(np.float32)
-        ll_k = np.where(nt32 == 0, np.float32(0), ll_k)  # skipped datasets
+        nm_i = pm[d][I + 1] - pm[d][Kc]
+        nt_i = pt[d][I + 1] - pt[d][Kc]
+        ll_k = _ll_lookup(nm_i, nt_i, pc32)
+        ll_k = np.where(nt_i == 0, np.float32(0), ll_k)  # skipped datasets
         ll_sum += ll_k.astype(np.float64)
 
     row = np.where(ll_sum == 0.0, 0.0, ll_sum)
@@ -89,6 +123,48 @@ def _cost_block_exact(pm, pt, loci, i_lo, i_hi, W, max_bp, pc):
         row = np.where(dist > max_bp, NEG_INF, row)
     row = np.where(valid, row, NEG_INF)
     return row
+
+
+def _cost_exact_literal(data, loci, W, max_bp, pc):
+    """Literal reference cost semantics for NON-MONOTONE loci (windows
+    spanning a chromosome boundary): the dist test may pass again after
+    failing, and skipped sites are NOT absorbed into the running counts
+    (ref: segmentor.cpp:112-117; native/segment_exact.cpp non-monotone
+    branch). The prefix-sum form in _cost_block_exact absorbs every site
+    unconditionally, which diverges here — so these windows take this
+    scalar per-cell build instead (rare: production ranges are
+    per-chromosome, only direct API calls can span).
+
+    Returns C (n, W) float64 with C[i, w] = cost of block [i-w..i]
+    (the _dp_exact layout: C[k + j, j] = cost row k, offset j)."""
+    dat = np.asarray(data, dtype=np.int64)
+    K, n, _ = dat.shape
+    pc32 = np.float32(pc)
+    pck = float(pc32)
+    C = np.full((n, W), NEG_INF)
+    for k in range(n):
+        nm = [0] * K
+        nt = [0] * K
+        window = min(W, n - k)
+        for j in range(window):
+            if max_bp and (loci[k + j] < loci[k]
+                           or loci[k + j] - loci[k] > max_bp):
+                continue  # cell stays -inf; counts not absorbed
+            s = 0.0
+            for d in range(K):
+                nm[d] += int(dat[d, k + j, 0])
+                nt[d] += int(dat[d, k + j, 1])
+                if nt[d] == 0:
+                    continue
+                key = (pck, nm[d], nt[d])
+                v = _LL_MEMO.get(key)
+                if v is None:
+                    v = _ll_pair_scalar(nm[d], nt[d], pc32)
+                    if len(_LL_MEMO) < (1 << 22):
+                        _LL_MEMO[key] = v
+                s += float(v)
+            C[k + j, j] = s if s != 0.0 else 0.0
+    return C
 
 
 def _dp_exact(C):
@@ -491,11 +567,24 @@ def segment_borders(data, loci, max_cpg=1000, max_bp=2000, pseudo_count=15.0,
 
             T = segment_exact_native(data, loci, W, max_bp, pseudo_count)
         if T is None:
-            C = np.empty((n, W), dtype=np.float64)
-            for lo in range(0, n, cost_block):
-                hi = min(lo + cost_block, n)
-                C[lo:hi] = _cost_block_exact(pm, pt, loci, lo, hi, W, max_bp,
-                                             pseudo_count)
+            # numpy emulation (bit-identical to the native chain: libm
+            # log2 per unique pair, float32 rounding). Loud, not silent —
+            # a quiet numeric-path swap is how a near-tie border once
+            # flaked across processes (the native .so transiently
+            # unavailable in a worker picked this path)
+            from ..utils.log import logger
+
+            logger.warning(
+                "segment: native exact kernel unavailable; using the "
+                "numpy emulation (bit-identical, slower)")
+            if max_bp and (np.diff(loci) < 0).any():
+                C = _cost_exact_literal(data, loci, W, max_bp, pseudo_count)
+            else:
+                C = np.empty((n, W), dtype=np.float64)
+                for lo in range(0, n, cost_block):
+                    hi = min(lo + cost_block, n)
+                    C[lo:hi] = _cost_block_exact(pm, pt, loci, lo, hi, W,
+                                                 max_bp, pseudo_count)
             T = _dp_exact(C)
     elif mode == "fast":
         Crev = _cost_fast_jax(

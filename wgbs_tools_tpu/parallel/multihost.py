@@ -205,7 +205,8 @@ def segment_worker(beta_paths, ranges, out_prefix, max_cpg=1000,
         with np.load(part) as z:
             for i in z["idx"]:
                 results_all[int(i)] = z[f"r{int(i)}"]
-        os.unlink(part)
+        if not os.environ.get("WGBS_TPU_DEBUG_KEEP_PARTS"):
+            os.unlink(part)
     seg = _seg_fn(beta_paths, idx, cfg)
     starts, ends = finalize_segmentation(tags, chunks, results_all, seg, cfg)
     out = out_prefix + ".blocks.npz"
